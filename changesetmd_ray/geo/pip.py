@@ -1,0 +1,115 @@
+"""Vectorized point-in-polygon with PostGIS boundary semantics.
+
+The reference's geofilter queries run ``ST_CoveredBy`` / ``ST_Contains`` /
+``ST_Intersects`` against polygons via a GiST index (reference
+``queries.py:57-59``, ``README.md:230-234``). For points vs a polygon the
+three predicates differ only in boundary handling:
+
+- ``ST_Contains(poly, pt)``   — pt strictly interior (boundary pt → false)
+- ``ST_Intersects(poly, pt)`` — interior or boundary
+- ``ST_CoveredBy(pt, poly)``  — same as intersects for a point
+
+So the kernel classifies each point as OUTSIDE / BOUNDARY / INTERIOR and
+the join stages derive the predicate from the class.
+
+Polygons are simple rings (no holes) given as float64 coordinate arrays;
+rings may be closed or open (last vertex == first is optional). Two
+special cases from the fixtures (FIXTURES.md §4):
+
+- antimeridian-crossing rings are stored *unwrapped* (lon may exceed
+  180); probe points are tested at lon and lon+360;
+- pole caps are not rings at all — they are ``lat >= t`` (north) or
+  ``lat <= t`` (south) half-planes, classified directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+OUTSIDE = np.int8(0)
+BOUNDARY = np.int8(1)
+INTERIOR = np.int8(2)
+
+
+def classify_points_ring(
+    px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: np.ndarray
+) -> np.ndarray:
+    """Classify points against one simple ring. Returns int8 array of
+    OUTSIDE / BOUNDARY / INTERIOR, vectorized over (n_points × n_edges).
+
+    Crossing-number parity with an exact on-segment boundary test (zero
+    cross product + bounding range). Uses the half-open edge rule
+    ``(y1 > py) != (y2 > py)`` so vertices are counted once.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    ring_x = np.asarray(ring_x, dtype=np.float64)
+    ring_y = np.asarray(ring_y, dtype=np.float64)
+    if ring_x[0] == ring_x[-1] and ring_y[0] == ring_y[-1] and len(ring_x) > 1:
+        ring_x, ring_y = ring_x[:-1], ring_y[:-1]
+
+    x1 = ring_x[None, :]
+    y1 = ring_y[None, :]
+    x2 = np.roll(ring_x, -1)[None, :]
+    y2 = np.roll(ring_y, -1)[None, :]
+    p_x = px[:, None]
+    p_y = py[:, None]
+
+    # boundary: collinear and within the segment's bounding range
+    cross = (x2 - x1) * (p_y - y1) - (y2 - y1) * (p_x - x1)
+    on_seg = (
+        (cross == 0.0)
+        & (p_x >= np.minimum(x1, x2))
+        & (p_x <= np.maximum(x1, x2))
+        & (p_y >= np.minimum(y1, y2))
+        & (p_y <= np.maximum(y1, y2))
+    ).any(axis=1)
+
+    # crossing number (ray to +x)
+    crosses_y = (y1 > p_y) != (y2 > p_y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = x1 + (p_y - y1) * (x2 - x1) / (y2 - y1)
+    hits = crosses_y & (p_x < x_int)
+    inside = hits.sum(axis=1) % 2 == 1
+
+    out = np.zeros(px.shape, dtype=np.int8)
+    out[inside] = INTERIOR
+    out[on_seg] = BOUNDARY
+    return out
+
+
+def classify_points_polygon(
+    px: np.ndarray,
+    py: np.ndarray,
+    ring_x: np.ndarray,
+    ring_y: np.ndarray,
+) -> np.ndarray:
+    """Like :func:`classify_points_ring` but antimeridian-aware: if the
+    ring extends past lon 180 (stored unwrapped), points are also tested
+    shifted by +360 and the max class wins."""
+    cls = classify_points_ring(px, py, ring_x, ring_y)
+    if np.max(ring_x) > 180.0:
+        cls = np.maximum(cls, classify_points_ring(px + 360.0, py, ring_x, ring_y))
+    if np.min(ring_x) < -180.0:
+        cls = np.maximum(cls, classify_points_ring(px - 360.0, py, ring_x, ring_y))
+    return cls
+
+
+def classify_points_cap(px: np.ndarray, py: np.ndarray, lat_threshold: float, north: bool) -> np.ndarray:
+    """Pole cap: ``lat >= t`` (north) or ``lat <= t`` (south)."""
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(py.shape, dtype=np.int8)
+    if north:
+        out[py > lat_threshold] = INTERIOR
+        out[py == lat_threshold] = BOUNDARY
+    else:
+        out[py < lat_threshold] = INTERIOR
+        out[py == lat_threshold] = BOUNDARY
+    _ = px
+    return out
+
+
+def ring_bbox(ring_x: np.ndarray, ring_y: np.ndarray) -> tuple[float, float, float, float]:
+    """(min_lon, min_lat, max_lon, max_lat) of a ring, in its own
+    (possibly unwrapped) coordinate frame."""
+    return float(np.min(ring_x)), float(np.min(ring_y)), float(np.max(ring_x)), float(np.max(ring_y))

@@ -1,0 +1,122 @@
+"""Point-in-polygon boundary semantics + STRtree vs brute force."""
+
+import numpy as np
+
+from changesetmd_ray.geo.pip import (
+    BOUNDARY,
+    INTERIOR,
+    OUTSIDE,
+    classify_points_cap,
+    classify_points_polygon,
+    classify_points_ring,
+)
+from changesetmd_ray.geo.strtree import STRtree
+
+SQUARE_X = np.array([0.0, 10.0, 10.0, 0.0])
+SQUARE_Y = np.array([0.0, 0.0, 10.0, 10.0])
+
+
+def test_square_classification():
+    px = np.array([5.0, 0.0, 10.0, 5.0, -1.0, 10.0, 0.0])
+    py = np.array([5.0, 5.0, 10.0, 0.0, 5.0, 10.000001, 0.0])
+    cls = classify_points_ring(px, py, SQUARE_X, SQUARE_Y)
+    assert cls[0] == INTERIOR
+    assert cls[1] == BOUNDARY  # on left edge
+    assert cls[2] == BOUNDARY  # on corner
+    assert cls[3] == BOUNDARY  # on bottom edge
+    assert cls[4] == OUTSIDE
+    assert cls[5] == OUTSIDE
+    assert cls[6] == BOUNDARY  # corner vertex
+
+
+def test_concave_polygon():
+    # U-shape: notch from above
+    rx = np.array([0.0, 10.0, 10.0, 7.0, 7.0, 3.0, 3.0, 0.0])
+    ry = np.array([0.0, 0.0, 10.0, 10.0, 3.0, 3.0, 10.0, 10.0])
+    px = np.array([5.0, 5.0, 1.0, 8.5, 5.0])
+    py = np.array([8.0, 1.0, 8.0, 8.0, 3.0])
+    cls = classify_points_ring(px, py, rx, ry)
+    assert cls[0] == OUTSIDE  # inside the notch
+    assert cls[1] == INTERIOR
+    assert cls[2] == INTERIOR
+    assert cls[3] == INTERIOR
+    assert cls[4] == BOUNDARY  # on notch bottom edge
+
+
+def test_closed_ring_equivalent_to_open():
+    rx = np.append(SQUARE_X, SQUARE_X[0])
+    ry = np.append(SQUARE_Y, SQUARE_Y[0])
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-2, 12, 500)
+    py = rng.uniform(-2, 12, 500)
+    a = classify_points_ring(px, py, SQUARE_X, SQUARE_Y)
+    b = classify_points_ring(px, py, rx, ry)
+    assert np.array_equal(a, b)
+
+
+def test_antimeridian_polygon():
+    # unwrapped ring spanning lon 170..190 (i.e. crossing ±180)
+    rx = np.array([170.0, 190.0, 190.0, 170.0])
+    ry = np.array([-5.0, -5.0, 5.0, 5.0])
+    px = np.array([175.0, -175.0, -169.0, 0.0])
+    py = np.array([0.0, 0.0, 0.0, 0.0])
+    cls = classify_points_polygon(px, py, rx, ry)
+    assert cls[0] == INTERIOR
+    assert cls[1] == INTERIOR  # -175 ≡ 185
+    assert cls[2] == OUTSIDE  # -169 ≡ 191
+    assert cls[3] == OUTSIDE
+
+
+def test_pole_cap():
+    cls = classify_points_cap(np.zeros(3), np.array([80.0, 70.0, 60.0]), 70.0, north=True)
+    assert list(cls) == [INTERIOR, BOUNDARY, OUTSIDE]
+    cls = classify_points_cap(np.zeros(2), np.array([-80.0, -60.0]), -70.0, north=False)
+    assert list(cls) == [INTERIOR, OUTSIDE]
+
+
+def test_strtree_matches_bruteforce_points_and_boxes():
+    rng = np.random.default_rng(42)
+    n = 300
+    lx = rng.uniform(-180, 175, n)
+    ly = rng.uniform(-90, 85, n)
+    hx = lx + rng.uniform(0, 8, n)
+    hy = ly + rng.uniform(0, 8, n)
+    tree = STRtree(lx, ly, hx, hy, node_capacity=8)
+
+    # point probes
+    px = rng.uniform(-180, 180, 200)
+    py = rng.uniform(-90, 90, 200)
+    qi, ii = tree.query_points(px, py)
+    got = set(zip(qi.tolist(), ii.tolist()))
+    inside = (px[:, None] >= lx[None, :]) & (px[:, None] <= hx[None, :]) & (
+        py[:, None] >= ly[None, :]
+    ) & (py[:, None] <= hy[None, :])
+    want = set(zip(*np.nonzero(inside)))
+    assert got == want
+
+    # box probes
+    qlx = rng.uniform(-180, 175, 50)
+    qly = rng.uniform(-90, 85, 50)
+    qhx = qlx + rng.uniform(0, 15, 50)
+    qhy = qly + rng.uniform(0, 15, 50)
+    qi, ii = tree.query_boxes(qlx, qly, qhx, qhy)
+    got = set(zip(qi.tolist(), ii.tolist()))
+    ov = (
+        (qlx[:, None] <= hx[None, :])
+        & (qhx[:, None] >= lx[None, :])
+        & (qly[:, None] <= hy[None, :])
+        & (qhy[:, None] >= ly[None, :])
+    )
+    want = set(zip(*np.nonzero(ov)))
+    assert got == want
+
+
+def test_strtree_edge_sizes():
+    # empty tree
+    t = STRtree(np.empty(0), np.empty(0), np.empty(0), np.empty(0))
+    qi, ii = t.query_points(np.array([1.0]), np.array([1.0]))
+    assert len(qi) == 0
+    # single item
+    t = STRtree(np.array([0.0]), np.array([0.0]), np.array([1.0]), np.array([1.0]))
+    qi, ii = t.query_points(np.array([0.5, 2.0]), np.array([0.5, 2.0]))
+    assert list(qi) == [0] and list(ii) == [0]
