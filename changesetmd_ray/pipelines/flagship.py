@@ -1,0 +1,180 @@
+"""Flagship pipeline: pages parquet → geo extraction → cell encoding →
+partitioned parquet, resumable per input shard.
+
+The Ray-Data shape of the reference's bulk-load entry point
+(``changesetmd.py:494-627``, SURVEY.md §3.1): the iterparse loop becomes
+a streaming ``map_batches`` chain; "create tables" disappears into
+declared Arrow schemas; "build indexes after load" becomes the
+CellEncoder columns; the progress/state bookkeeping becomes the
+per-partition manifest (SURVEY.md §4.3.4).
+
+Scale design notes:
+- one input *file* = one partition (≙ a replication sequence file,
+  ``changesetmd.py:290-300``); waves of ``wave_size`` partitions are
+  processed per streaming-executor run, so a crash redoes at most one
+  wave and the manifest advances between waves. At 100 TB a wave is a
+  few thousand files; within a wave Ray streams blocks with
+  backpressure — nothing is materialized.
+- output is ``data/shard_id=<id>/`` partitioned parquet with
+  deterministic directories: re-running a partition first removes its
+  directory, so reruns are idempotent whole-partition overwrites
+  (≙ the reference's upsert-on-replicate, ``changesetmd.py:164-182``).
+- the extract stage is an actor pool (regex compiled once per actor);
+  batches stay Arrow end-to-end (zero-copy ``text`` passthrough).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from changesetmd_ray.stages.encode import CellEncoder
+from changesetmd_ray.stages.extract import GeoExtractor
+from changesetmd_ray.state.manifest import Manifest
+
+
+def _shard_of(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _attach_shard_id(batch: pa.Table) -> pa.Table:
+    shard = pc.replace_substring_regex(batch["path"], r"^.*/([^/]+)\.parquet$", r"\1")
+    return batch.drop_columns(["path"]).append_column("shard_id", shard)
+
+
+def run_flagship(
+    input_files: list[str],
+    out_dir: str,
+    *,
+    s2_level: int = 12,
+    hex_res: int = 9,
+    grid_zoom: int = 7,
+    batch_size: int = 2048,
+    concurrency=(1, 8),
+    wave_size: int = 256,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the flagship pipeline over ``input_files``.
+
+    Returns overall metrics: partitions processed/skipped, rows, points,
+    wall seconds, rows/sec.
+    """
+    data_dir = os.path.join(out_dir, "data")
+    manifest = Manifest(os.path.join(out_dir, "_manifest"))
+    os.makedirs(data_dir, exist_ok=True)
+
+    # An int is interpreted as an autoscaling (1, n) pool: two fixed-size
+    # pools can reserve every CPU and starve the read/write tasks into a
+    # deadlock (observed at num_cpus=4 with 2+2 actors); autoscaling lets
+    # the streaming executor keep CPUs free for the task stages.
+    if not isinstance(concurrency, tuple):
+        concurrency = (1, max(int(concurrency), 1))
+
+    by_shard = {_shard_of(p): p for p in input_files}
+    order = sorted(by_shard)
+    pending = manifest.pending(order) if resume else order
+    skipped = len(order) - len(pending)
+
+    manifest.acquire_lock()
+    t0 = time.perf_counter()
+    rows_total = 0
+    points_total = 0
+    try:
+        for w in range(0, len(pending), wave_size):
+            wave = pending[w : w + wave_size]
+            # idempotent overwrite: clear the wave's output dirs first
+            for pid in wave:
+                shutil.rmtree(os.path.join(data_dir, f"shard_id={pid}"), ignore_errors=True)
+
+            ds = ray.data.read_parquet([by_shard[p] for p in wave], include_paths=True)
+            ds = ds.map_batches(_attach_shard_id, batch_format="pyarrow")
+            ds = ds.map_batches(
+                GeoExtractor,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+            ds = ds.map_batches(
+                CellEncoder,
+                fn_constructor_kwargs={
+                    "s2_level": s2_level,
+                    "hex_res": hex_res,
+                    "grid_zoom": grid_zoom,
+                },
+                batch_format="pyarrow",
+                batch_size=max(batch_size * 4, 8192),
+                concurrency=concurrency,
+            )
+            t_wave = time.perf_counter()
+            ds.write_parquet(data_dir, partition_cols=["shard_id"])
+            wave_secs = time.perf_counter() - t_wave
+
+            # manifest metrics from a cheap pruned read-back of the wave's
+            # output (validates the write; reference tracked rows + max
+            # timestamp the same way, changesetmd.py:255-263)
+            wave_files = [
+                f
+                for pid in wave
+                for f in glob.glob(os.path.join(data_dir, f"shard_id={pid}", "*.parquet"))
+            ]
+            back = ray.data.read_parquet(
+                wave_files, columns=["n_points", "warc_ts"], include_paths=True
+            )
+
+            def per_shard(batch: pa.Table) -> pa.Table:
+                sid = pc.replace_substring_regex(batch["path"], r"^.*shard_id=([^/]+)/.*$", r"\1")
+                t = batch.set_column(batch.schema.get_field_index("path"), "shard_id", sid)
+                g = t.group_by("shard_id").aggregate(
+                    [("n_points", "sum"), ("n_points", "count"), ("warc_ts", "max")]
+                )
+                return g
+
+            partials = back.map_batches(per_shard, batch_format="pyarrow").to_pandas()
+            agg = partials.groupby("shard_id").agg(
+                points=("n_points_sum", "sum"),
+                rows=("n_points_count", "sum"),
+                watermark=("warc_ts_max", "max"),
+            )
+            for pid in wave:
+                row = agg.loc[pid] if pid in agg.index else None
+                entry = {
+                    "input": by_shard[pid],
+                    "rows": int(row["rows"]) if row is not None else 0,
+                    "points": int(row["points"]) if row is not None else 0,
+                    "watermark": str(row["watermark"]) if row is not None else None,
+                    "wave_secs": wave_secs,
+                    "stage_config": {
+                        "s2_level": s2_level,
+                        "hex_res": hex_res,
+                        "grid_zoom": grid_zoom,
+                        "batch_size": batch_size,
+                    },
+                }
+                manifest.mark_done(pid, entry)
+                rows_total += entry["rows"]
+                points_total += entry["points"]
+    finally:
+        manifest.release_lock()
+
+    secs = time.perf_counter() - t0
+    return {
+        "partitions": len(pending),
+        "skipped": skipped,
+        "rows": rows_total,
+        "points": points_total,
+        "secs": secs,
+        "rows_per_sec": rows_total / secs if secs > 0 else 0.0,
+        "out_dir": out_dir,
+    }
+
+
+def read_output(out_dir: str, columns: list[str] | None = None):
+    """Dataset over the flagship output (column-pruned)."""
+    return ray.data.read_parquet(os.path.join(out_dir, "data"), columns=columns)

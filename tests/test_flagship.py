@@ -1,0 +1,158 @@
+"""End-to-end flagship slice: read → extract → encode → write, with
+ground-truth extraction checks, the byte-identical text invariant, and
+manifest resume/idempotency (SURVEY.md §5.2, §7.3)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from changesetmd_ray import fixtures
+from changesetmd_ray.geo.envelope import normalize_bbox
+from changesetmd_ray.pipelines.flagship import read_output, run_flagship
+from changesetmd_ray.state.manifest import Manifest, ManifestLockedError
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    fixtures.write_pages_dir(str(d), n_shards=4, rows_per_shard=120, seed=7)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def flagship_out(ray_session, pages_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("flag_out"))
+    files = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir))
+    stats = run_flagship(files, out, batch_size=64, concurrency=2, wave_size=2)
+    return out, stats
+
+
+def truth_frames(pages_dir):
+    frames = {}
+    for s in range(4):
+        _, truth = fixtures.make_pages_shard(s, 120, seed=7, with_truth=True)
+        frames[f"part-{s:05d}"] = truth
+    return frames
+
+
+def test_runs_and_counts(flagship_out):
+    out, stats = flagship_out
+    assert stats["partitions"] == 4 and stats["skipped"] == 0
+    assert stats["rows"] == 480
+    df = read_output(out).to_pandas()
+    assert len(df) == 480
+    assert set(df["shard_id"].unique()) == {f"part-{s:05d}" for s in range(4)}
+
+
+def test_extracted_points_and_bbox_match_planted_truth(flagship_out, pages_dir):
+    out, _ = flagship_out
+    df = read_output(out).to_pandas()
+    for sid, truth in truth_frames(pages_dir).items():
+        # (url, warc_ts) is the unique key — urls repeat (dup edge row)
+        tdf = truth.to_pandas().set_index(["url", "warc_ts"])
+        sub = df[df["shard_id"] == sid]
+        for _, row in sub.iterrows():
+            t = tdf.loc[(row["url"], row["warc_ts"])]
+            got = {(p["lon"], p["lat"]) for p in row["points"]}
+            want = {(p["lon"], p["lat"]) for p in t["true_points"]}
+            assert got == want, row["url"]
+            if len(want) == 0:
+                assert np.isnan(row["min_lon"]) and row["n_points"] == 0
+            else:
+                lo_x, lo_y, hi_x, hi_y, _g = normalize_bbox(
+                    np.array([t["true_min_lon"]]),
+                    np.array([t["true_min_lat"]]),
+                    np.array([t["true_max_lon"]]),
+                    np.array([t["true_max_lat"]]),
+                )
+                assert row["min_lon"] == lo_x[0] and row["max_lon"] == hi_x[0]
+                assert row["min_lat"] == lo_y[0] and row["max_lat"] == hi_y[0]
+
+
+def test_text_byte_identical_per_url(flagship_out, pages_dir):
+    out, _ = flagship_out
+    # output text joined back to input must be byte-equal (north_rule
+    # invariant); key is (url, warc_ts) because urls repeat
+    out_df = read_output(out, columns=["shard_id", "url", "warc_ts", "text"]).to_pandas()
+    for s in range(4):
+        src = fixtures.make_pages_shard(s, 120, seed=7)
+        sub = out_df[out_df["shard_id"] == f"part-{s:05d}"]
+        assert len(sub) == 120
+        src_map = {
+            (u, t): x
+            for u, t, x in zip(
+                src["url"].to_pylist(), src["warc_ts"].to_pylist(), src["text"].to_pylist()
+            )
+        }
+        for _, row in sub.iterrows():
+            want = src_map[(row["url"], row["warc_ts"].to_pydatetime())]
+            assert row["text"] == want
+            assert row["text"].encode("utf-8") == want.encode("utf-8")
+
+
+def test_edge_rows(flagship_out):
+    out, _ = flagship_out
+    df = read_output(out).to_pandas()
+    s0 = df[df["shard_id"] == "part-00000"].sort_values("url")
+    # out-of-range lat was clamped to 90 (reference README.md:187-188)
+    assert (df["max_lat"].dropna() <= 90.0).all()
+    assert (df["min_lat"].dropna() >= -90.0).all()
+    # no-geo rows have null cells
+    nog = df[df["n_points"] == 0]
+    assert len(nog) > 0 and nog["s2_cell"].isna().all()
+    # geo rows have all three index columns
+    geo = df[df["n_points"] > 0]
+    assert geo["s2_cell"].notna().all() and geo["hex_cell"].notna().all()
+    _ = s0
+
+
+def test_resume_skips_done_and_repairs_missing(ray_session, pages_dir, tmp_path):
+    out = str(tmp_path / "resume_out")
+    files = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir))
+    s1 = run_flagship(files, out, batch_size=64, concurrency=2, wave_size=2)
+    assert s1["partitions"] == 4
+    before = read_output(out).to_pandas().sort_values(["shard_id", "url"]).reset_index(drop=True)
+
+    # all done → rerun is a no-op
+    s2 = run_flagship(files, out, batch_size=64, concurrency=2, wave_size=2)
+    assert s2["partitions"] == 0 and s2["skipped"] == 4
+
+    # invalidate one partition (simulate crash after partial write):
+    # delete its manifest line AND corrupt its data dir
+    m = Manifest(os.path.join(out, "_manifest"))
+    m.invalidate("part-00002")
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "data", "shard_id=part-00002"))
+    s3 = run_flagship(files, out, batch_size=64, concurrency=2, wave_size=2)
+    assert s3["partitions"] == 1 and s3["skipped"] == 3
+
+    after = read_output(out).to_pandas().sort_values(["shard_id", "url"]).reset_index(drop=True)
+    # identical output after repair — idempotent partition overwrite
+    assert before["url"].equals(after["url"])
+    assert before["text"].equals(after["text"])
+    assert np.array_equal(
+        before["s2_cell"].fillna(0).to_numpy(), after["s2_cell"].fillna(0).to_numpy()
+    )
+
+
+def test_lock_prevents_concurrent_runs(tmp_path):
+    m = Manifest(str(tmp_path / "m"))
+    m.acquire_lock()
+    m2 = Manifest(str(tmp_path / "m"))
+    with pytest.raises(ManifestLockedError):
+        m2.acquire_lock()
+    m.release_lock()
+    m2.acquire_lock()  # now fine
+    m2.release_lock()
+
+
+def test_stale_lock_is_broken(tmp_path):
+    import json
+
+    m = Manifest(str(tmp_path / "m"))
+    with open(os.path.join(str(tmp_path / "m"), "LOCK"), "w") as f:
+        json.dump({"pid": 99999999, "ts": 0}, f)  # dead pid + ancient ts
+    m.acquire_lock()  # breaks the stale lock instead of raising
+    m.release_lock()
