@@ -1,0 +1,17 @@
+"""Distributed join operators (SURVEY.md §2.4) — each one a composition
+of Ray Data primitives over the pure-numpy geo kernels:
+
+- :mod:`pip`   — J2: broadcast point-in-polygon (driver-built STRtree →
+  ``ray.put`` → actor-pool probe).
+- :mod:`bbox`  — J3: cell-partitioned bbox∩bbox join with skew-aware
+  salting and shuffle-free reference-point dedup.
+- :mod:`knn`   — J4: exact haversine kNN via broadcast probes +
+  streaming per-block partial top-k + per-probe merge.
+- :mod:`tiles` — J5: raster-tile ↔ vector assignment, tile aggregation,
+  sorted tile output.
+"""
+
+from changesetmd_ray.joins.bbox import bbox_join  # noqa: F401
+from changesetmd_ray.joins.knn import knn_join  # noqa: F401
+from changesetmd_ray.joins.pip import pip_join  # noqa: F401
+from changesetmd_ray.joins.tiles import assign_tiles, tile_counts  # noqa: F401

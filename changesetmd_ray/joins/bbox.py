@@ -1,0 +1,285 @@
+"""J3 — cell-partitioned bbox ∩ bbox join with skew-aware salting
+(SURVEY.md §2.4 J3, §4.3.2).
+
+The reference answers rectangle-predicate joins with a GiST ``&&`` index
+(reference ``queries.py:57-59``) and explicitly warns that the data
+contains continent-sized bboxes (``README.md:184-186``) — the exact skew
+that breaks a naive cell-partitioned join. Design:
+
+1. **Explode**: each side's rows flat-map to ``(cell, row)`` pairs over
+   the grid cells covering the bbox (:func:`changesetmd_ray.geo.grid.
+   cover_bbox`, exact covering, antimeridian-aware).
+2. **Skew pre-pass**: per-cell row counts for both sides are combined
+   driver-side (a cheap column-pruned pass; the combined histogram is
+   tiny — bounded by distinct touched cells). Cells whose pairwise work
+   ``L·R`` exceeds ``pair_budget`` are *salted*: the larger side is
+   hash-split into ``k`` sub-buckets, the smaller side replicated ``k``
+   ways, so no group's pairwise matrix exceeds the budget.
+3. **Partitioned exact test**: union both exploded sides, hash-group by
+   ``(cell, salt)``, and run the vectorized rectangle predicate on the
+   L×R grid inside ``map_groups``.
+4. **Shuffle-free dedup**: a pair that intersects in several cells is
+   emitted only in the *reference cell* — the grid cell containing the
+   min-corner of the two boxes' intersection (the PBSM / "report-once"
+   technique). Both sides cover that cell by construction, and the salt
+   split keeps each (l, r) combination in exactly one group, so the
+   output needs **no global distinct pass**.
+
+Output: Dataset of ``(left_id, right_id)`` pairs under the predicate
+(``intersects`` | ``coveredby`` | ``contains``, PostGIS semantics from
+:mod:`changesetmd_ray.geo.envelope`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from changesetmd_ray.geo.envelope import bbox_contains, bbox_coveredby, bbox_intersects
+from changesetmd_ray.geo.grid import _lat_to_iy, _lon_to_ix, cover_bbox, grid_dims, unpack_cell
+
+SALT_BITS = 6
+SALT_MAX = 1 << SALT_BITS  # 64
+
+BOX_COLS = ("min_lon", "min_lat", "max_lon", "max_lat")
+
+_PRED = {"intersects": bbox_intersects, "coveredby": bbox_coveredby, "contains": bbox_contains}
+
+
+def _compact(cells: np.ndarray, zoom: int) -> np.ndarray:
+    """Packed grid cell id → dense int64 ``iy * nx + ix`` (zoom is
+    constant per join, so the zoom bits are dropped from the group key
+    to leave room for the salt bits)."""
+    nx, _ = grid_dims(zoom)
+    _, ix, iy = unpack_cell(cells)
+    return iy * np.int64(nx) + ix
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix for salt assignment (stable across
+    processes, unlike Python ``hash``)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+class _Explode:
+    """Actor-pool flat-map: bbox rows → (jkey, side, rid, box) pairs.
+
+    ``jkey = compact_cell << SALT_BITS | salt``. The hot-cell plan
+    (``{compact_cell: (k, split_side)}``) is broadcast once via
+    ``ray.put`` and resolved per actor in ``__init__``.
+    """
+
+    def __init__(self, plan_ref, side: int, id_col: str, cols: tuple, zoom: int):
+        plan = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
+        self.hot_cells = plan["cells"]  # sorted int64 array
+        self.hot_k = plan["k"]
+        self.hot_split = plan["split"]  # side index that gets hash-split
+        self.side = np.int8(side)
+        self.id_col = id_col
+        self.cols = cols
+        self.zoom = zoom
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rid = batch[self.id_col].to_numpy(zero_copy_only=False)
+        box = [batch[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in self.cols]
+        ok = ~np.isnan(box[0])
+        for b in box[1:]:
+            ok &= ~np.isnan(b)
+        rid = rid[ok]
+        box = [b[ok] for b in box]
+
+        row_idx, cells = cover_bbox(box[0], box[1], box[2], box[3], self.zoom)
+        cc = _compact(cells, self.zoom)
+        rid_r = rid[row_idx]
+        box_r = [b[row_idx] for b in box]
+
+        # salt: default 0; hot cells either split (1 row, hashed salt) or
+        # replicate (k rows)
+        salt = np.zeros(len(cc), dtype=np.int64)
+        if len(self.hot_cells):
+            pos = np.searchsorted(self.hot_cells, cc)
+            pos_c = np.clip(pos, 0, len(self.hot_cells) - 1)
+            is_hot = self.hot_cells[pos_c] == cc
+            if is_hot.any():
+                k = np.ones(len(cc), dtype=np.int64)
+                k[is_hot] = self.hot_k[pos_c[is_hot]]
+                split_here = is_hot & (self.hot_split[pos_c] == int(self.side))
+                salt[split_here] = (
+                    _splitmix64(rid_r[split_here].astype(np.uint64)) % k[split_here].astype(np.uint64)
+                ).astype(np.int64)
+                # replicate the non-split side of hot cells k ways
+                rep = np.ones(len(cc), dtype=np.int64)
+                rep_mask = is_hot & ~split_here
+                rep[rep_mask] = k[rep_mask]
+                if (rep > 1).any():
+                    idx = np.repeat(np.arange(len(cc)), rep)
+                    starts = np.concatenate([[0], np.cumsum(rep)[:-1]])
+                    local = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, rep)
+                    cc, rid_r, salt = cc[idx], rid_r[idx], local
+                    box_r = [b[idx] for b in box_r]
+
+        jkey = (cc << SALT_BITS) | salt
+        return pa.table(
+            {
+                "jkey": pa.array(jkey, pa.int64()),
+                "side": pa.array(np.full(len(jkey), self.side, dtype=np.int8)),
+                "rid": pa.array(rid_r, pa.int64()),
+                "lo_x": pa.array(box_r[0]),
+                "lo_y": pa.array(box_r[1]),
+                "hi_x": pa.array(box_r[2]),
+                "hi_y": pa.array(box_r[3]),
+            }
+        )
+
+
+def _cell_counts(ds, id_col: str, cols: tuple, zoom: int) -> dict[int, int]:
+    """Per-compact-cell covering counts for one side: a column-pruned
+    pass whose per-block partials are combined driver-side (the result is
+    bounded by distinct touched cells, not by rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        box = [batch[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in cols]
+        ok = ~np.isnan(box[0])
+        for b in box[1:]:
+            ok &= ~np.isnan(b)
+        box = [b[ok] for b in box]
+        _, cells = cover_bbox(box[0], box[1], box[2], box[3], zoom)
+        u, n = np.unique(_compact(cells, zoom), return_counts=True)
+        return pa.table({"cell": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())})
+
+    parts = ds.select_columns(list(cols)).map_batches(partial, batch_format="pyarrow").take_all()
+    out: dict[int, int] = {}
+    for row in parts:
+        out[row["cell"]] = out.get(row["cell"], 0) + row["n"]
+    return out
+
+
+def _salting_plan(
+    counts_l: dict[int, int], counts_r: dict[int, int], pair_budget: int
+) -> dict:
+    cells, ks, splits = [], [], []
+    for c, nl in counts_l.items():
+        nr = counts_r.get(c, 0)
+        work = nl * nr
+        if work > pair_budget:
+            k = int(min(SALT_MAX, max(2, -(-work // pair_budget))))
+            cells.append(c)
+            ks.append(k)
+            splits.append(0 if nl >= nr else 1)
+    order = np.argsort(np.asarray(cells, dtype=np.int64)) if cells else []
+    return {
+        "cells": np.asarray(cells, dtype=np.int64)[order] if len(cells) else np.empty(0, np.int64),
+        "k": np.asarray(ks, dtype=np.int64)[order] if len(cells) else np.empty(0, np.int64),
+        "split": np.asarray(splits, dtype=np.int64)[order] if len(cells) else np.empty(0, np.int64),
+    }
+
+
+class _PairTest:
+    """Per-group exact rectangle predicate + reference-cell dedup."""
+
+    def __init__(self, predicate: str, zoom: int, left_out: str, right_out: str,
+                 chunk_rows: int = 512):
+        self.fn = _PRED[predicate]
+        self.zoom = zoom
+        self.left_out = left_out
+        self.right_out = right_out
+        self.chunk = chunk_rows
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return pa.table(
+                {self.left_out: pa.array([], pa.int64()), self.right_out: pa.array([], pa.int64())}
+            )
+        cell = int(group["jkey"][0].as_py()) >> SALT_BITS
+        rid = group["rid"].to_numpy(zero_copy_only=False)
+        cols = [group[c].to_numpy(zero_copy_only=False) for c in ("lo_x", "lo_y", "hi_x", "hi_y")]
+        L = [c[lmask] for c in cols]
+        R = [c[~lmask] for c in cols]
+        lid, rid_r = rid[lmask], rid[~lmask]
+        nx, ny = grid_dims(self.zoom)
+
+        out_l, out_r = [], []
+        for s in range(0, len(lid), self.chunk):
+            e = min(s + self.chunk, len(lid))
+            a = tuple(c[s:e, None] for c in L)
+            b = tuple(c[None, :] for c in R)
+            hit = self.fn(a, b)
+            if not hit.any():
+                continue
+            li, ri = np.nonzero(hit)
+            # reference point = min-corner of the intersection; emit the
+            # pair only in the cell that owns that point
+            ref_x = np.maximum(L[0][s:e][li], R[0][ri])
+            ref_y = np.maximum(L[1][s:e][li], R[1][ri])
+            ref_cell = _lat_to_iy(ref_y, ny) * np.int64(nx) + _lon_to_ix(ref_x, nx)
+            keep = ref_cell == cell
+            out_l.append(lid[s:e][li[keep]])
+            out_r.append(rid_r[ri[keep]])
+
+        la = np.concatenate(out_l) if out_l else np.empty(0, np.int64)
+        ra = np.concatenate(out_r) if out_r else np.empty(0, np.int64)
+        return pa.table({self.left_out: pa.array(la, pa.int64()), self.right_out: pa.array(ra, pa.int64())})
+
+
+def bbox_join(
+    left,
+    right,
+    *,
+    zoom: int = 6,
+    predicate: str = "intersects",
+    left_id: str = "id",
+    right_id: str = "id",
+    left_cols: tuple = BOX_COLS,
+    right_cols: tuple = BOX_COLS,
+    left_out: str | None = None,
+    right_out: str | None = None,
+    pair_budget: int = 4_000_000,
+    salting: bool = True,
+    concurrency=(1, 8),
+):
+    """``left`` ⋈ ``right`` on a rectangle predicate → Dataset of
+    ``(left_out, right_out)`` id pairs (defaults ``left_id``/``right_id``,
+    disambiguated when equal).
+
+    ``zoom`` picks the partition grid (2^zoom × 2^(zoom-1) cells);
+    choose it so a median bbox covers O(1–10) cells. ``pair_budget``
+    bounds any group's L×R work; cells above it are salted.
+    """
+    left_out = left_out or (left_id if left_id != right_id else f"l_{left_id}")
+    right_out = right_out or (right_id if right_id != left_id else f"r_{right_id}")
+
+    if salting:
+        cl = _cell_counts(left.select_columns([left_id, *left_cols]), left_id, left_cols, zoom)
+        cr = _cell_counts(right.select_columns([right_id, *right_cols]), right_id, right_cols, zoom)
+        plan = _salting_plan(cl, cr, pair_budget)
+    else:
+        plan = _salting_plan({}, {}, pair_budget)
+    plan_ref = ray.put(plan)
+
+    def explode(ds, side, id_col, cols):
+        return ds.select_columns([id_col, *cols]).map_batches(
+            _Explode,
+            fn_constructor_kwargs={
+                "plan_ref": plan_ref,
+                "side": side,
+                "id_col": id_col,
+                "cols": cols,
+                "zoom": zoom,
+            },
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+
+    both = explode(left, 0, left_id, left_cols).union(explode(right, 1, right_id, right_cols))
+    tester = _PairTest(predicate, zoom, left_out, right_out)
+
+    def pair_test(group: pa.Table) -> pa.Table:
+        return tester(group)
+
+    return both.groupby("jkey").map_groups(pair_test, batch_format="pyarrow")

@@ -1,0 +1,210 @@
+"""Distributed join operators vs the brute-force PostGIS-semantics
+oracle (SURVEY.md §2.4, §5.2). Every operator's output set is compared
+exactly; skew salting is forced with a tiny pair budget to exercise the
+split/replicate path."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from changesetmd_ray import oracle
+from changesetmd_ray.fixtures import make_changesets, make_polygons
+from changesetmd_ray.joins import bbox_join, knn_join, pip_join, tile_counts
+from changesetmd_ray.joins.tiles import assign_tiles, raster_vector_join
+
+
+def _box(t):
+    return tuple(
+        t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        for c in ("min_lon", "min_lat", "max_lon", "max_lat")
+    )
+
+
+@pytest.fixture(scope="module")
+def tables():
+    left = make_changesets(1200, seed=42)
+    right = make_changesets(400, seed=7)
+    lon = (
+        left["min_lon"].to_numpy(zero_copy_only=False)
+        + left["max_lon"].to_numpy(zero_copy_only=False)
+    ) / 2
+    lat = (
+        left["min_lat"].to_numpy(zero_copy_only=False)
+        + left["max_lat"].to_numpy(zero_copy_only=False)
+    ) / 2
+    pts = pa.table({"id": left["id"], "lon": pa.array(lon), "lat": pa.array(lat)})
+    return left, right, pts, lon, lat
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "coveredby", "contains"])
+def test_bbox_join_matches_oracle(tables, predicate):
+    left, right, *_ = tables
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in bbox_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            zoom=5,
+            predicate=predicate,
+            left_id="id",
+            right_id="id",
+        ).take_all()
+    }
+    exp = oracle.oracle_bbox_join(
+        left["id"].to_numpy(), _box(left), right["id"].to_numpy(), _box(right), predicate
+    )
+    assert got == exp and len(exp) > 0 or (predicate != "intersects")
+
+
+def test_bbox_join_salting_forced(tables):
+    """A pair budget far below the actual work forces hot-cell salting;
+    the result set must be identical (split/replicate + reference-point
+    dedup keeps every pair exactly once)."""
+    left, right, *_ = tables
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in bbox_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            zoom=3,  # coarse grid → big groups → salting everywhere
+            left_id="id",
+            right_id="id",
+            pair_budget=500,
+        ).take_all()
+    }
+    exp = oracle.oracle_bbox_join(
+        left["id"].to_numpy(), _box(left), right["id"].to_numpy(), _box(right)
+    )
+    assert got == exp
+
+
+def test_bbox_join_zoom_invariance(tables):
+    """The grid zoom is a physical knob, not a semantic one."""
+    left, right, *_ = tables
+    ref = None
+    for zoom in (2, 7):
+        got = frozenset(
+            (r["l_id"], r["r_id"])
+            for r in bbox_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(right),
+                zoom=zoom,
+                left_id="id",
+                right_id="id",
+            ).take_all()
+        )
+        ref = got if ref is None else ref
+        assert got == ref
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "contains"])
+def test_pip_join_matches_oracle(tables, predicate):
+    left, right, pts, lon, lat = tables
+    polys = make_polygons()
+    got = {
+        (r["id"], r["poly_id"])
+        for r in pip_join(ray.data.from_arrow(pts), polys, predicate=predicate).take_all()
+    }
+    ok = ~np.isnan(lon)
+    exp = oracle.oracle_pip(left["id"].to_numpy()[ok], lon[ok], lat[ok], polys, predicate)
+    assert got == exp and len(exp) > 0
+
+
+def test_pip_join_boundary_semantics():
+    """Points exactly on a polygon edge: intersects=yes, contains=no
+    (PostGIS parity, SURVEY.md §2.4 J2)."""
+    polys = pa.table(
+        {
+            "poly_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["ring"]),
+            "ring": pa.array(
+                [[{"lon": 0.0, "lat": 0.0}, {"lon": 10.0, "lat": 0.0},
+                  {"lon": 10.0, "lat": 10.0}, {"lon": 0.0, "lat": 10.0}]],
+                pa.list_(pa.struct([("lon", pa.float64()), ("lat", pa.float64())])),
+            ),
+            "lat_threshold": pa.array([None], pa.float64()),
+        }
+    )
+    pts = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "lon": pa.array([5.0, 0.0, 20.0]),  # interior, on-edge, outside
+            "lat": pa.array([5.0, 5.0, 5.0]),
+        }
+    )
+    inter = {(r["id"], r["poly_id"]) for r in pip_join(ray.data.from_arrow(pts), polys).take_all()}
+    cont = {
+        (r["id"], r["poly_id"])
+        for r in pip_join(ray.data.from_arrow(pts), polys, predicate="contains").take_all()
+    }
+    assert inter == {(1, 1), (2, 1)}
+    assert cont == {(1, 1)}
+
+
+def test_knn_join_matches_oracle(tables):
+    left, right, pts, lon, lat = tables
+    probes = pa.table(
+        {
+            "id": pa.array(np.arange(15, dtype=np.int64)),
+            "lon": pa.array(np.linspace(-170, 170, 15)),
+            "lat": pa.array(np.linspace(-80, 80, 15)),
+        }
+    )
+    res = knn_join(ray.data.from_arrow(pts), probes, 4, corpus_id="id").take_all()
+    got = {(r["probe_id"], r["neighbor_id"], r["rank"]) for r in res}
+    ok = ~np.isnan(lon)
+    exp = set(
+        oracle.oracle_knn(
+            probes["id"].to_numpy(), probes["lon"].to_numpy(), probes["lat"].to_numpy(),
+            left["id"].to_numpy()[ok], lon[ok], lat[ok], 4,
+        )
+    )
+    assert got == exp
+
+
+def test_tile_counts_matches_oracle(tables):
+    left, right, pts, lon, lat = tables
+    out = tile_counts(ray.data.from_arrow(pts), 4).take_all()
+    ok = ~np.isnan(lon)
+    exp = oracle.oracle_tiles(left["id"].to_numpy()[ok], lon[ok], lat[ok], 4)
+    from collections import Counter
+
+    expc = Counter(t for _, t in exp)
+    got = {r["tile_key"]: r["n_points"] for r in out}
+    assert got == dict(expc)
+    assert [r["tile_key"] for r in out] == sorted(got)  # explicit sort, O2
+
+
+def test_raster_vector_join(tables):
+    left, right, pts, lon, lat = tables
+    ok = ~np.isnan(lon)
+    exp_assign = dict(oracle.oracle_tiles(left["id"].to_numpy()[ok], lon[ok], lat[ok], 3))
+    tiles = sorted(set(exp_assign.values()))[::2]  # raster rows for half the tiles
+    raster = pa.table(
+        {
+            "tile_key": pa.array(tiles, pa.int64()),
+            "value": pa.array([float(t % 97) for t in tiles], pa.float64()),
+        }
+    )
+    out = raster_vector_join(
+        ray.data.from_arrow(pts), raster, 3, value_cols=("value",)
+    ).take_all()
+    have = {t: float(t % 97) for t in tiles}
+    for r in out:
+        if r["tile_key"] is None:
+            assert np.isnan(lon[r["id"] - 1]) or np.isnan(lat[r["id"] - 1])
+            continue
+        assert r["tile_key"] == exp_assign[r["id"]]
+        if r["tile_key"] in have:
+            assert r["value"] == have[r["tile_key"]]
+        else:
+            assert r["value"] is None
+
+
+def test_assign_tiles_null_coords():
+    pts = pa.table(
+        {"id": pa.array([1, 2], pa.int64()), "lon": pa.array([None, 3.0]), "lat": pa.array([2.0, None])}
+    )
+    out = assign_tiles(ray.data.from_arrow(pts), 5).take_all()
+    assert all(r["tile_key"] is None for r in out)
