@@ -1,0 +1,15 @@
+"""Training-data text operators (north_rule additions; no reference
+counterpart — the reference's analogue is its tags/PK machinery:
+exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
+``changesetmd.py:164-182``).
+
+- :mod:`hashing`  — stable token/shingle/minhash/simhash kernels.
+- :mod:`dedup`    — exact + MinHash-LSH + SimHash near-dup operators.
+- :mod:`analysis` — language-ID, quality scoring, token counts,
+  winnowing fingerprints.
+- :mod:`ann`      — cosine top-k similarity search (brute-force exact +
+  LSH-bucketed approximate).
+"""
+
+from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401
+from changesetmd_ray.text.ann import ann_cosine_topk  # noqa: F401

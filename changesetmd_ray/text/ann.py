@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (north_rule addition).
+
+- :func:`ann_cosine_topk` — EXACT brute-force cosine top-k: the query
+  matrix is L2-normalized once on the driver and broadcast via
+  ``ray.put``; each corpus batch does one numpy matmul and emits its
+  per-query partial top-k; a final per-query ``groupby`` merges partials
+  (same streaming shape as the geographic kNN,
+  :mod:`changesetmd_ray.joins.knn`). Corpus size unbounded; shuffle is
+  O(blocks · Q · k).
+- :func:`ann_lsh_topk` — approximate scale path: random-hyperplane LSH.
+  Corpus rows whose signature doesn't match any query's within
+  ``max_mismatch`` bits are pruned *before* the matmul; the rest rerank
+  exactly. Recall < 1 by construction — it's the candidate-pruning
+  variant for when the corpus×query matmul is too expensive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from changesetmd_ray.text.hashing import hamming64
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    if isinstance(arr, pa.FixedSizeListArray):
+        dim = arr.type.list_size
+        return flat.reshape(len(arr), dim)
+    offs = np.asarray(arr.offsets)
+    dim = int(offs[1] - offs[0]) if len(arr) else 0
+    return flat.reshape(len(arr), dim)
+
+
+class _PartialCosTopK:
+    def __init__(self, q_ref, k: int, id_col: str, emb_col: str):
+        qid, qmat = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.qid = qid
+        self.qmat = qmat  # already L2-normalized, (Q × D)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cid = batch[self.id_col].to_numpy(zero_copy_only=False)
+        emb = _norm_rows(_emb_matrix(batch, self.emb_col))
+        if len(cid) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = self.qmat @ emb.T  # (Q × C)
+        k = min(self.k, sims.shape[1])
+        if k < sims.shape[1]:
+            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        else:
+            part = np.broadcast_to(np.arange(sims.shape[1]), sims.shape).copy()
+        rows = np.repeat(np.arange(sims.shape[0]), part.shape[1])
+        cols = part.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(self.qid[rows], pa.int64()),
+                "neighbor_id": pa.array(cid[cols], pa.int64()),
+                "cosine": pa.array(sims[rows, cols], pa.float64()),
+            }
+        )
+
+
+def _merge_topk_factory(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"].to_numpy(zero_copy_only=False)
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        sim = group["cosine"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(qid[order], pa.int64()),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "cosine": pa.array(sim[order], pa.float64()),
+            }
+        )
+
+    return merge
+
+
+def ann_cosine_topk(
+    corpus,
+    queries: pa.Table,
+    k: int,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_emb: str = "embedding",
+    query_id: str = "vec_id",
+    query_emb: str = "embedding",
+    batch_size: int = 4096,
+    concurrency=(1, 8),
+):
+    """Exact cosine top-k of each query among the corpus vectors.
+    Ties broken by (cosine desc, neighbor id asc) — deterministic.
+    Returns Dataset ``(query_id, neighbor_id, rank, cosine)``."""
+    qid = queries[query_id].to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = _norm_rows(_emb_matrix(queries, query_emb))
+    q_ref = ray.put((qid, qmat))
+    partials = corpus.select_columns([corpus_id, corpus_emb]).map_batches(
+        _PartialCosTopK,
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k, "id_col": corpus_id, "emb_col": corpus_emb},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pyarrow"
+    )
+
+
+def _rh_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0  # (N × B)
+    out = np.zeros(len(mat), dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return out
+
+
+def ann_lsh_topk(
+    corpus,
+    queries: pa.Table,
+    k: int,
+    *,
+    n_bits: int = 16,
+    max_mismatch: int = 3,
+    seed: int = 7,
+    corpus_id: str = "vec_id",
+    corpus_emb: str = "embedding",
+    query_id: str = "vec_id",
+    query_emb: str = "embedding",
+    batch_size: int = 4096,
+    concurrency=(1, 8),
+):
+    """Approximate cosine top-k: random-hyperplane signatures prune
+    corpus rows > ``max_mismatch`` signature bits from every query, the
+    survivors rerank exactly. Same output schema as
+    :func:`ann_cosine_topk` (rank may differ where recall < 1)."""
+    qid = queries[query_id].to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = _norm_rows(_emb_matrix(queries, query_emb))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, qmat.shape[1]))
+    qsig = _rh_signature(qmat, planes)
+    q_ref = ray.put((qid, qmat, planes, qsig))
+
+    class Probe:
+        def __init__(self):
+            self.qid, self.qmat, self.planes, self.qsig = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cid = batch[corpus_id].to_numpy(zero_copy_only=False)
+            emb = _norm_rows(_emb_matrix(batch, corpus_emb))
+            if len(cid) == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            csig = _rh_signature(emb, planes)
+            out_q, out_n, out_s = [], [], []
+            for i in range(len(self.qid)):
+                d = hamming64(np.full(len(csig), self.qsig[i], dtype=np.uint64), csig)
+                cand = np.nonzero(d <= max_mismatch)[0]
+                if len(cand) == 0:
+                    continue
+                sims = emb[cand] @ self.qmat[i]
+                kk = min(k, len(cand))
+                top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(cand) else np.arange(len(cand))
+                out_q.append(np.full(len(top), self.qid[i], dtype=np.int64))
+                out_n.append(cid[cand[top]])
+                out_s.append(sims[top])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = corpus.select_columns([corpus_id, corpus_emb]).map_batches(
+        Probe, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pyarrow"
+    )

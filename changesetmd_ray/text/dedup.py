@@ -1,0 +1,356 @@
+"""Deduplication operators over a document Dataset.
+
+- :func:`exact_dedup` — hash-partitioned exact dedup, keep-first /
+  keep-latest. The distributed form of the reference's PK + upsert
+  invariant (reference ``queries.py:41``, ``changesetmd.py:164-182``):
+  hash-group by a 64-bit content/key hash, keep one row per group with a
+  deterministic winner rule, guard against hash collisions by comparing
+  the actual key within the group.
+- :func:`minhash_lsh_candidates` — shingle → MinHash → banded LSH →
+  bucket groupby → candidate near-dup pairs, optionally verified with
+  exact Jaccard of the two docs' shingle sets *inside the group stage*
+  (signatures travel with the rows; verification re-hashes only the
+  candidate bucket's texts, never the corpus).
+- :func:`simhash_candidates` — 64-bit SimHash; near-dup = Hamming ≤ t
+  found by the band-partition trick (split 64 bits into t+1 bands; any
+  pair within distance t agrees exactly on ≥1 band — pigeonhole).
+- :func:`duplicate_clusters` — connected components over a (small)
+  verified pair list, driver-side union-find → (doc_id, rep_id) map.
+
+Scale notes: the corpus always streams; shuffles move (key, id) or
+(band, id, signature) rows, not raw text, except the LSH verify path
+which carries text into the bucket stage — disable ``carry_text`` to
+shuffle signatures only. Candidate-pair outputs are assumed ≪ corpus
+(the usual regime); `duplicate_clusters` documents that assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from changesetmd_ray.text.hashing import (
+    band_keys,
+    char_ngram_hashes,
+    hamming64,
+    hash_bytes64,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    splitmix64,
+    token_hashes,
+    tokenize,
+)
+
+
+def _first_by(ids: np.ndarray, order_vals: np.ndarray) -> int:
+    """Index of the winner: min order value, ties by min id."""
+    return int(np.lexsort((ids, order_vals))[0])
+
+
+def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str = "first",
+                ts_col: str | None = None):
+    """One row per distinct ``key_col`` value. ``keep='first'`` keeps the
+    smallest ``id_col``; ``keep='latest'`` keeps max ``ts_col`` (ties →
+    smallest id) — the reference's last-writer-wins upsert (A5/S8).
+    Returns the surviving rows with their original schema."""
+    if keep not in ("first", "latest"):
+        raise ValueError(keep)
+    if keep == "latest" and ts_col is None:
+        raise ValueError("keep='latest' needs ts_col")
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_pylist()
+        h = np.fromiter(
+            (hash_bytes64(v.encode("utf-8") if isinstance(v, str) else (v or b"")) for v in vals),
+            np.uint64,
+            len(vals),
+        )
+        return batch.append_column("__h", pa.array(h.astype(np.int64), pa.int64()))
+
+    def keep_one(group: pa.Table) -> pa.Table:
+        # collision guard: within a hash group, split by the actual key
+        keys = group[key_col].to_pylist()
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        if keep == "latest":
+            order = -group[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        else:
+            order = ids
+        winners = []
+        seen: dict = {}
+        for i, k in enumerate(keys):
+            seen.setdefault(k, []).append(i)
+        for idxs in seen.values():
+            idxs = np.asarray(idxs)
+            winners.append(int(idxs[_first_by(ids[idxs], order[idxs])]))
+        return group.take(pa.array(sorted(winners))).drop_columns(["__h"])
+
+    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("__h").map_groups(
+        keep_one, batch_format="pyarrow"
+    )
+
+
+class _MinHashStage:
+    """Actor stage: text → (band_key, id [, signature, text]) rows.
+    MinHash permutation params are built once per actor."""
+
+    def __init__(self, n_perm: int, n_bands: int, shingle_w: int, text_col: str, id_col: str,
+                 carry_text: bool, char_ngrams: int | None = None):
+        self.a, self.b = minhash_params(n_perm)
+        self.n_bands = n_bands
+        self.w = shingle_w
+        self.text_col = text_col
+        self.id_col = id_col
+        self.carry_text = carry_text
+        self.char_ngrams = char_ngrams
+
+    def _doc_hashes(self, text: str) -> np.ndarray:
+        if self.char_ngrams:
+            return char_ngram_hashes(text, self.char_ngrams)
+        return shingle_hashes(token_hashes(tokenize(text)), self.w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        out_band = np.empty(n * self.n_bands, dtype=np.int64)
+        out_id = np.repeat(ids, self.n_bands)
+        sigs = np.empty((n, len(self.a)), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sig = minhash_signature(self._doc_hashes(t or ""), self.a, self.b)
+            sigs[i] = sig
+            out_band[i * self.n_bands : (i + 1) * self.n_bands] = band_keys(
+                sig, self.n_bands
+            ).astype(np.int64)
+        cols = {"band": pa.array(out_band), self.id_col: pa.array(out_id)}
+        sig_rep = np.repeat(sigs, self.n_bands, axis=0)
+        cols["sig"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig_rep.reshape(-1).astype(np.int64)), len(self.a)
+        )
+        if self.carry_text:
+            cols["__text"] = pa.array(np.repeat(np.asarray(texts, dtype=object), self.n_bands))
+        return pa.table(cols)
+
+
+def minhash_lsh_candidates(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_w: int = 3,
+    char_ngrams: int | None = None,
+    threshold: float | None = 0.8,
+    carry_text: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 1024,
+):
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+
+    Returns a Dataset ``(id_a, id_b, est_jaccard[, jaccard])`` with
+    ``id_a < id_b``, each pair emitted once (dedup inside the bucket
+    stage via the "first band where the pair collides" rule — a pair
+    colliding in several bands is only emitted by the lowest such band,
+    no global distinct needed). With ``threshold`` set, pairs below it
+    (signature estimate; exact Jaccard when ``carry_text``) are dropped.
+    """
+    stage = dict(
+        n_perm=n_perm, n_bands=n_bands, shingle_w=shingle_w, text_col=text_col,
+        id_col=id_col, carry_text=carry_text, char_ngrams=char_ngrams,
+    )
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        _MinHashStage,
+        fn_constructor_kwargs=stage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    n_rows_band = n_perm // n_bands
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64()),
+                 **({"jaccard": pa.array([], pa.float64())} if carry_text else {})}
+            )
+        sig = np.asarray(group["sig"].combine_chunks().flatten()).reshape(len(ids), n_perm).astype(
+            np.uint64
+        )
+        texts = group["__text"].to_pylist() if carry_text else None
+        # unique ids only (same id can appear once per band; bucket is one band)
+        ia, ib, est, jac = [], [], [], []
+        band_key = int(group["band"][0].as_py())
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if ids[x] == ids[y]:
+                    continue
+                a, b = (x, y) if ids[x] < ids[y] else (y, x)
+                # emit-once rule: only if this is the FIRST band where the
+                # two signatures collide
+                sa, sb = sig[a], sig[b]
+                first = None
+                for bi in range(n_bands):
+                    s, e = bi * n_rows_band, (bi + 1) * n_rows_band
+                    if np.array_equal(sa[s:e], sb[s:e]):
+                        kb = band_keys(sa, n_bands)[bi]
+                        first = np.int64(kb.astype(np.int64))
+                        break
+                if first is None or int(first) != band_key:
+                    continue
+                e_j = float((sa == sb).mean())
+                if carry_text:
+                    ha = (
+                        char_ngram_hashes(texts[a] or "", char_ngrams)
+                        if char_ngrams
+                        else shingle_hashes(token_hashes(tokenize(texts[a] or "")), shingle_w)
+                    )
+                    hb = (
+                        char_ngram_hashes(texts[b] or "", char_ngrams)
+                        if char_ngrams
+                        else shingle_hashes(token_hashes(tokenize(texts[b] or "")), shingle_w)
+                    )
+                    j = jaccard(ha, hb)
+                    if threshold is not None and j < threshold:
+                        continue
+                    jac.append(j)
+                elif threshold is not None and e_j < threshold:
+                    continue
+                ia.append(int(ids[a]))
+                ib.append(int(ids[b]))
+                est.append(e_j)
+        cols = {
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "est_jaccard": pa.array(est, pa.float64()),
+        }
+        if carry_text:
+            cols["jaccard"] = pa.array(jac, pa.float64())
+        return pa.table(cols)
+
+    return exploded.groupby("band").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+class _SimHashStage:
+    def __init__(self, max_hamming: int, text_col: str, id_col: str):
+        self.n_bands = max_hamming + 1
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        fps = np.fromiter(
+            (simhash64(token_hashes(tokenize(t or ""))) for t in texts), np.uint64, len(texts)
+        )
+        # split 64 bits into n_bands chunks; band key = (band_idx, chunk)
+        width = 64 // self.n_bands
+        bands = []
+        for bi in range(self.n_bands):
+            lo = np.uint64(bi * width)
+            w = np.uint64(64 - bi * width) if bi == self.n_bands - 1 else np.uint64(width)
+            chunk = (fps >> lo) & ((np.uint64(1) << w) - np.uint64(1))
+            bands.append(splitmix64(chunk ^ (np.uint64(bi) << np.uint64(58))).astype(np.int64))
+        n = len(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                self.id_col: pa.array(np.tile(ids, self.n_bands)),
+                "fp": pa.array(np.tile(fps.astype(np.int64), self.n_bands)),
+            }
+        )
+
+
+def simhash_candidates(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    concurrency=(1, 8),
+):
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+    Pigeonhole banding guarantees recall 1.0 w.r.t. the fingerprints;
+    exact Hamming check inside each bucket; emit-once via the
+    lowest-matching-band rule. Returns ``(id_a, id_b, hamming)``."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        fps = group["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band_key = int(group["band"][0].as_py())
+        ia, ib, hm = [], [], []
+        if len(ids) >= 2:
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if ids[x] == ids[y] or fps[x] is None:
+                        continue
+                    d = int(hamming64(fps[x : x + 1], fps[y : y + 1])[0])
+                    if d > max_hamming:
+                        continue
+                    # first band where the two fingerprints agree
+                    first = None
+                    for bi in range(n_bands):
+                        lo = np.uint64(bi * width)
+                        w = np.uint64(64 - bi * width) if bi == n_bands - 1 else np.uint64(width)
+                        mask = (np.uint64(1) << w) - np.uint64(1)
+                        if (fps[x] >> lo) & mask == (fps[y] >> lo) & mask:
+                            first = int(
+                                splitmix64(
+                                    np.array([((fps[x] >> lo) & mask) ^ (np.uint64(bi) << np.uint64(58))], dtype=np.uint64)
+                                ).astype(np.int64)[0]
+                            )
+                            break
+                    if first != band_key:
+                        continue
+                    a, b = (x, y) if ids[x] < ids[y] else (y, x)
+                    ia.append(int(ids[a]))
+                    ib.append(int(ids[b]))
+                    hm.append(d)
+        return pa.table(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+             "hamming": pa.array(hm, pa.int64())}
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        _SimHashStage,
+        fn_constructor_kwargs={"max_hamming": max_hamming, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return exploded.groupby("band").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+def duplicate_clusters(pairs: pa.Table, *, id_a: str = "id_a", id_b: str = "id_b") -> pa.Table:
+    """Union-find over a verified near-dup pair list → ``(doc_id,
+    rep_id)`` with rep = min id of the component. Driver-side: assumes
+    the pair list is small relative to the corpus (the standard LSH
+    regime); for pathological pair counts run iterative label
+    propagation over Ray instead."""
+    a = pairs[id_a].to_numpy(zero_copy_only=False)
+    b = pairs[id_b].to_numpy(zero_copy_only=False)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    ids = sorted(parent)
+    reps = [find(i) for i in ids]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "rep_id": pa.array(reps, pa.int64())})

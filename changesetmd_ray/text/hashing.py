@@ -1,0 +1,149 @@
+"""Stable, vectorized text-hashing kernels (no Ray).
+
+Everything is deterministic across processes and machines (no Python
+``hash``): token hashes are ``crc32`` (zlib, C speed) spread to 64 bits
+with splitmix64; shingles combine consecutive token hashes with
+rotate-xor; MinHash permutations are the classic ``(a·x + b) mod p``
+universal family on a 61-bit Mersenne prime.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish segmentation (GPT-2-style classes, stdlib-re approximation):
+# contractions, letter runs, digit runs, other-symbol runs
+BPE_RE = re.compile(r"'(?:s|d|m|t|ll|ve|re)\b|[^\W\d_]+|\d+|[^\w\s]+", re.UNICODE)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        z = np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hash_bytes64(data: bytes) -> int:
+    """Stable 64-bit hash of a byte string (two salted crc32 halves)."""
+    lo = zlib.crc32(data)
+    hi = zlib.crc32(data, 0x9E3779B9)
+    return int(splitmix64(np.uint64((hi << 32) | lo))[()])
+
+
+def tokenize(text: str) -> list[str]:
+    return TOKEN_RE.findall(text.lower())
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token (crc32 → splitmix spread)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in tokens), np.uint64, len(tokens))
+    return splitmix64(raw)
+
+
+def shingle_hashes(tok_h: np.ndarray, w: int = 3) -> np.ndarray:
+    """uint64 hash per w-token shingle (rotate-xor combine, then mix).
+    Docs shorter than ``w`` tokens hash their full token sequence as the
+    single shingle (so short docs still dedup)."""
+    n = len(tok_h)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < w:
+        acc = np.uint64(0)
+        for i, h in enumerate(tok_h):
+            acc ^= np.uint64(h) << np.uint64((i * 7) % 57)
+        return splitmix64(np.array([acc], dtype=np.uint64))
+    acc = tok_h[: n - w + 1].copy()
+    for j in range(1, w):
+        part = tok_h[j : n - w + 1 + j]
+        shift = np.uint64((j * 7) % 57)
+        acc = acc ^ ((part << shift) | (part >> (np.uint64(64) - shift)))
+    return splitmix64(acc)
+
+
+def char_ngram_hashes(text: str, n: int = 5) -> np.ndarray:
+    """uint64 hash per char n-gram of the lowercased text (for n-gram
+    Jaccard). Short texts yield a single whole-text gram."""
+    b = text.lower().encode("utf-8")
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(b) <= n:
+        return splitmix64(np.array([zlib.crc32(b)], dtype=np.uint64))
+    raw = np.fromiter(
+        (zlib.crc32(b[i : i + n]) for i in range(len(b) - n + 1)), np.uint64, len(b) - n + 1
+    )
+    return splitmix64(raw)
+
+
+def minhash_params(n_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), n_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), n_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (len = n_perm). Empty input → all-max sentinel.
+
+    ``(a·x + b) mod (2^61−1)`` computed in uint64: the product is taken
+    mod 2^64 which is NOT the Mersenne mod — but it is a fixed
+    deterministic universal-ish mix applied identically to both docs, so
+    collision statistics (what MinHash needs) are preserved; this is the
+    standard fast-path trade-off.
+    """
+    n_perm = len(a)
+    if len(hashes) == 0:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.unique(hashes)  # set semantics
+    with np.errstate(over="ignore"):
+        v = (x[None, :] * a[:, None] + b[:, None]) & _MERSENNE
+    return v.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, n_bands: int) -> np.ndarray:
+    """LSH band hash per band: uint64 key mixing the band index in, so
+    the same values in different bands never collide."""
+    r = len(sig) // n_bands
+    bands = sig[: n_bands * r].reshape(n_bands, r)
+    acc = np.zeros(n_bands, dtype=np.uint64)
+    for j in range(r):
+        acc = splitmix64(acc ^ bands[:, j])
+    return splitmix64(acc ^ (np.arange(n_bands, dtype=np.uint64) << np.uint64(56)))
+
+
+def simhash64(tok_h: np.ndarray) -> int:
+    """64-bit SimHash over token hashes (unweighted)."""
+    if len(tok_h) == 0:
+        return 0
+    bits = ((tok_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    score = bits.sum(axis=0) * 2 - len(tok_h)
+    fp = np.bitwise_or.reduce(
+        (score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    )
+    return int(fp)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between uint64 arrays (popcount via
+    byte unpack — vectorized, no Python bit loop)."""
+    x = np.bitwise_xor(np.atleast_1d(a).astype(np.uint64), np.atleast_1d(b).astype(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two uint64 hash sets."""
+    ua, ub = np.unique(a), np.unique(b)
+    if len(ua) == 0 and len(ub) == 0:
+        return 1.0
+    inter = len(np.intersect1d(ua, ub, assume_unique=True))
+    return inter / (len(ua) + len(ub) - inter)

@@ -1,0 +1,259 @@
+"""Training-data text operators: dedup / analysis / ANN vs brute-force
+expectations (SURVEY.md §5.2 oracle-diff style)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from changesetmd_ray.stages.multimodal import decode_media
+from changesetmd_ray.text.analysis import Fingerprint, LangId, TokenCount, quality_features
+from changesetmd_ray.text.ann import ann_cosine_topk, ann_lsh_topk
+from changesetmd_ray.text.dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+from changesetmd_ray.text.hashing import (
+    char_ngram_hashes,
+    jaccard,
+    shingle_hashes,
+    token_hashes,
+    tokenize,
+)
+
+
+def _docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running through the green field "
+        "until the evening sun goes down behind the distant hills"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("green", "wide")),  # near dup
+        (4, "completely different content about ray data pipelines and arrow tables"),
+        (5, "another unrelated document mentioning tiles, joins and shuffles in passing"),
+        (6, base.replace("quick", "fast").replace("lazy", "sleepy")),  # near dup
+        (7, ""),
+        (8, "short text"),
+        (9, "short text"),  # exact dup of 8
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_exact_dedup_keep_first():
+    docs = _docs()
+    out = exact_dedup(ray.data.from_arrow(docs), key_col="text", id_col="doc_id").take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [1, 3, 4, 5, 6, 7, 8]  # 2 and 9 are dups of 1 and 8
+
+
+def test_exact_dedup_keep_latest():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a", "a", "b"]),
+            "ts": pa.array(
+                np.array(["2020-01-01", "2021-01-01", "2020-01-01"], dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = exact_dedup(
+        ray.data.from_arrow(t), key_col="text", id_col="doc_id", keep="latest", ts_col="ts"
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [2, 3]
+
+
+def _brute_pairs(docs, threshold, char_ngrams=None, w=3):
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    hs = [
+        char_ngram_hashes(t or "", char_ngrams)
+        if char_ngrams
+        else shingle_hashes(token_hashes(tokenize(t or "")), w)
+        for t in texts
+    ]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(hs[i], hs[j]) >= threshold:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_minhash_lsh_finds_near_dups():
+    docs = _docs()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            ray.data.from_arrow(docs), threshold=0.5, carry_text=True
+        ).take_all()
+    }
+    exp = _brute_pairs(docs, 0.5)
+    # carry_text verification ⇒ no false positives; LSH may miss borderline
+    # pairs but must find all the planted strong dups
+    assert got <= exp
+    assert {(1, 2), (8, 9)} <= got
+    assert any(p in got for p in [(1, 3), (2, 3), (1, 6), (2, 6)])
+
+
+def test_minhash_pair_emitted_once():
+    docs = _docs()
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            ray.data.from_arrow(docs), threshold=0.3, carry_text=True
+        ).take_all()
+    ]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_simhash_candidates():
+    docs = _docs()
+    res = simhash_candidates(ray.data.from_arrow(docs), max_hamming=8).take_all()
+    pairs = [(r["id_a"], r["id_b"]) for r in res]
+    assert len(pairs) == len(set(pairs))  # emit-once
+    assert (1, 2) in pairs and (8, 9) in pairs  # identical docs: hamming 0
+    for r in res:
+        assert 0 <= r["hamming"] <= 8
+
+
+def test_duplicate_clusters_union_find():
+    pairs = pa.table(
+        {"id_a": pa.array([1, 2, 8], pa.int64()), "id_b": pa.array([2, 3, 9], pa.int64())}
+    )
+    m = {r["doc_id"]: r["rep_id"] for r in duplicate_clusters(pairs).to_pylist()}
+    assert m == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_quality_features_and_tokens():
+    docs = _docs()
+    out = (
+        ray.data.from_arrow(docs)
+        .map_batches(quality_features, batch_format="pyarrow")
+        .map_batches(TokenCount, batch_format="pyarrow", concurrency=(1, 2))
+        .take_all()
+    )
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[7]["n_chars"] == 0 and by_id[7]["n_tokens_ws"] == 0
+    assert by_id[8]["n_tokens_ws"] == 2
+    t1 = docs["text"][0].as_py()
+    assert by_id[1]["n_chars"] == len(t1)
+    assert by_id[1]["n_tokens_ws"] == len(t1.split())
+    assert by_id[1]["quality_ok"] is True
+    assert by_id[7]["quality_ok"] is False
+    assert by_id[1]["n_tokens_bpe"] >= by_id[1]["n_tokens_ws"]
+
+
+def test_langid():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat is in the house and it is warm",
+                    "der Hund ist nicht mit der Katze und das ist gut",
+                    "",
+                ]
+            ),
+        }
+    )
+    out = ray.data.from_arrow(t).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2)).take_all()
+    by_id = {r["doc_id"]: r["lang_pred"] for r in out}
+    assert by_id[1] == "en" and by_id[2] == "de" and by_id[3] == "und"
+
+
+def test_fingerprint_whitespace_invariant():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["Hello   world,\nthis is FINE", "hello world, this is fine", "different doc"]
+            ),
+        }
+    )
+    out = ray.data.from_arrow(t).map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 2)).take_all()
+    fp = {r["doc_id"]: r["fingerprint"] for r in out}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def _vectors(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, row)) for row in m], pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def test_ann_cosine_topk_exact():
+    tbl, m = _vectors()
+    queries = tbl.slice(0, 5)
+    got = ann_cosine_topk(ray.data.from_arrow(tbl), queries, 4).take_all()
+    mn = (m.astype(np.float32).astype(np.float64))
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    for q in range(5):
+        sims = mn @ mn[q]
+        exp = np.lexsort((np.arange(len(sims)), -sims))[:4]
+        rows = sorted((r for r in got if r["query_id"] == q), key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rows] == list(exp)
+        assert rows[0]["neighbor_id"] == q  # self is nearest
+
+
+def test_ann_lsh_subset_of_exact_candidates():
+    tbl, m = _vectors()
+    queries = tbl.slice(0, 3)
+    got = ann_lsh_topk(ray.data.from_arrow(tbl), queries, 4, max_mismatch=6).take_all()
+    assert len(got) > 0
+    for r in got:
+        assert -1.0001 <= r["cosine"] <= 1.0001
+    # self signature always matches itself → self found at rank 1
+    r1 = [r for r in got if r["query_id"] == r["neighbor_id"]]
+    assert all(r["rank"] == 1 for r in r1) and len(r1) == 3
+
+
+def test_media_decode_stub():
+    media = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media_type": pa.array(["image", "audio"]),
+            "payload": pa.array([b"\x89PNGfakebytes", b"RIFFfakeaudio"], pa.binary()),
+            "meta_width": pa.array([4, None], pa.int32()),
+            "meta_height": pa.array([3, None], pa.int32()),
+        }
+    )
+    out = decode_media(ray.data.from_arrow(media), feat_dim=8).take_all()
+    assert len(out) == 2
+    for r in out:
+        assert len(r["feature"]) == 8
+        assert r["payload_bytes"] > 0
+        assert "payload" not in r
+    # determinism
+    out2 = decode_media(ray.data.from_arrow(media), feat_dim=8).take_all()
+    f1 = {r["media_id"]: list(r["feature"]) for r in out}
+    f2 = {r["media_id"]: list(r["feature"]) for r in out2}
+    assert f1 == f2
+
+
+def test_media_decode_strict_raises():
+    media = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([b"x"], pa.binary()),
+            "meta_width": pa.array([1], pa.int32()),
+            "meta_height": pa.array([1], pa.int32()),
+        }
+    )
+    with pytest.raises(Exception):
+        decode_media(ray.data.from_arrow(media), codec="strict").take_all()
