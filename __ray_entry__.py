@@ -1,44 +1,50 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (input_hint pages → geo extract →
+cell encode → resumable partitioned parquet) on sf0.001; ``queries()``
+exposes every implemented operator from SURVEY.md §2 (plus the
+training-data additions) as ``sf_dir → result`` callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names; see
+``changesetmd_ray/pipelines/queries.py`` for the float-parity rules).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive input_hint
+    pages, run the resumable extract+encode pipeline (manifest +
+    partitioned parquet under /tmp), return the output Dataset."""
+    from changesetmd_ray.pipelines.flagship import read_output, run_flagship
+    from changesetmd_ray.pipelines.queries import pages_from_docs
+
+    pages = pages_from_docs("/root/testdata/sf0.001", "/tmp/changesetmd_pages_sf0.001")
+    out_dir = "/tmp/changesetmd_entry_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_flagship(pages, out_dir, concurrency=(1, 4))
+    return read_output(out_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from changesetmd_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per SQL-expressible query (keys missing
+    here are rows-only checks: own-spec cell ids, MinHash/SimHash LSH,
+    heuristic language-ID, Python-regex tokenization, approximate ANN,
+    and the html-extraction pipeline)."""
+    from changesetmd_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,221 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the north_rule headline (spatial join + tile
+assignment over derived points, the BASELINE.md metric) twice in FRESH
+processes — ``num_cpus=8`` then ``num_cpus=32`` — on the same input and
+reports both throughputs plus efficiency = (r32/r8)/(32/8).
+
+Only this script owns the Ray session (ray.init/shutdown); the library
+and ``__ray_entry__`` never init Ray themselves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Benchmarked subset of the query registry: the heavy / representative
+# pipelines (full registry correctness is tools/check_correctness.py's
+# job, not bench's).
+BENCH_QUERIES = [
+    "tpch_q1",
+    "orders_per_segment",
+    "latest_event_per_user",
+    "geo_pip",
+    "geo_bbox_join",
+    "geo_knn",
+    "geo_tile_counts",
+    "geo_raster_lookup",
+    "docs_exact_dedup",
+    "docs_minhash_neardup",
+    "ann_cosine",
+    "pages_pipeline",
+]
+
+
+def _consume(res) -> int:
+    """Force full execution; return row count."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:
+    """North_rule headline: derive ``n_points`` web-page-style points
+    (same integer-arithmetic derivation as the query registry), run the
+    broadcast point-in-polygon join against the supplier rectangles AND
+    the zoom-8 tile assignment+counts, both streaming. Throughput =
+    points processed / wall seconds (each point goes through both ops).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from changesetmd_ray.joins.pip import pip_join
+    from changesetmd_ray.joins.tiles import tile_counts
+    from changesetmd_ray.pipelines.queries import (
+        _rects_as_polygons,
+        _supplier_rect_table,
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        k = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = ((k * 7919) % 360000) / 1000.0 - 180.0
+        lat = ((k * 104729) % 170000) / 1000.0 - 85.0
+        return pa.table({"pid": pa.array(k), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    blocks = max(num_cpus * 4, 8)
+    polys = _rects_as_polygons(_supplier_rect_table(sf_dir), "s_suppkey")
+
+    t0 = time.perf_counter()
+    pts = ray.data.range(n_points, override_num_blocks=blocks).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    n_pairs = pip_join(pts, polys, id_col="pid", concurrency=(1, num_cpus)).count()
+    pts2 = ray.data.range(n_points, override_num_blocks=blocks).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    n_tiles = tile_counts(pts2, 8).count()
+    secs = time.perf_counter() - t0
+    return {
+        "n_points": n_points,
+        "pip_pairs": n_pairs,
+        "tiles": n_tiles,
+        "secs": secs,
+        "points_per_sec": n_points / secs if secs > 0 else 0.0,
+    }
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from changesetmd_ray.pipelines.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        rows[name] = _consume(QUERIES[name](sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    hl = headline(sf_dir, n_points=2_000_000, num_cpus=num_cpus)
+    timings["headline_pip_tiles"] = round(hl["secs"], 3)
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "headline_points_per_sec": round(hl["points_per_sec"], 1),
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+
+
+def _child_headline(sf_dir: str, num_cpus: int, n_points: int) -> None:
+    """Entry for one fresh-process scaling run; prints its own JSON."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        out = headline(sf_dir, n_points=n_points, num_cpus=num_cpus)
+        out["num_cpus"] = num_cpus
+        print("SCALING_RESULT " + json.dumps(out))
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, n_points: int, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)  # force a fresh local session per process
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child",
+             "--sf-dir", sf_dir, "--num-cpus", str(n), "--n-points", str(n_points)],
+            capture_output=True, text=True, env=env, cwd=HERE,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("SCALING_RESULT ")), None
+        )
+        if line is None:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise RuntimeError(f"scaling child (num_cpus={n}) produced no result")
+        results[n] = json.loads(line[len("SCALING_RESULT "):])
+    r_lo = results[cpus_lo]["points_per_sec"]
+    r_hi = results[cpus_hi]["points_per_sec"]
+    eff = (r_hi / r_lo) / (cpus_hi / cpus_lo) if r_lo > 0 else 0.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"headline_cpus{cpus_lo}": round(results[cpus_lo]["secs"], 3),
+            f"headline_cpus{cpus_hi}": round(results[cpus_hi]["secs"], 3),
+        },
+        "throughput_points_per_sec": {
+            str(cpus_lo): round(r_lo, 1),
+            str(cpus_hi): round(r_hi, 1),
+        },
+        "n_points": n_points,
+        "sf": sf_dir,
+        "num_cpus": cpus_hi,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--n-points", type=int, default=8_000_000,
+                    help="points for the scaling headline")
+    ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args._child:
+        _child_headline(args.sf_dir, args.num_cpus, args.n_points)
+        return
+
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir, args.n_points)))
+        return
+
+    import ray
+
+    try:
+        print(json.dumps(run_bench(args.sf_dir, args.num_cpus)))
+    finally:
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

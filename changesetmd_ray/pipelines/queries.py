@@ -1,0 +1,1019 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(Ray pipeline, ANSI-SQL oracle) pair over the driver testdata tables
+(``TESTDATA.md``: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Geo parity trick: the testdata has no native coordinates, so geo queries
+derive lon/lat/bboxes **deterministically from integer key columns**
+with pure integer arithmetic + one float division — numpy and DuckDB
+produce bit-identical doubles, so join/tile outputs match exactly. The
+SQL fragments below mirror the numpy expressions operation-for-operation.
+
+Float-aggregate parity: lossy ops (ROUND) are applied per-row on
+identical doubles; aggregates sum grid-aligned values whose float error
+(≤1e-7) is far below the grid (0.01), so a final ROUND recovers the
+exact decimal on both sides regardless of summation order. Averages are
+avoided (sum+count returned instead). Outputs prefer integer columns
+(ids, ranks, counts) — floats only where exact (stored values or
+per-row derived doubles).
+
+Ray implementations use the engine's own operators (pip_join, bbox_join,
+knn_join, tile ops, exact_dedup, quality_features, ann_cosine_topk…) —
+the oracle never executes any Ray-side code path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from changesetmd_ray.geo.envelope import EARTH_RADIUS_M, bbox_area_sq_m
+from changesetmd_ray.joins.bbox import bbox_join
+from changesetmd_ray.joins.knn import knn_join
+from changesetmd_ray.joins.pip import pip_join
+from changesetmd_ray.joins.tiles import raster_vector_join, tile_counts
+from changesetmd_ray.geo.grid import unpack_cell
+from changesetmd_ray.text.analysis import Fingerprint, LangId, TokenCount, quality_features
+from changesetmd_ray.text.ann import ann_cosine_topk, ann_lsh_topk
+from changesetmd_ray.text.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+
+# ------------------------------------------------------------------ io
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ------------------------------------------- derived geometry (parity)
+# numpy and SQL MUST stay operation-for-operation identical; see module
+# docstring. All key columns are int64.
+
+def _pt_sql(tbl: str, key: str) -> str:
+    return (
+        f"(select {key}, (({key}*7919)%360000)/1000.0 - 180.0 as lon, "
+        f"(({key}*104729)%170000)/1000.0 - 85.0 as lat from {tbl})"
+    )
+
+
+def _add_point_cols(batch: pa.Table, key: str) -> pa.Table:
+    k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    lon = ((k * 7919) % 360000) / 1000.0 - 180.0
+    lat = ((k * 104729) % 170000) / 1000.0 - 85.0
+    return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+
+_BOX_PARAMS = {
+    # key: (lon_mod, lat_mod, w_base, w_mod, h_base, h_mod)  [milli-degrees]
+    "orders": (350000, 160000, 100, 40, 100, 30),
+    "part": (350000, 160000, 500, 50, 500, 35),
+    "supplier": (300000, 150000, 10000, 7, 8000, 5),
+}
+_BOX_STEP = {"orders": 100, "part": 100, "supplier": 3000}
+
+
+def _box_sql(tbl: str, key: str) -> str:
+    lon_mod, lat_mod, w_base, w_mod, h_base, h_mod = _BOX_PARAMS[tbl]
+    step = _BOX_STEP[tbl]
+    return (
+        f"(select {key}, "
+        f"(({key}*7919)%{lon_mod})/1000.0 - {lon_mod//2000}.0 as min_lon, "
+        f"(({key}*104729)%{lat_mod})/1000.0 - {lat_mod//2000}.0 as min_lat, "
+        f"(({key}*7919)%{lon_mod})/1000.0 - {lon_mod//2000}.0 + ({w_base} + ({key}%{w_mod})*{step})/1000.0 as max_lon, "
+        f"(({key}*104729)%{lat_mod})/1000.0 - {lat_mod//2000}.0 + ({h_base} + ({key}%{h_mod})*{step})/1000.0 as max_lat "
+        f"from {tbl})"
+    )
+
+
+def _box_arrays(k: np.ndarray, tbl: str):
+    lon_mod, lat_mod, w_base, w_mod, h_base, h_mod = _BOX_PARAMS[tbl]
+    step = _BOX_STEP[tbl]
+    k = k.astype(np.int64)
+    min_lon = ((k * 7919) % lon_mod) / 1000.0 - (lon_mod // 2000)
+    min_lat = ((k * 104729) % lat_mod) / 1000.0 - (lat_mod // 2000)
+    max_lon = min_lon + (w_base + (k % w_mod) * step) / 1000.0
+    max_lat = min_lat + (h_base + (k % h_mod) * step) / 1000.0
+    return min_lon, min_lat, max_lon, max_lat
+
+
+def _add_box_cols(batch: pa.Table, key: str, tbl: str) -> pa.Table:
+    k = batch[key].to_numpy(zero_copy_only=False)
+    lo_x, lo_y, hi_x, hi_y = _box_arrays(k, tbl)
+    return (
+        batch.append_column("min_lon", pa.array(lo_x))
+        .append_column("min_lat", pa.array(lo_y))
+        .append_column("max_lon", pa.array(hi_x))
+        .append_column("max_lat", pa.array(hi_y))
+    )
+
+
+def _events_points(sf_dir: str):
+    return _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda b: _add_point_cols(b, "event_id"), batch_format="pyarrow"
+    )
+
+
+def _supplier_rect_table(sf_dir: str) -> pa.Table:
+    sup = _read_small(sf_dir, "supplier", ["s_suppkey"])
+    k = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    lo_x, lo_y, hi_x, hi_y = _box_arrays(k, "supplier")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(k.astype(np.int64)),
+            "min_lon": pa.array(lo_x),
+            "min_lat": pa.array(lo_y),
+            "max_lon": pa.array(hi_x),
+            "max_lat": pa.array(hi_y),
+        }
+    )
+
+
+def _rects_as_polygons(rects: pa.Table, id_col: str) -> pa.Table:
+    """Rectangles → the PIP polygon fixture schema (counter-clockwise
+    rings) so the pip_join path runs its real ring machinery."""
+    rows = []
+    for r in rects.to_pylist():
+        rows.append(
+            {
+                "poly_id": int(r[id_col]),
+                "kind": "ring",
+                "ring": [
+                    {"lon": r["min_lon"], "lat": r["min_lat"]},
+                    {"lon": r["max_lon"], "lat": r["min_lat"]},
+                    {"lon": r["max_lon"], "lat": r["max_lat"]},
+                    {"lon": r["min_lon"], "lat": r["max_lat"]},
+                ],
+                "lat_threshold": None,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+_HAVERSINE_SQL = (
+    "2*{R}*asin(least(sqrt("
+    "pow(sin((radians({lat2})-radians({lat1}))/2),2) + "
+    "cos(radians({lat1}))*cos(radians({lat2}))*"
+    "pow(sin((radians({lon2})-radians({lon1}))/2),2)),1.0))"
+)
+
+# ----------------------------------------------------------- relational
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 shape (A4 grouped aggregation with per-batch partial
+    combine): per (returnflag, linestatus) sums + count. All inputs sit
+    on exact 0.01 grids, so sums run in integer cents (order-independent,
+    bit-exact vs any SQL engine); the final /100.0 divides identical
+    integers into identical doubles on both sides."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00", "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us")))
+        t = batch.filter(keep)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        d100 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        g = (
+            t.select(["l_returnflag", "l_linestatus"])
+            .append_column("qty", pa.array(qty))
+            .append_column("cents", pa.array(cents))
+            .append_column("disc4", pa.array(cents * (100 - d100)))
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("cents", "sum"), ("disc4", "sum"), ("qty", "count")])
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": group["l_returnflag"].slice(0, 1),
+                "l_linestatus": group["l_linestatus"].slice(0, 1),
+                "sum_qty": pa.array([pc.sum(group["qty_sum"]).as_py()], pa.int64()),
+                "sum_base_price": pa.array(
+                    [pc.sum(group["cents_sum"]).as_py() / 100.0], pa.float64()
+                ),
+                "sum_disc_price": pa.array(
+                    [pc.sum(group["disc4_sum"]).as_py() / 10000.0], pa.float64()
+                ),
+                "count_order": pa.array([pc.sum(group["qty_count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+_SQL_TPCH_Q1 = """
+select l_returnflag, l_linestatus,
+       sum(cast(l_quantity as bigint)) as sum_qty,
+       sum(cast(round(l_extendedprice*100) as bigint)) / 100.0 as sum_base_price,
+       sum(cast(round(l_extendedprice*100) as bigint)
+           * (100 - cast(round(l_discount*100) as bigint))) / 10000.0 as sum_disc_price,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """M1/M4: vectorized filter + projection with column pruning at the
+    read (only 3 columns leave storage)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    return ds.filter(expr="l_quantity >= 45")
+
+
+_SQL_FILTER_PROJECT = (
+    "select l_orderkey, l_partkey, l_quantity from lineitem where l_quantity >= 45"
+)
+
+
+def q_topk_orders(sf_dir: str):
+    """O2 top-k: explicit sort (range-partition shuffle) + limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+_SQL_TOPK_ORDERS = (
+    "select o_orderkey, o_totalprice from orders "
+    "order by o_totalprice desc, o_orderkey asc limit 10"
+)
+
+
+def q_orders_per_segment(sf_dir: str):
+    """J1 parent↔child via broadcast: the small customer table ships
+    once via ray.put; orders stream and aggregate per segment."""
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    segs = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    order_k = np.argsort(keys)
+    lookup_ref = ray.put((keys[order_k], segs[order_k]))
+
+    class AttachSegment:
+        def __init__(self):
+            self.keys, self.segs = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.keys, ck)
+            seg = self.segs[np.clip(pos, 0, len(self.keys) - 1)]
+            price = pc.round(batch["o_totalprice"], ndigits=2)
+            t = pa.table({"c_mktsegment": pa.array(list(seg), pa.string()), "price": price})
+            return t.group_by("c_mktsegment").aggregate([("price", "sum"), ("price", "count")])
+
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        AttachSegment, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": group["c_mktsegment"].slice(0, 1),
+                "sum_price": pa.array([round(pc.sum(group["price_sum"]).as_py(), 2)], pa.float64()),
+                "n_orders": pa.array([pc.sum(group["price_count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return partials.groupby("c_mktsegment").map_groups(final, batch_format="pyarrow")
+
+
+_SQL_ORDERS_PER_SEGMENT = """
+select c_mktsegment,
+       round(sum(round(o_totalprice, 2)), 2) as sum_price,
+       count(*) as n_orders
+from orders join customer on o_custkey = c_custkey
+group by c_mktsegment
+"""
+
+
+def q_semi_join_customers(sf_dir: str):
+    """J6 semi-join: distinct customer keys having an open ('O') order —
+    a per-batch distinct + one small groupby (no raw-row shuffle)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'O'"
+    )
+
+    def distinct_batch(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"c_custkey": pa.array(u, pa.int64())})
+
+    def one(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        ds.map_batches(distinct_batch, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .map_groups(one, batch_format="pyarrow")
+    )
+
+
+_SQL_SEMI_JOIN = "select distinct o_custkey as c_custkey from orders where o_orderstatus = 'O'"
+
+
+def q_anti_join_customers(sf_dir: str):
+    """J6 anti-join: customers with no 'F' order. The key set of the
+    filtered side is collected once (bounded by #customers) and
+    broadcast; the customer side streams through a vectorized is_in."""
+    f_keys = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'F'")
+        .map_batches(
+            lambda b: pa.table({"k": pa.array(np.unique(b["o_custkey"].to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    have = np.unique(np.array([r["k"] for r in f_keys], dtype=np.int64))
+    have_ref = ray.put(have)
+
+    class AntiFilter:
+        def __init__(self):
+            self.have = ray.get(have_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(self.have, ck), 0, max(len(self.have) - 1, 0))
+            hit = (len(self.have) > 0) & (self.have[pos] == ck)
+            return batch.filter(pa.array(~hit))
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        AntiFilter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+_SQL_ANTI_JOIN = (
+    "select c_custkey from customer where not exists "
+    "(select 1 from orders where o_custkey = c_custkey and o_orderstatus = 'F')"
+)
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """A5/S8 keep-latest dedup (the reference's last-writer-wins upsert,
+    changesetmd.py:164-182): per-batch partial keep-latest, then a small
+    per-user final merge."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, -ts, uid))
+        u = uid[order]
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        sel = order[first]
+        return pa.table(
+            {"user_id": pa.array(uid[sel]), "event_id": pa.array(eid[sel]),
+             "ts": batch["ts"].take(pa.array(sel))}
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((-eid, -ts))[0])
+        return pa.table(
+            {
+                "user_id": group["user_id"].slice(i, 1),
+                "event_id": group["event_id"].slice(i, 1),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+_SQL_LATEST_EVENT = """
+select user_id, event_id from (
+  select user_id, event_id,
+         row_number() over (partition by user_id order by ts desc, event_id desc) rn
+  from events) where rn = 1
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    """A1/A4 count per predicate group with partial combine."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("event_type").aggregate([("event_type", "count")])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": group["event_type"].slice(0, 1),
+                "n": pa.array([pc.sum(group["event_type_count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+_SQL_EVENTS_BY_TYPE = "select event_type, count(*) as n from events group by event_type"
+
+
+def q_events_watermark(sf_dir: str):
+    """A3 watermark: global max timestamp + row count (per-partition
+    partial max, driver-side final — what the manifest records)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"max_ts": pa.array([pc.max(batch["ts"]).as_py()], pa.timestamp("us")),
+             "n": pa.array([len(batch)], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "max_ts": pa.array([max(r["max_ts"] for r in parts)], pa.timestamp("us")),
+            "n_events": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+        }
+    )
+
+
+_SQL_EVENTS_WATERMARK = "select max(ts) as max_ts, count(*) as n_events from events"
+
+
+def q_union_dedup(sf_dir: str):
+    """O4 idempotency: union the events table with itself, exact-dedup by
+    event_id (keep first), count per type — re-applying a partition twice
+    yields the original counts (reference README.md:101-104)."""
+    a = _read(sf_dir, "events", ["event_id", "event_type"])
+    b = _read(sf_dir, "events", ["event_id", "event_type"])
+    deduped = exact_dedup(a.union(b), key_col="event_id", id_col="event_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("event_type").aggregate([("event_type", "count")])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": group["event_type"].slice(0, 1),
+                "n": pa.array([pc.sum(group["event_type_count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return deduped.map_batches(partial, batch_format="pyarrow").groupby("event_type").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+_SQL_UNION_DEDUP = _SQL_EVENTS_BY_TYPE  # dedup of the doubled input = original
+
+
+def q_promo_parts_by_brand(sf_dir: str):
+    """M8 string predicate (the reference's tags->created_by LIKE
+    'JOSM%' shape, README.md:226-228) + grouped count."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.starts_with(batch["p_type"], "PROMO")
+        return batch.filter(keep).group_by("p_brand").aggregate([("p_brand", "count")])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": group["p_brand"].slice(0, 1),
+                "n": pa.array([pc.sum(group["p_brand_count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("p_brand").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+_SQL_PROMO_PARTS = (
+    "select p_brand, count(*) as n from part where p_type like 'PROMO%' group by p_brand"
+)
+
+
+def q_nations_per_region(sf_dir: str):
+    """J2-shaped broadcast lookup join on tiny dimension tables."""
+    region = _read_small(sf_dir, "region")
+    rk = region["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rn = np.asarray(region["r_name"].to_pylist(), dtype=object)
+    order = np.argsort(rk)
+    ref = ray.put((rk[order], rn[order]))
+
+    class Attach:
+        def __init__(self):
+            self.rk, self.rn = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(self.rk, k), 0, len(self.rk) - 1)
+            t = pa.table({"r_name": pa.array(list(self.rn[pos]), pa.string())})
+            return t.group_by("r_name").aggregate([("r_name", "count")])
+
+    partials = _read(sf_dir, "nation", ["n_regionkey"]).map_batches(
+        Attach, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": group["r_name"].slice(0, 1),
+                "n_nations": pa.array([pc.sum(group["r_name_count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return partials.groupby("r_name").map_groups(final, batch_format="pyarrow")
+
+
+_SQL_NATIONS_PER_REGION = """
+select r_name, count(*) as n_nations
+from nation join region on n_regionkey = r_regionkey
+group by r_name
+"""
+
+
+# ------------------------------------------------------------------ geo
+
+
+def q_geo_pip(sf_dir: str):
+    """J2 point-in-polygon: events-derived points probed against the
+    broadcast supplier rectangles through the real STRtree + ray-casting
+    path. Closed-box semantics == SQL BETWEEN (ST_Intersects parity)."""
+    rects = _supplier_rect_table(sf_dir)
+    polys = _rects_as_polygons(rects, "s_suppkey")
+    pairs = pip_join(_events_points(sf_dir), polys, id_col="event_id")
+    return pairs.map_batches(
+        lambda b: b.rename_columns(["event_id", "s_suppkey"]), batch_format="pyarrow"
+    )
+
+
+_SQL_GEO_PIP = f"""
+with p as {_pt_sql('events', 'event_id')}, r as {_box_sql('supplier', 's_suppkey')}
+select p.event_id, r.s_suppkey
+from p, r
+where p.lon between r.min_lon and r.max_lon
+  and p.lat between r.min_lat and r.max_lat
+"""
+
+
+def q_geo_bbox_join(sf_dir: str):
+    """J3 bbox∩bbox with cell partitioning + skew salting + shuffle-free
+    reference-point dedup."""
+    left = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow"
+    )
+    right = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        lambda b: _add_box_cols(b, "p_partkey", "part"), batch_format="pyarrow"
+    )
+    return bbox_join(left, right, zoom=6, left_id="o_orderkey", right_id="p_partkey")
+
+
+_SQL_GEO_BBOX_JOIN = f"""
+with o as {_box_sql('orders', 'o_orderkey')}, p as {_box_sql('part', 'p_partkey')}
+select o.o_orderkey, p.p_partkey
+from o, p
+where o.min_lon <= p.max_lon and p.min_lon <= o.max_lon
+  and o.min_lat <= p.max_lat and p.min_lat <= o.max_lat
+"""
+
+
+def q_geo_bbox_coveredby(sf_dir: str):
+    """J3 with the documented ST_CoveredBy geofilter shape
+    (reference README.md:230-234): order boxes covered by supplier
+    rectangles."""
+    left = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow"
+    )
+    right = ray.data.from_arrow(_supplier_rect_table(sf_dir))
+    return bbox_join(
+        left, right, zoom=5, predicate="coveredby", left_id="o_orderkey", right_id="s_suppkey"
+    )
+
+
+_SQL_GEO_COVEREDBY = f"""
+with o as {_box_sql('orders', 'o_orderkey')}, r as {_box_sql('supplier', 's_suppkey')}
+select o.o_orderkey, r.s_suppkey
+from o, r
+where o.min_lon >= r.min_lon and o.max_lon <= r.max_lon
+  and o.min_lat >= r.min_lat and o.max_lat <= r.max_lat
+"""
+
+
+def q_geo_knn(sf_dir: str):
+    """J4 exact haversine kNN: supplier rect centers as probes, events
+    points as streaming corpus; rank-only output (float distances stay
+    internal — ulp-robust)."""
+    rects = _supplier_rect_table(sf_dir)
+    k = rects["s_suppkey"].to_numpy(zero_copy_only=False)
+    # probe = rect min corner (already a derived exact double)
+    probes = pa.table(
+        {"id": pa.array(k.astype(np.int64)), "lon": rects["min_lon"], "lat": rects["min_lat"]}
+    )
+    res = knn_join(_events_points(sf_dir), probes, 3, corpus_id="event_id")
+    return res.map_batches(
+        lambda b: pa.table(
+            {"s_suppkey": b["probe_id"], "event_id": b["neighbor_id"], "rank": b["rank"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_GEO_KNN = f"""
+with p as {_pt_sql('events', 'event_id')}, r as {_box_sql('supplier', 's_suppkey')}
+select s_suppkey, event_id, rank from (
+  select r.s_suppkey, p.event_id,
+         row_number() over (partition by r.s_suppkey order by
+           {_HAVERSINE_SQL.format(R=EARTH_RADIUS_M, lat1='r.min_lat', lon1='r.min_lon', lat2='p.lat', lon2='p.lon')}
+           asc, p.event_id asc) as rank
+  from r, p) where rank <= 3
+"""
+
+
+def q_geo_tile_counts(sf_dir: str):
+    """J5/A4 raster tiles: per-tile point counts at zoom 6 (partial
+    combine before the shuffle), sorted output (O2)."""
+    tc = tile_counts(_events_points(sf_dir), 6)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        _, ix, iy = unpack_cell(batch["tile_key"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table(
+            {"tile_x": pa.array(ix), "tile_y": pa.array(iy), "n_points": batch["n_points"]}
+        )
+
+    return tc.map_batches(unpack, batch_format="pyarrow")
+
+
+_SQL_GEO_TILE_COUNTS = f"""
+with p as {_pt_sql('events', 'event_id')},
+t as (select
+  cast(greatest(least(floor((lon + 180.0)/360.0*64), 63), 0) as bigint) as tile_x,
+  cast(greatest(least(floor((1.0 - ln(tan(radians(greatest(least(lat, 85.05112877980659), -85.05112877980659)))
+        + 1.0/cos(radians(greatest(least(lat, 85.05112877980659), -85.05112877980659))))/pi())/2.0*64), 63), 0) as bigint) as tile_y
+from p)
+select tile_x, tile_y, count(*) as n_points from t group by tile_x, tile_y
+"""
+
+
+def q_geo_area_filter(sf_dir: str):
+    """M7 area filter (the documented "drop continent-sized bboxes"
+    query, reference README.md:184-186): order boxes above 1e11 m²
+    equal-area."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow"
+    )
+
+    def big(batch: pa.Table) -> pa.Table:
+        area = bbox_area_sq_m(
+            batch["min_lon"].to_numpy(zero_copy_only=False),
+            batch["min_lat"].to_numpy(zero_copy_only=False),
+            batch["max_lon"].to_numpy(zero_copy_only=False),
+            batch["max_lat"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"o_orderkey": batch["o_orderkey"].filter(pa.array(area > 1.0e11))})
+
+    return ds.map_batches(big, batch_format="pyarrow")
+
+
+_SQL_GEO_AREA_FILTER = f"""
+with o as {_box_sql('orders', 'o_orderkey')}
+select o_orderkey from o
+where pow({EARTH_RADIUS_M}, 2) * abs(radians(max_lon - min_lon))
+      * abs(sin(radians(max_lat)) - sin(radians(min_lat))) > 1.0e11
+"""
+
+
+def q_geo_raster_lookup(sf_dir: str):
+    """J5 raster↔vector: events points pick up the per-tile supplier
+    density raster (broadcast side built from the supplier rect min
+    corners) at zoom 5; missing tiles → 0."""
+    rects = _supplier_rect_table(sf_dir)
+    from changesetmd_ray.geo.grid import pack_tile, tile_xyz
+
+    sx, sy = tile_xyz(
+        rects["min_lon"].to_numpy(zero_copy_only=False),
+        rects["min_lat"].to_numpy(zero_copy_only=False),
+        5,
+    )
+    keys = pack_tile(5, sx, sy).astype(np.int64)
+    u, n = np.unique(keys, return_counts=True)
+    raster = pa.table({"tile_key": pa.array(u), "sup_n": pa.array(n.astype(np.int64))})
+    joined = raster_vector_join(
+        _events_points(sf_dir), raster, 5, value_cols=("sup_n",)
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "tile_x": batch["tile_x"],
+                "tile_y": batch["tile_y"],
+                "sup_n": pc.fill_null(batch["sup_n"], 0),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+_MERC_Y_SQL = (
+    "cast(greatest(least(floor((1.0 - ln(tan(radians(greatest(least({lat}, 85.05112877980659), -85.05112877980659)))"
+    " + 1.0/cos(radians(greatest(least({lat}, 85.05112877980659), -85.05112877980659))))/pi())/2.0*{n}), {nm1}), 0) as bigint)"
+)
+
+_SQL_GEO_RASTER_LOOKUP = f"""
+with p as {_pt_sql('events', 'event_id')}, r as {_box_sql('supplier', 's_suppkey')},
+pt as (select event_id,
+  cast(greatest(least(floor((lon + 180.0)/360.0*32), 31), 0) as bigint) as tile_x,
+  {_MERC_Y_SQL.format(lat='lat', n=32, nm1=31)} as tile_y from p),
+rt as (select
+  cast(greatest(least(floor((min_lon + 180.0)/360.0*32), 31), 0) as bigint) as tile_x,
+  {_MERC_Y_SQL.format(lat='min_lat', n=32, nm1=31)} as tile_y, count(*) as sup_n
+  from r group by 1, 2)
+select pt.event_id, pt.tile_x, pt.tile_y, coalesce(rt.sup_n, 0) as sup_n
+from pt left join rt on pt.tile_x = rt.tile_x and pt.tile_y = rt.tile_y
+"""
+
+
+def q_geo_cell_encode(sf_dir: str):
+    """T2 cell encoders (own S2 + hex implementations — no SQL oracle;
+    correctness is covered by the geo property tests)."""
+    from changesetmd_ray.stages.encode import CellEncoder
+
+    pts = _events_points(sf_dir).map_batches(
+        lambda b: b.append_column("min_lon", b["lon"])
+        .append_column("min_lat", b["lat"])
+        .append_column("max_lon", b["lon"])
+        .append_column("max_lat", b["lat"]),
+        batch_format="pyarrow",
+    )
+    enc = pts.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"s2_level": 12, "hex_res": 8, "grid_zoom": 7},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return enc.select_columns(["event_id", "s2_cell", "hex_cell", "grid_cell"])
+
+
+# ------------------------------------------------------- text/training
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup keep-first over documents (distributed hash-group)."""
+    out = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), key_col="text", id_col="doc_id")
+    return out.select_columns(["doc_id"])
+
+
+_SQL_DOCS_EXACT_DEDUP = "select min(doc_id) as doc_id from documents group by text"
+
+
+def q_docs_minhash(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified at
+    ≥ 0.6 (no SQL oracle — rows-only check)."""
+    pairs = minhash_lsh_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.6, carry_text=True
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def q_docs_simhash(sf_dir: str):
+    """SimHash near-dup pairs at Hamming ≤ 3 (rows-only check)."""
+    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def q_docs_quality(sf_dir: str):
+    """Quality features (vectorized Arrow kernels) with exact SQL parity
+    on counts and the keep rule."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_features, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_chars", "n_tokens_ws", "n_punct", "n_digits", "quality_ok"])
+
+
+_SQL_DOCS_QUALITY = r"""
+select doc_id,
+  length(text) as n_chars,
+  case when length(trim(text)) = 0 then 0
+       else len(regexp_extract_all(trim(text), '\s+')) + 1 end as n_tokens_ws,
+  len(regexp_extract_all(text, '[.,;:!?]')) as n_punct,
+  len(regexp_extract_all(text, '[0-9]')) as n_digits,
+  (length(text) >= 50 and
+   (case when length(trim(text)) = 0 then 0
+         else len(regexp_extract_all(trim(text), '\s+')) + 1 end) >= 10 and
+   cast(len(regexp_extract_all(text, '[.,;:!?]')) as double)
+     <= cast(greatest(length(text), 1) as double) * 0.1) as quality_ok
+from documents
+"""
+
+
+def q_docs_langid(sf_dir: str):
+    """Heuristic language-ID (rows-only check; deterministic)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def q_docs_tokens(sf_dir: str):
+    """BPE-ish token counts (rows-only; Python-regex segmentation)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TokenCount, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.select_columns(["doc_id", "n_tokens_bpe"])
+
+
+def q_docs_fingerprint(sf_dir: str):
+    """Winnowing fingerprints (rows-only; whitespace-invariant)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Fingerprint, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def q_ann_cosine(sf_dir: str):
+    """Exact brute-force cosine top-k (queries = vec_id < 8, k = 5);
+    rank-only output for ulp robustness."""
+    emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(pc.less(emb["vec_id"], 8))
+    res = ann_cosine_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), queries, 5)
+    return res.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+_SQL_ANN_COSINE = """
+select query_id, neighbor_id, rank from (
+  select q.vec_id as query_id, e.vec_id as neighbor_id,
+         row_number() over (partition by q.vec_id
+           order by list_cosine_similarity(q.embedding, e.embedding) desc, e.vec_id asc) as rank
+  from embeddings q, embeddings e where q.vec_id < 8) where rank <= 5
+"""
+
+
+# ------------------------------------------------- pages (input_hint)
+
+
+def pages_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
+    """Deterministically derive an ``input_hint``-shaped pages table
+    (url, warc_ts, html, text, lang) from the documents table: each
+    doc's text is carried into the page body byte-identical, and
+    1 + doc_id % 3 geo signals with integer-derived coordinates are
+    planted in the head. Idempotent: shard files are only written once."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _read_small(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    base = np.datetime64("2021-01-01T00:00:00", "us")
+    paths = []
+    shard_of = ids % n_shards
+    for s in range(n_shards):
+        p = os.path.join(out_dir, f"part-{s:05d}.parquet")
+        paths.append(p)
+        if os.path.exists(p):
+            continue
+        sel = np.nonzero(shard_of == s)[0]
+        urls, ts, htmls, txts, lgs = [], [], [], [], []
+        for i in sel:
+            did = int(ids[i])
+            head = []
+            for j in range(1 + did % 3):
+                k = did * 31 + j * 7
+                lon = ((k * 7919) % 360000) / 1000.0 - 180.0
+                lat = ((k * 104729) % 170000) / 1000.0 - 85.0
+                head.append(f'<meta name="geo.position" content="{lat:.7f};{lon:.7f}">')
+            urls.append(f"https://docs.example.org/d{did}")
+            ts.append(base + np.timedelta64(did, "s"))
+            htmls.append(
+                (
+                    f"<html><head>{''.join(head)}</head><body><p>{texts[i]}</p></body></html>"
+                ).encode("utf-8")
+            )
+            txts.append(texts[i])
+            lgs.append(langs[i])
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(np.array(ts, dtype="datetime64[us]"), pa.timestamp("us")),
+                    "html": pa.array(htmls, pa.binary()),
+                    "text": pa.array(txts, pa.string()),
+                    "lang": pa.array(lgs, pa.string()),
+                }
+            ),
+            p,
+        )
+    return paths
+
+
+def q_pages_pipeline(sf_dir: str):
+    """The flagship extract+encode chain over input_hint pages (S5 + T2):
+    html → points/bbox with byte-identical text passthrough → S2/hex/grid
+    cells. Rows-only check (cell ids are own-spec)."""
+    from changesetmd_ray.stages.encode import CellEncoder
+    from changesetmd_ray.stages.extract import GeoExtractor
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_{tag}")
+    ds = ray.data.read_parquet(paths)
+    ds = ds.map_batches(GeoExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"s2_level": 12, "hex_res": 8, "grid_zoom": 7},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return ds.select_columns(
+        ["url", "n_points", "min_lon", "min_lat", "max_lon", "max_lat", "s2_cell", "hex_cell"]
+    )
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate cosine top-k (rows-only; recall < 1 by
+    construction)."""
+    emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(pc.less(emb["vec_id"], 8))
+    res = ann_lsh_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), queries, 5, max_mismatch=6
+    )
+    return res.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+# --------------------------------------------------------------- registry
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "filter_project": q_filter_project,
+    "topk_orders": q_topk_orders,
+    "orders_per_segment": q_orders_per_segment,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "latest_event_per_user": q_latest_event_per_user,
+    "events_by_type": q_events_by_type,
+    "events_watermark": q_events_watermark,
+    "union_dedup": q_union_dedup,
+    "promo_parts_by_brand": q_promo_parts_by_brand,
+    "nations_per_region": q_nations_per_region,
+    "geo_pip": q_geo_pip,
+    "geo_bbox_join": q_geo_bbox_join,
+    "geo_bbox_coveredby": q_geo_bbox_coveredby,
+    "geo_knn": q_geo_knn,
+    "geo_tile_counts": q_geo_tile_counts,
+    "geo_area_filter": q_geo_area_filter,
+    "geo_raster_lookup": q_geo_raster_lookup,
+    "geo_cell_encode": q_geo_cell_encode,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_minhash_neardup": q_docs_minhash,
+    "docs_simhash_neardup": q_docs_simhash,
+    "docs_quality": q_docs_quality,
+    "docs_langid": q_docs_langid,
+    "docs_tokens": q_docs_tokens,
+    "docs_fingerprint": q_docs_fingerprint,
+    "ann_cosine": q_ann_cosine,
+    "ann_lsh": q_ann_lsh,
+    "pages_pipeline": q_pages_pipeline,
+}
+
+ORACLE_SQL = {
+    "tpch_q1": _SQL_TPCH_Q1,
+    "filter_project": _SQL_FILTER_PROJECT,
+    "topk_orders": _SQL_TOPK_ORDERS,
+    "orders_per_segment": _SQL_ORDERS_PER_SEGMENT,
+    "semi_join_customers": _SQL_SEMI_JOIN,
+    "anti_join_customers": _SQL_ANTI_JOIN,
+    "latest_event_per_user": _SQL_LATEST_EVENT,
+    "events_by_type": _SQL_EVENTS_BY_TYPE,
+    "events_watermark": _SQL_EVENTS_WATERMARK,
+    "union_dedup": _SQL_UNION_DEDUP,
+    "promo_parts_by_brand": _SQL_PROMO_PARTS,
+    "nations_per_region": _SQL_NATIONS_PER_REGION,
+    "geo_pip": _SQL_GEO_PIP,
+    "geo_bbox_join": _SQL_GEO_BBOX_JOIN,
+    "geo_bbox_coveredby": _SQL_GEO_COVEREDBY,
+    "geo_knn": _SQL_GEO_KNN,
+    "geo_tile_counts": _SQL_GEO_TILE_COUNTS,
+    "geo_area_filter": _SQL_GEO_AREA_FILTER,
+    "geo_raster_lookup": _SQL_GEO_RASTER_LOOKUP,
+    "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
+    "docs_quality": _SQL_DOCS_QUALITY,
+    "ann_cosine": _SQL_ANN_COSINE,
+    # rows-only (non-SQL-expressible): geo_cell_encode,
+    # docs_minhash_neardup, docs_simhash_neardup, docs_langid,
+    # docs_tokens, docs_fingerprint, ann_lsh, pages_pipeline
+}

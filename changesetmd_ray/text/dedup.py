@@ -63,12 +63,22 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
         raise ValueError("keep='latest' needs ts_col")
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        vals = batch[key_col].to_pylist()
-        h = np.fromiter(
-            (hash_bytes64(v.encode("utf-8") if isinstance(v, str) else (v or b"")) for v in vals),
-            np.uint64,
-            len(vals),
-        )
+        field = batch.schema.field(key_col).type
+        if pa.types.is_integer(field):
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = splitmix64(k)
+        else:
+            vals = batch[key_col].to_pylist()
+            h = np.fromiter(
+                (
+                    hash_bytes64(
+                        v.encode("utf-8") if isinstance(v, str) else (v if v is not None else b"")
+                    )
+                    for v in vals
+                ),
+                np.uint64,
+                len(vals),
+            )
         return batch.append_column("__h", pa.array(h.astype(np.int64), pa.int64()))
 
     def keep_one(group: pa.Table) -> pa.Table:
