@@ -109,6 +109,94 @@ def classify_points_cap(px: np.ndarray, py: np.ndarray, lat_threshold: float, no
     return out
 
 
+def pack_rings(rings: list[tuple[np.ndarray, np.ndarray]]) -> dict:
+    """Pack many rings into flat arrays for the pair-vectorized kernel:
+    ``xs``/``ys`` concatenated open rings, ``off`` per-ring start,
+    ``nv`` per-ring vertex count, plus per-ring unwrap flags."""
+    xs, ys, off, nv = [], [], [0], []
+    plus, minus = [], []
+    for rx, ry in rings:
+        rx = np.asarray(rx, dtype=np.float64)
+        ry = np.asarray(ry, dtype=np.float64)
+        if len(rx) > 1 and rx[0] == rx[-1] and ry[0] == ry[-1]:
+            rx, ry = rx[:-1], ry[:-1]
+        xs.append(rx)
+        ys.append(ry)
+        nv.append(len(rx))
+        off.append(off[-1] + len(rx))
+        plus.append(bool(np.max(rx) > 180.0))
+        minus.append(bool(np.min(rx) < -180.0))
+    return {
+        "xs": np.concatenate(xs) if xs else np.empty(0),
+        "ys": np.concatenate(ys) if ys else np.empty(0),
+        "off": np.asarray(off[:-1], dtype=np.int64),
+        "nv": np.asarray(nv, dtype=np.int64),
+        "max_nv": int(max(nv)) if nv else 0,
+        "shift_plus": np.asarray(plus, dtype=bool),
+        "shift_minus": np.asarray(minus, dtype=bool),
+    }
+
+
+def _classify_pairs_once(
+    px: np.ndarray, py: np.ndarray, pack: dict, poly_idx: np.ndarray
+) -> np.ndarray:
+    """One classify pass per (point, ring) pair — vectorized over pairs,
+    loop only over the max vertex count. Same edge rules as
+    :func:`classify_points_ring` (half-open crossing, exact on-segment)."""
+    xs, ys = pack["xs"], pack["ys"]
+    off = pack["off"][poly_idx]
+    nv = pack["nv"][poly_idx]
+    n = len(px)
+    crossings = np.zeros(n, dtype=np.int64)
+    on_seg = np.zeros(n, dtype=bool)
+    for e in range(pack["max_nv"]):
+        act = nv > e
+        if not act.any():
+            break
+        i1 = off + e
+        nxt = e + 1
+        i2 = np.where(nv > nxt, off + nxt, off)
+        i1 = np.where(act, i1, 0)
+        i2 = np.where(act, i2, 0)
+        x1, y1 = xs[i1], ys[i1]
+        x2, y2 = xs[i2], ys[i2]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        on_seg |= act & (
+            (cross == 0.0)
+            & (px >= np.minimum(x1, x2))
+            & (px <= np.maximum(x1, x2))
+            & (py >= np.minimum(y1, y2))
+            & (py <= np.maximum(y1, y2))
+        )
+        crosses_y = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        crossings += act & crosses_y & (px < x_int)
+    out = np.zeros(n, dtype=np.int8)
+    out[crossings % 2 == 1] = INTERIOR
+    out[on_seg] = BOUNDARY
+    return out
+
+
+def classify_pairs_rings(
+    px: np.ndarray, py: np.ndarray, pack: dict, poly_idx: np.ndarray
+) -> np.ndarray:
+    """Antimeridian-aware pair classify (the pair-vectorized form of
+    :func:`classify_points_polygon`): pairs whose ring is stored
+    unwrapped are re-tested at lon ± 360 and the max class wins."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    cls = _classify_pairs_once(px, py, pack, poly_idx)
+    for flag, shift in ((pack["shift_plus"], 360.0), (pack["shift_minus"], -360.0)):
+        if flag.any():
+            m = flag[poly_idx]
+            if m.any():
+                cls[m] = np.maximum(
+                    cls[m], _classify_pairs_once(px[m] + shift, py[m], pack, poly_idx[m])
+                )
+    return cls
+
+
 def ring_bbox(ring_x: np.ndarray, ring_y: np.ndarray) -> tuple[float, float, float, float]:
     """(min_lon, min_lat, max_lon, max_lat) of a ring, in its own
     (possibly unwrapped) coordinate frame."""

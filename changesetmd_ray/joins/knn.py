@@ -90,27 +90,33 @@ class _PartialTopK:
         )
 
 
-class _MergeTopK:
-    """Per-probe merge of block partials → final exact top-k with the
-    oracle's tie order (distance asc, neighbor id asc)."""
-
-    def __init__(self, k: int):
-        self.k = k
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        pid = group["probe_id"].to_numpy(zero_copy_only=False)
-        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        d = group["dist_m"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nid, d))[: self.k]
-        ranks = np.arange(1, len(order) + 1, dtype=np.int64)
-        return pa.table(
-            {
-                "probe_id": pa.array(pid[order], pa.int64()),
-                "neighbor_id": pa.array(nid[order], pa.int64()),
-                "rank": pa.array(ranks),
-                "dist_m": pa.array(d[order], pa.float64()),
-            }
-        )
+def _merge_topk_block(batch: pa.Table, k: int, final: bool) -> pa.Table:
+    """Vectorized multi-probe top-k within one block: sort by (probe,
+    dist, neighbor) — the oracle's tie order — and keep each probe's
+    first k rows. No per-probe Python dispatch."""
+    pid = batch["probe_id"].to_numpy(zero_copy_only=False)
+    nid = batch["neighbor_id"].to_numpy(zero_copy_only=False)
+    d = batch["dist_m"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((nid, d, pid))
+    p, n_, dd = pid[order], nid[order], d[order]
+    if len(p) == 0:
+        within = np.empty(0, dtype=np.int64)
+    else:
+        first = np.concatenate([[True], p[1:] != p[:-1]])
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.concatenate([starts, [len(p)]]))
+        within = np.arange(len(p), dtype=np.int64) - np.repeat(starts, counts)
+    keep = within < k
+    cols = {
+        "probe_id": pa.array(p[keep], pa.int64()),
+        "neighbor_id": pa.array(n_[keep], pa.int64()),
+    }
+    if final:
+        cols["rank"] = pa.array(within[keep] + 1)
+        cols["dist_m"] = pa.array(dd[keep], pa.float64())
+        return pa.table(cols)
+    cols["dist_m"] = pa.array(dd[keep], pa.float64())
+    return pa.table(cols)
 
 
 def knn_join(
@@ -137,23 +143,31 @@ def knn_join(
     plon = probes[probe_lon].to_numpy(zero_copy_only=False).astype(np.float64)
     plat = probes[probe_lat].to_numpy(zero_copy_only=False).astype(np.float64)
     probes_ref = ray.put((pid, plon, plat))
+    _ = concurrency  # kept for API compat; tasks autoscale with the executor
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # task pool, not actor pool: the only state is the broadcast
+        # ray.get (zero-copy), and autoscaling actor pools ramp too
+        # slowly to saturate the node (same measurement as pip_join);
+        # probe_chunk bounds the P×C distance-matrix temporaries so they
+        # stay cache-resident
+        return _PartialTopK(
+            probes_ref, k, corpus_id, corpus_lon, corpus_lat, probe_chunk=512
+        )(batch)
 
     partials = corpus.select_columns([corpus_id, corpus_lon, corpus_lat]).map_batches(
-        _PartialTopK,
-        fn_constructor_kwargs={
-            "probes_ref": probes_ref,
-            "k": k,
-            "id_col": corpus_id,
-            "lon_col": corpus_lon,
-            "lat_col": corpus_lat,
-        },
+        partial_topk,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
-    merger = _MergeTopK(k)
 
-    def merge_topk(group: pa.Table) -> pa.Table:
-        return merger(group)
-
-    return partials.groupby("probe_id").map_groups(merge_topk, batch_format="pyarrow")
+    # repartition-tree merge (no sort-based groupby shuffle): level-1
+    # combines blocks 64 ways — each output block is then ≤ P·k rows —
+    # and the final block assigns ranks. P is broadcast-bounded (it fit
+    # in the object store), so the single final block always fits.
+    p = partials.repartition(64).map_batches(
+        lambda b: _merge_topk_block(b, k, final=False), batch_format="pyarrow", batch_size=None
+    )
+    return p.repartition(1).map_batches(
+        lambda b: _merge_topk_block(b, k, final=True), batch_format="pyarrow", batch_size=None
+    )
