@@ -41,6 +41,8 @@ from changesetmd_ray.geo.grid import _lat_to_iy, _lon_to_ix, cover_bbox, grid_di
 
 SALT_BITS = 6
 SALT_MAX = 1 << SALT_BITS  # 64
+NUM_BUCKETS = 128  # shuffle groups: cells hash-fold into buckets so the
+# groupby dispatches O(buckets) Python calls, not O(cells)
 
 BOX_COLS = ("min_lon", "min_lat", "max_lon", "max_lat")
 
@@ -123,9 +125,13 @@ class _Explode:
                     box_r = [b[idx] for b in box_r]
 
         jkey = (cc << SALT_BITS) | salt
+        bucket = (_splitmix64(jkey.astype(np.uint64)) & np.uint64(NUM_BUCKETS - 1)).astype(
+            np.int64
+        )
         return pa.table(
             {
                 "jkey": pa.array(jkey, pa.int64()),
+                "__bucket": pa.array(bucket),
                 "side": pa.array(np.full(len(jkey), self.side, dtype=np.int8)),
                 "rid": pa.array(rid_r, pa.int64()),
                 "lo_x": pa.array(box_r[0]),
@@ -179,7 +185,12 @@ def _salting_plan(
 
 
 class _PairTest:
-    """Per-group exact rectangle predicate + reference-cell dedup."""
+    """Per-bucket exact rectangle predicate + reference-cell dedup.
+
+    A bucket holds many (cell, salt) groups — numpy-sliced via one sort
+    + ``searchsorted`` boundaries, so Ray dispatches O(buckets) group
+    calls instead of O(cells) (measured ~4 k tiny-group calls dominating
+    the join at sf0.1)."""
 
     def __init__(self, predicate: str, zoom: int, left_out: str, right_out: str,
                  chunk_rows: int = 512):
@@ -189,22 +200,7 @@ class _PairTest:
         self.right_out = right_out
         self.chunk = chunk_rows
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        side = group["side"].to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        if not lmask.any() or lmask.all():
-            return pa.table(
-                {self.left_out: pa.array([], pa.int64()), self.right_out: pa.array([], pa.int64())}
-            )
-        cell = int(group["jkey"][0].as_py()) >> SALT_BITS
-        rid = group["rid"].to_numpy(zero_copy_only=False)
-        cols = [group[c].to_numpy(zero_copy_only=False) for c in ("lo_x", "lo_y", "hi_x", "hi_y")]
-        L = [c[lmask] for c in cols]
-        R = [c[~lmask] for c in cols]
-        lid, rid_r = rid[lmask], rid[~lmask]
-        nx, ny = grid_dims(self.zoom)
-
-        out_l, out_r = [], []
+    def _one_cell(self, cell, lid, L, rid_r, R, nx, ny, out_l, out_r):
         for s in range(0, len(lid), self.chunk):
             e = min(s + self.chunk, len(lid))
             a = tuple(c[s:e, None] for c in L)
@@ -221,6 +217,33 @@ class _PairTest:
             keep = ref_cell == cell
             out_l.append(lid[s:e][li[keep]])
             out_r.append(rid_r[ri[keep]])
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        jk = group["jkey"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        rid = group["rid"].to_numpy(zero_copy_only=False)
+        cols = [group[c].to_numpy(zero_copy_only=False) for c in ("lo_x", "lo_y", "hi_x", "hi_y")]
+        # order by (jkey, side) so each group is [left rows..., right rows...]
+        order = np.lexsort((side, jk))
+        jk, side, rid = jk[order], side[order], rid[order]
+        cols = [c[order] for c in cols]
+        starts = np.concatenate([[0], np.nonzero(jk[1:] != jk[:-1])[0] + 1, [len(jk)]])
+        nx, ny = grid_dims(self.zoom)
+
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        for g in range(len(starts) - 1):
+            s, e = starts[g], starts[g + 1]
+            mid = s + int(np.searchsorted(side[s:e], 1))
+            if mid == s or mid == e:  # one-sided group → no pairs
+                continue
+            cell = int(jk[s]) >> SALT_BITS
+            self._one_cell(
+                cell,
+                rid[s:mid], [c[s:mid] for c in cols],
+                rid[mid:e], [c[mid:e] for c in cols],
+                nx, ny, out_l, out_r,
+            )
 
         la = np.concatenate(out_l) if out_l else np.empty(0, np.int64)
         ra = np.concatenate(out_r) if out_r else np.empty(0, np.int64)
@@ -282,4 +305,4 @@ def bbox_join(
     def pair_test(group: pa.Table) -> pa.Table:
         return tester(group)
 
-    return both.groupby("jkey").map_groups(pair_test, batch_format="pyarrow")
+    return both.groupby("__bucket").map_groups(pair_test, batch_format="pyarrow")

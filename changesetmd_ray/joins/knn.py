@@ -131,7 +131,8 @@ def knn_join(
     probe_lon: str = "lon",
     probe_lat: str = "lat",
     batch_size: int = 8192,
-    concurrency=(1, 8),
+    concurrency=None,
+    merge_fanin: int | None = None,
 ):
     """Exact k-nearest-neighbors of every probe among the corpus points.
 
@@ -161,13 +162,19 @@ def knn_join(
         batch_size=batch_size,
     )
 
-    # repartition-tree merge (no sort-based groupby shuffle): level-1
-    # combines blocks 64 ways — each output block is then ≤ P·k rows —
-    # and the final block assigns ranks. P is broadcast-bounded (it fit
-    # in the object store), so the single final block always fits.
-    p = partials.repartition(64).map_batches(
-        lambda b: _merge_topk_block(b, k, final=False), batch_format="pyarrow", batch_size=None
-    )
+    # repartition-tree merge (no sort-based groupby shuffle). Partial
+    # volume is blocks × P × k rows; every all-to-all carries ~1-2 s
+    # fixed latency, so the default is ONE level (repartition(1) +
+    # vectorized final top-k — P is broadcast-bounded, the final block
+    # always fits). Set merge_fanin (e.g. 64) when blocks × P × k is
+    # too big for one task — the level-1 pass shrinks each merged block
+    # to ≤ P·k rows first.
+    p = partials
+    if merge_fanin:
+        p = p.repartition(merge_fanin).map_batches(
+            lambda b: _merge_topk_block(b, k, final=False),
+            batch_format="pyarrow", batch_size=None,
+        )
     return p.repartition(1).map_batches(
         lambda b: _merge_topk_block(b, k, final=True), batch_format="pyarrow", batch_size=None
     )

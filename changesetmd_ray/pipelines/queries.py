@@ -50,8 +50,18 @@ from changesetmd_ray.text.dedup import (
 # ------------------------------------------------------------------ io
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          blocks: int | None = None):
+    """Column-pruned read. ``blocks`` forces a block count for
+    compute-heavy downstream stages: the small test files arrive as ONE
+    block (far under target_max_block_size), which would serialize any
+    expensive map into a single task — at 100 TB the file count provides
+    the parallelism and ``blocks`` is unnecessary."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if blocks is not None:
+        # split the READ itself (no shuffle): row-group-level read tasks
+        return ray.data.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return ray.data.read_parquet(path, columns=columns)
 
 
 def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
@@ -120,8 +130,8 @@ def _add_box_cols(batch: pa.Table, key: str, tbl: str) -> pa.Table:
     )
 
 
-def _events_points(sf_dir: str):
-    return _read(sf_dir, "events", ["event_id"]).map_batches(
+def _events_points(sf_dir: str, blocks: int | None = None):
+    return _read(sf_dir, "events", ["event_id"], blocks=blocks).map_batches(
         lambda b: _add_point_cols(b, "event_id"), batch_format="pyarrow"
     )
 
@@ -628,7 +638,8 @@ def q_geo_knn(sf_dir: str):
     probes = pa.table(
         {"id": pa.array(k.astype(np.int64)), "lon": rects["min_lon"], "lat": rects["min_lat"]}
     )
-    res = knn_join(_events_points(sf_dir), probes, 3, corpus_id="event_id")
+    corpus = _events_points(sf_dir, blocks=32)
+    res = knn_join(corpus, probes, 3, corpus_id="event_id")
     return res.map_batches(
         lambda b: pa.table(
             {"s_suppkey": b["probe_id"], "event_id": b["neighbor_id"], "rank": b["rank"]}
@@ -789,14 +800,14 @@ def q_docs_minhash(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified at
     ≥ 0.6 (no SQL oracle — rows-only check)."""
     pairs = minhash_lsh_candidates(
-        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.6, carry_text=True
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=32), threshold=0.6, carry_text=True
     )
     return pairs.select_columns(["id_a", "id_b"])
 
 
 def q_docs_simhash(sf_dir: str):
     """SimHash near-dup pairs at Hamming ≤ 3 (rows-only check)."""
-    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"], blocks=32), max_hamming=3)
 
 
 def q_docs_quality(sf_dir: str):
@@ -826,24 +837,24 @@ from documents
 
 def q_docs_langid(sf_dir: str):
     """Heuristic language-ID (rows-only check; deterministic)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 8)
     )
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
 def q_docs_tokens(sf_dir: str):
     """BPE-ish token counts (rows-only; Python-regex segmentation)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        TokenCount, batch_format="pyarrow", concurrency=(1, 4)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
+        TokenCount, batch_format="pyarrow", concurrency=(1, 8)
     )
     return ds.select_columns(["doc_id", "n_tokens_bpe"])
 
 
 def q_docs_fingerprint(sf_dir: str):
     """Winnowing fingerprints (rows-only; whitespace-invariant)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        Fingerprint, batch_format="pyarrow", concurrency=(1, 4)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
+        Fingerprint, batch_format="pyarrow", concurrency=(1, 8)
     )
     return ds.select_columns(["doc_id", "fingerprint"])
 
