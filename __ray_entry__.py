@@ -26,7 +26,7 @@ def entry() -> Any:
     from changesetmd_ray.pipelines.flagship import read_output, run_flagship
     from changesetmd_ray.pipelines.queries import pages_from_docs
 
-    pages = pages_from_docs("/root/testdata/sf0.001", "/tmp/changesetmd_pages_sf0.001")
+    pages = pages_from_docs("/root/testdata/sf0.001", "/tmp/changesetmd_pages_v2_sf0.001")
     out_dir = "/tmp/changesetmd_entry_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     run_flagship(pages, out_dir, concurrency=(1, 4))

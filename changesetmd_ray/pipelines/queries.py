@@ -561,6 +561,56 @@ group by r_name
 """
 
 
+def q_priority_revenue(sf_dir: str):
+    """J1 large×large distributed hash join (joins/equi.py): lineitem ⋈
+    orders on the order key — neither side broadcast — then revenue per
+    order priority in exact integer 1e-4-dollar units (same parity rule
+    as tpch_q1)."""
+    from changesetmd_ray.joins.equi import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], blocks=16)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"], blocks=8)
+    joined = hash_join(
+        li, orders,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_orderkey", "o_orderpriority"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        d100 = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return (
+            batch.select(["o_orderpriority"])
+            .append_column("rev4", pa.array(cents * (100 - d100)))
+            .group_by("o_orderpriority")
+            .aggregate([("rev4", "sum"), ("rev4", "count")])
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": group["o_orderpriority"].slice(0, 1),
+                "revenue": pa.array([pc.sum(group["rev4_sum"]).as_py() / 10000.0], pa.float64()),
+                "n_items": pa.array([pc.sum(group["rev4_count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).map_groups(final, batch_format="pyarrow")
+
+
+_SQL_PRIORITY_REVENUE = """
+select o_orderpriority,
+       sum(cast(round(l_extendedprice*100) as bigint)
+           * (100 - cast(round(l_discount*100) as bigint))) / 10000.0 as revenue,
+       count(*) as n_items
+from lineitem join orders on l_orderkey = o_orderkey
+group by o_orderpriority
+"""
+
+
 # ------------------------------------------------------------------ geo
 
 
@@ -903,7 +953,7 @@ def pages_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
         urls, ts, htmls, txts, lgs = [], [], [], [], []
         for i in sel:
             did = int(ids[i])
-            head = []
+            head = [f'<meta name="generator" content="gen-{did % 7}.{did % 5}">']
             for j in range(1 + did % 3):
                 k = did * 31 + j * 7
                 lon = ((k * 7919) % 360000) / 1000.0 - 180.0
@@ -941,7 +991,7 @@ def q_pages_pipeline(sf_dir: str):
     from changesetmd_ray.stages.extract import GeoExtractor
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_{tag}")
+    paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
     ds = ray.data.read_parquet(paths)
     ds = ds.map_batches(GeoExtractor, batch_format="pyarrow", concurrency=(1, 4))
     ds = ds.map_batches(
@@ -953,6 +1003,148 @@ def q_pages_pipeline(sf_dir: str):
     return ds.select_columns(
         ["url", "n_points", "min_lon", "min_lat", "max_lon", "max_lat", "s2_cell", "hex_cell"]
     )
+
+
+def q_pages_points_flatten(sf_dir: str):
+    """M3 flatten (the reference's <discussion>/<comment> 1→N child-row
+    extraction, changesetmd.py:227-234): pages → GeoExtractor → explode
+    the ``points`` list column into child rows (doc_id, point ordinal,
+    milli-degree int coords). Coordinates round-trip html text, so the
+    output is integer-exact against the SQL derivation."""
+    from changesetmd_ray.stages.extract import GeoExtractor
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
+    ds = ray.data.read_parquet(paths, columns=["url", "html"])
+    ds = ds.map_batches(GeoExtractor2Cols, batch_format="pyarrow", concurrency=(1, 4))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        pts = batch["points"].combine_chunks()
+        offsets = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        url = batch["url"].to_pylist()
+        did = np.array([int(u.rsplit("/d", 1)[1]) for u in url], dtype=np.int64)
+        parent = np.repeat(did, counts)
+        total = int(counts.sum())
+        starts = offsets[:-1]
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        flat = pts.flatten()
+        lon = flat.field("lon").to_numpy(zero_copy_only=False)
+        lat = flat.field("lat").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(parent),
+                "j": pa.array(j),
+                "lon_e3": pa.array(np.rint(lon * 1000.0).astype(np.int64)),
+                "lat_e3": pa.array(np.rint(lat * 1000.0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+class GeoExtractor2Cols:
+    """GeoExtractor over a (url, html)-only projection: pads the columns
+    the full extractor carries through so the same stage code runs on a
+    pruned read."""
+
+    def __init__(self):
+        from changesetmd_ray.stages.extract import GeoExtractor
+
+        self.inner = GeoExtractor()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        padded = pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": pa.nulls(n, pa.timestamp("us")),
+                "html": batch["html"],
+                "text": pa.nulls(n, pa.string()),
+                "lang": pa.nulls(n, pa.string()),
+            }
+        )
+        return self.inner(padded).select(["url", "points"])
+
+
+_SQL_PAGES_POINTS_FLATTEN = """
+select doc_id, j,
+       cast(round((((doc_id*31 + j*7) * 7919) % 360000)/1000.0 - 180.0, 3)*1000 as bigint) as lon_e3,
+       cast(round((((doc_id*31 + j*7) * 104729) % 170000)/1000.0 - 85.0, 3)*1000 as bigint) as lat_e3
+from documents, (select unnest([0, 1, 2]) as j) t
+where j <= doc_id % 3
+"""
+
+
+def q_pages_tags(sf_dir: str):
+    """M2 tag-map fold + M8 tag predicates (the reference's jsonb tags
+    with containment + LIKE, changesetmd.py:223-225, README.md:218-228):
+    meta tags fold into a map<string,string> column; filter = map
+    contains 'generator' AND its value LIKE 'gen-3%'."""
+    from changesetmd_ray.stages.tags import TagExtractor
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
+    ds = ray.data.read_parquet(paths, columns=["url", "html"])
+    ds = ds.map_batches(TagExtractor, batch_format="pyarrow", concurrency=(1, 4))
+
+    def predicate(batch: pa.Table) -> pa.Table:
+        gen = pc.map_lookup(batch["tags"], pa.scalar("generator"), "first")
+        keep = pc.and_kleene(pc.is_valid(gen), pc.match_like(gen, "gen-3%"))
+        keep = pc.fill_null(keep, False)
+        t = batch.filter(keep)
+        gen_kept = pc.map_lookup(t["tags"], pa.scalar("generator"), "first")
+        did = pa.array(
+            [int(u.rsplit("/d", 1)[1]) for u in t["url"].to_pylist()], pa.int64()
+        )
+        return pa.table({"doc_id": did, "generator": gen_kept})
+
+    return ds.map_batches(predicate, batch_format="pyarrow")
+
+
+_SQL_PAGES_TAGS = """
+select doc_id, 'gen-' || cast(doc_id % 7 as varchar) || '.' || cast(doc_id % 5 as varchar) as generator
+from documents where doc_id % 7 = 3
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing (stages/multimodal.py): documents' text bytes
+    stand in as opaque media payloads; metadata + the (stubbed,
+    deterministic) decode produce per-media feature vectors. Rows-only
+    check (the codec is a marked stub)."""
+    from changesetmd_ray.stages.multimodal import decode_media
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payload = pa.array(
+            [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()], pa.binary()
+        )
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "media_type": pa.array(["image"] * len(batch), pa.string()),
+                "payload": payload,
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    out = decode_media(ds, feat_dim=16, codec="fake", batch_size=256)
+
+    def project(batch: pa.Table) -> pa.Table:
+        feat = batch["feature"].combine_chunks()
+        f0 = feat.flatten().to_numpy(zero_copy_only=False).reshape(-1, 16)[:, 0]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload_bytes": batch["payload_bytes"],
+                "feat_dim": pa.array(np.full(len(batch), 16, dtype=np.int64)),
+                "f0": pa.array(f0.astype(np.float64)),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def q_ann_lsh(sf_dir: str):
@@ -981,6 +1173,7 @@ QUERIES = {
     "union_dedup": q_union_dedup,
     "promo_parts_by_brand": q_promo_parts_by_brand,
     "nations_per_region": q_nations_per_region,
+    "priority_revenue": q_priority_revenue,
     "geo_pip": q_geo_pip,
     "geo_bbox_join": q_geo_bbox_join,
     "geo_bbox_coveredby": q_geo_bbox_coveredby,
@@ -999,6 +1192,9 @@ QUERIES = {
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "pages_pipeline": q_pages_pipeline,
+    "pages_points_flatten": q_pages_points_flatten,
+    "pages_tags": q_pages_tags,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL = {
@@ -1014,6 +1210,7 @@ ORACLE_SQL = {
     "union_dedup": _SQL_UNION_DEDUP,
     "promo_parts_by_brand": _SQL_PROMO_PARTS,
     "nations_per_region": _SQL_NATIONS_PER_REGION,
+    "priority_revenue": _SQL_PRIORITY_REVENUE,
     "geo_pip": _SQL_GEO_PIP,
     "geo_bbox_join": _SQL_GEO_BBOX_JOIN,
     "geo_bbox_coveredby": _SQL_GEO_COVEREDBY,
@@ -1024,7 +1221,10 @@ ORACLE_SQL = {
     "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
     "docs_quality": _SQL_DOCS_QUALITY,
     "ann_cosine": _SQL_ANN_COSINE,
+    "pages_points_flatten": _SQL_PAGES_POINTS_FLATTEN,
+    "pages_tags": _SQL_PAGES_TAGS,
     # rows-only (non-SQL-expressible): geo_cell_encode,
     # docs_minhash_neardup, docs_simhash_neardup, docs_langid,
-    # docs_tokens, docs_fingerprint, ann_lsh, pages_pipeline
+    # docs_tokens, docs_fingerprint, ann_lsh, pages_pipeline,
+    # media_features (stubbed codec)
 }

@@ -1,0 +1,143 @@
+"""Unit tests: distributed hash equi-join (J1), sparse reduces, the
+tag-map fold (M2), and the multimodal plumbing — each against a
+driver-side pandas/numpy oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from changesetmd_ray.joins.equi import hash_join
+from changesetmd_ray.stages.reduce import bucket_sum, sum_by_key, tree_sum
+from changesetmd_ray.stages.tags import TagExtractor
+
+
+def _sorted_df(t: pa.Table) -> pd.DataFrame:
+    df = t.to_pandas()[sorted(t.column_names)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def join_inputs(ray_session):
+    rng = np.random.RandomState(11)
+    left = pa.table(
+        {
+            "lk": pa.array(rng.randint(0, 300, 2000), pa.int64()),
+            "lval": pa.array(rng.rand(2000)),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(rng.randint(0, 300, 700), pa.int64()),
+            "rname": pa.array([f"n{i % 37}" for i in range(700)], pa.string()),
+        }
+    )
+    return left, right
+
+
+def test_hash_join_matches_pandas(join_inputs):
+    left, right = join_inputs
+    out = hash_join(
+        ray.data.from_arrow(left).repartition(5),
+        ray.data.from_arrow(right).repartition(3),
+        left_on="lk",
+        right_on="rk",
+        left_cols=["lk", "lval"],
+        right_cols=["rk", "rname"],
+        num_buckets=16,
+    )
+    got = _sorted_df(pa.Table.from_pandas(out.to_pandas(), preserve_index=False))
+    exp = left.to_pandas().merge(right.to_pandas(), left_on="lk", right_on="rk")
+    exp = _sorted_df(pa.Table.from_pandas(exp, preserve_index=False))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_join_null_keys_dropped(ray_session):
+    left = pa.table({"k": pa.array([1, None, 2], pa.int64()), "a": pa.array([10, 20, 30])})
+    right = pa.table({"rk": pa.array([None, 1, 1], pa.int64()), "b": pa.array([5, 6, 7])})
+    out = hash_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_on="k",
+        right_on="rk",
+        left_cols=["k", "a"],
+        right_cols=["b"],
+    ).to_pandas()
+    # key 1 matches the two non-null right rows; nulls never match
+    assert len(out) == 2
+    assert sorted(out["b"]) == [6, 7]
+    assert set(out["k"]) == {1}
+
+
+def test_hash_join_column_collision_raises(ray_session):
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(ds, ds, left_on="k", right_on="k", left_cols=["k"], right_cols=["k"])
+
+
+def test_sum_by_key_oracle():
+    rng = np.random.RandomState(3)
+    k = rng.randint(0, 50, 1000).astype(np.int64)
+    v = rng.randint(1, 9, 1000).astype(np.int64)
+    kk, vv = sum_by_key(k, v)
+    exp = pd.Series(v).groupby(k).sum()
+    assert list(kk) == list(exp.index)
+    assert list(vv) == list(exp.values)
+
+
+@pytest.mark.parametrize("reducer", ["tree", "bucket"])
+def test_distributed_sums_match(ray_session, reducer):
+    rng = np.random.RandomState(5)
+    k = rng.randint(0, 997, 20000).astype(np.int64)
+    t = pa.table({"key": pa.array(k), "n": pa.array(np.ones(len(k), np.int64))})
+    ds = ray.data.from_arrow(t).repartition(7)
+    if reducer == "tree":
+        out = tree_sum(ds, key_col="key", val_col="n", fanin=4)
+    else:
+        out = bucket_sum(ds, key_col="key", val_col="n", num_buckets=8)
+    got = out.to_pandas().sort_values("key").reset_index(drop=True)
+    exp = pd.Series(np.ones(len(k), np.int64)).groupby(k).sum()
+    assert list(got["key"]) == list(exp.index)
+    assert list(got["n"]) == list(exp.values)
+    if reducer == "tree":  # tree output is globally sorted by construction
+        assert list(out.to_pandas()["key"]) == sorted(got["key"])
+
+
+def test_tag_extractor_map_semantics(ray_session):
+    html = [
+        b'<html><head><meta name="generator" content="gen-3.1">'
+        b'<meta name="geo.position" content="1.0;2.0"></head></html>',
+        b"<html><head></head></html>",
+        None,
+    ]
+    batch = pa.table(
+        {"url": pa.array(["a", "b", "c"]), "html": pa.array(html, pa.binary())}
+    )
+    out = TagExtractor()(batch)
+    tags = out["tags"].to_pylist()
+    assert dict(tags[0]) == {"generator": "gen-3.1", "geo.position": "1.0;2.0"}
+    assert tags[1] == [] and tags[2] == []
+
+
+def test_media_decode_stub(ray_session):
+    from changesetmd_ray.stages.multimodal import MediaDecodeStub, decode_media
+
+    media = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media_type": pa.array(["image", "audio"]),
+            "payload": pa.array([b"abc", b""], pa.binary()),
+        }
+    )
+    out = decode_media(ray.data.from_arrow(media), feat_dim=8, codec="fake").to_pandas()
+    assert list(out.columns) == ["media_id", "media_type", "payload_bytes", "feature"]
+    assert out["payload_bytes"].tolist() == [3, 0]
+    assert all(len(f) == 8 for f in out["feature"])
+    # determinism across calls
+    out2 = decode_media(ray.data.from_arrow(media), feat_dim=8, codec="fake").to_pandas()
+    assert np.allclose(np.stack(out["feature"]), np.stack(out2["feature"]))
+    # strict mode is the marked stub
+    stub = MediaDecodeStub(codec="strict")
+    with pytest.raises(NotImplementedError):
+        stub._decode(b"x")
