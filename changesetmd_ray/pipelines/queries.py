@@ -1147,6 +1147,36 @@ def q_media_features(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_docs_ngram_jaccard(sf_dir: str):
+    """Character-n-gram Jaccard near-dup (the 4th dedup mode): MinHash
+    LSH over 5-gram hashes, exact n-gram Jaccard verified ≥ 0.5 inside
+    the bucket stage (rows-only check — LSH is probabilistic)."""
+    pairs = minhash_lsh_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=32),
+        char_ngrams=5, threshold=0.5, carry_text=True,
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (5th dedup mode) with an exact
+    SQL oracle: cosine ≥ 0.4 (data margin to the threshold ≥ 1e-4 ≫
+    float error, verified at sf0.001/sf0.01)."""
+    from changesetmd_ray.text.ann import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    )
+
+
+_SQL_EMBEDDING_NEARDUP = """
+select a.vec_id as id_a, b.vec_id as id_b
+from embeddings a, embeddings b
+where a.vec_id < b.vec_id
+  and list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate cosine top-k (rows-only; recall < 1 by
     construction)."""
@@ -1192,6 +1222,8 @@ QUERIES = {
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "pages_pipeline": q_pages_pipeline,
+    "docs_ngram_jaccard": q_docs_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
     "pages_points_flatten": q_pages_points_flatten,
     "pages_tags": q_pages_tags,
     "media_features": q_media_features,
@@ -1221,6 +1253,7 @@ ORACLE_SQL = {
     "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
     "docs_quality": _SQL_DOCS_QUALITY,
     "ann_cosine": _SQL_ANN_COSINE,
+    "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
     "pages_points_flatten": _SQL_PAGES_POINTS_FLATTEN,
     "pages_tags": _SQL_PAGES_TAGS,
     # rows-only (non-SQL-expressible): geo_cell_encode,

@@ -197,3 +197,42 @@ def ann_lsh_topk(
     return partials.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pyarrow"
     )
+
+
+def embedding_neardup_pairs(
+    ds,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    batch_size: int = 2048,
+):
+    """Embedding-cosine near-duplicate pairs: all ``(id_a, id_b)`` with
+    ``id_a < id_b`` and cosine ≥ ``threshold``.
+
+    Broadcast-matmul shape: the L2-normalized corpus matrix ships once
+    via ``ray.put`` and the same dataset streams against it — one numpy
+    matmul per batch, pairs deduped for free by the id ordering. The
+    broadcast side must fit a worker heap; beyond that, bucket by LSH
+    signature first (``ann_lsh_topk``'s pruning) or block the matrix by
+    id range. Task pool (the per-task state is a zero-copy ``ray.get``).
+    """
+    corpus = ds.select_columns([id_col, emb_col]).take_all()
+    ids = np.asarray([r[id_col] for r in corpus], dtype=np.int64)
+    mat = _norm_rows(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in corpus]))
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], np.ascontiguousarray(mat[order])))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        cid, cmat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bmat = _norm_rows(_emb_matrix(batch, emb_col))
+        cos = bmat @ cmat.T
+        bi, ci = np.nonzero((cos >= threshold) & (bid[:, None] < cid[None, :]))
+        return pa.table(
+            {"id_a": pa.array(bid[bi]), "id_b": pa.array(cid[ci])}
+        )
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        pairs, batch_format="pyarrow", batch_size=batch_size
+    )
