@@ -709,6 +709,41 @@ select s_suppkey, event_id, rank from (
 """
 
 
+def q_geo_knn_radius(sf_dir: str):
+    """J4 scale path — cell-partitioned radius kNN with BOTH sides as
+    Datasets (no broadcast): each customer-derived probe gets its ≤3
+    nearest event points within 200 km (data margin to the radius
+    boundary ≥ 22 m at sf0.01 — far beyond float error)."""
+    from changesetmd_ray.joins.knn import knn_radius_join
+
+    probes = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: _add_point_cols(b, "c_custkey"), batch_format="pyarrow"
+    )
+    res = knn_radius_join(
+        _events_points(sf_dir), probes, 3, 200_000.0, zoom=6,
+        corpus_id="event_id", probe_id="c_custkey",
+    )
+    return res.map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["probe_id"], "event_id": b["neighbor_id"], "rank": b["rank"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_GEO_KNN_RADIUS = f"""
+with p as {_pt_sql('customer', 'c_custkey')}, e as {_pt_sql('events', 'event_id')}
+select c_custkey, event_id, rank from (
+  select p.c_custkey, e.event_id,
+         row_number() over (partition by p.c_custkey order by
+           {_HAVERSINE_SQL.format(R=EARTH_RADIUS_M, lat1='p.lat', lon1='p.lon', lat2='e.lat', lon2='e.lon')}
+           asc, e.event_id asc) as rank
+  from p, e
+  where {_HAVERSINE_SQL.format(R=EARTH_RADIUS_M, lat1='p.lat', lon1='p.lon', lat2='e.lat', lon2='e.lon')} <= 200000.0
+) where rank <= 3
+"""
+
+
 def q_geo_tile_counts(sf_dir: str):
     """J5/A4 raster tiles: per-tile point counts at zoom 6 (partial
     combine before the shuffle), sorted output (O2)."""
@@ -1208,6 +1243,7 @@ QUERIES = {
     "geo_bbox_join": q_geo_bbox_join,
     "geo_bbox_coveredby": q_geo_bbox_coveredby,
     "geo_knn": q_geo_knn,
+    "geo_knn_radius": q_geo_knn_radius,
     "geo_tile_counts": q_geo_tile_counts,
     "geo_area_filter": q_geo_area_filter,
     "geo_raster_lookup": q_geo_raster_lookup,
@@ -1247,6 +1283,7 @@ ORACLE_SQL = {
     "geo_bbox_join": _SQL_GEO_BBOX_JOIN,
     "geo_bbox_coveredby": _SQL_GEO_COVEREDBY,
     "geo_knn": _SQL_GEO_KNN,
+    "geo_knn_radius": _SQL_GEO_KNN_RADIUS,
     "geo_tile_counts": _SQL_GEO_TILE_COUNTS,
     "geo_area_filter": _SQL_GEO_AREA_FILTER,
     "geo_raster_lookup": _SQL_GEO_RASTER_LOOKUP,

@@ -208,3 +208,57 @@ def test_assign_tiles_null_coords():
     )
     out = assign_tiles(ray.data.from_arrow(pts), 5).take_all()
     assert all(r["tile_key"] is None for r in out)
+
+
+def test_probe_cover_cells_edges():
+    """Pole clamp and antimeridian wrap in the radius-kNN probe cover."""
+    from changesetmd_ray.geo.grid import grid_dims, unpack_cell
+    from changesetmd_ray.joins.knn import _probe_cover_cells
+
+    nx, ny = grid_dims(4)
+    # near the pole: cover must clamp, never emit iy outside [0, ny)
+    row, cells = _probe_cover_cells(np.array([0.0]), np.array([89.9]), 500_000.0, 4)
+    _, ix, iy = unpack_cell(cells.astype(np.uint64))
+    assert (iy >= 0).all() and (iy < ny).all()
+    # near the antimeridian: ix wraps, both edges present
+    row, cells = _probe_cover_cells(np.array([179.9]), np.array([0.0]), 500_000.0, 4)
+    _, ix, iy = unpack_cell(cells.astype(np.uint64))
+    assert 0 in ix and (nx - 1) in ix
+    # oversize radius at high zoom raises the guard
+    with pytest.raises(ValueError, match="cells at zoom"):
+        _probe_cover_cells(np.array([0.0]), np.array([80.0]), 2_000_000.0, 10)
+
+
+def test_knn_radius_join_matches_bruteforce(ray_session):
+    """Cell-partitioned radius kNN == brute-force oracle on seeded data."""
+    from changesetmd_ray.joins.knn import EARTH_RADIUS_M, knn_radius_join
+
+    rng = np.random.RandomState(9)
+    n_c, n_p, k, radius = 800, 120, 3, 400_000.0
+    clon = rng.uniform(-180, 180, n_c); clat = rng.uniform(-80, 80, n_c)
+    plon = rng.uniform(-180, 180, n_p); plat = rng.uniform(-80, 80, n_p)
+    corpus = ray.data.from_arrow(pa.table(
+        {"id": pa.array(np.arange(n_c, dtype=np.int64)),
+         "lon": pa.array(clon), "lat": pa.array(clat)})).repartition(4)
+    probes = ray.data.from_arrow(pa.table(
+        {"id": pa.array(np.arange(n_p, dtype=np.int64)),
+         "lon": pa.array(plon), "lat": pa.array(plat)})).repartition(3)
+    got = knn_radius_join(corpus, probes, k, radius, zoom=5).to_pandas()
+
+    def hav(lo1, la1, lo2, la2):
+        p1, p2 = np.radians(la1), np.radians(la2)
+        dl = np.radians(lo2) - np.radians(lo1)
+        a = np.sin((p2 - p1) / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+        return 2 * EARTH_RADIUS_M * np.arcsin(np.minimum(np.sqrt(a), 1.0))
+
+    exp = set()
+    for p in range(n_p):
+        d = hav(plon[p], plat[p], clon, clat)
+        order = np.lexsort((np.arange(n_c), d))
+        rank = 0
+        for ci in order:
+            if d[ci] > radius or rank >= k:
+                break
+            rank += 1
+            exp.add((p, int(ci), rank))
+    assert set(zip(got["probe_id"], got["neighbor_id"], got["rank"])) == exp
