@@ -144,8 +144,10 @@ class _Explode:
 
 def _cell_counts(ds, id_col: str, cols: tuple, zoom: int) -> dict[int, int]:
     """Per-compact-cell covering counts for one side: a column-pruned
-    pass whose per-block partials are combined driver-side (the result is
-    bounded by distinct touched cells, not by rows)."""
+    pass combined DISTRIBUTED first (one level of the repartition tree),
+    so the driver only ever receives ≤ 32 × |distinct touched cells|
+    rows — never blocks × cells (which grows with input size)."""
+    from changesetmd_ray.stages.reduce import _combine_table
 
     def partial(batch: pa.Table) -> pa.Table:
         box = [batch[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in cols]
@@ -157,9 +159,14 @@ def _cell_counts(ds, id_col: str, cols: tuple, zoom: int) -> dict[int, int]:
         u, n = np.unique(_compact(cells, zoom), return_counts=True)
         return pa.table({"cell": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())})
 
-    parts = ds.select_columns(list(cols)).map_batches(partial, batch_format="pyarrow").take_all()
+    partials = ds.select_columns(list(cols)).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    combined = partials.repartition(32).map_batches(
+        lambda b: _combine_table(b, "cell", "n"), batch_format="pyarrow", batch_size=None
+    )
     out: dict[int, int] = {}
-    for row in parts:
+    for row in combined.take_all():
         out[row["cell"]] = out.get(row["cell"], 0) + row["n"]
     return out
 

@@ -262,3 +262,27 @@ def test_knn_radius_join_matches_bruteforce(ray_session):
             rank += 1
             exp.add((p, int(ci), rank))
     assert set(zip(got["probe_id"], got["neighbor_id"], got["rank"])) == exp
+
+
+def test_write_sorted_tiles_layout(ray_session, tmp_path):
+    """O2 ordered tile output: partitioned dirs, per-tile re-readable."""
+    import os
+
+    from changesetmd_ray.joins.tiles import assign_tiles, write_sorted_tiles
+
+    rng = np.random.RandomState(2)
+    pts = pa.table(
+        {"id": pa.array(np.arange(500, dtype=np.int64)),
+         "lon": pa.array(rng.uniform(-180, 180, 500)),
+         "lat": pa.array(rng.uniform(-85, 85, 500))}
+    )
+    ds = assign_tiles(ray.data.from_arrow(pts).repartition(3), 2)
+    out = str(tmp_path / "tiles")
+    write_sorted_tiles(ds, out)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("tile_key="))
+    assert len(dirs) > 1
+    # one tile dir is independently re-readable and pure
+    sub = ray.data.read_parquet(os.path.join(out, dirs[0]))
+    assert sub.count() > 0
+    total = ray.data.read_parquet(out).count()
+    assert total == 500
