@@ -240,9 +240,9 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--cpus-lo", type=int, default=4)
     ap.add_argument("--cpus-hi", type=int, default=16)
-    ap.add_argument("--n-points", type=int, default=32_000_000,
+    ap.add_argument("--n-points", type=int, default=64_000_000,
                     help="points for the scaling headline")
-    ap.add_argument("--trials", type=int, default=3,
+    ap.add_argument("--trials", type=int, default=2,
                     help="scaling trials per leg (best-of-N)")
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()

@@ -25,7 +25,9 @@ import ray
 from changesetmd_ray.geo.pip import (
     BOUNDARY,
     INTERIOR,
+    classify_pairs_rects,
     classify_pairs_rings,
+    is_axis_rect,
     pack_rings,
     ring_bbox,
 )
@@ -47,7 +49,9 @@ def prepare_polygons(polygons: pa.Table) -> dict:
     boxes = []
     poly_ids = []
     rings: list[tuple[np.ndarray, np.ndarray]] = []
-    ring_pos = []  # index into the pack, -1 for caps
+    ring_pos = []  # index into the pack; -1 for caps and rects
+    rect_pos = []  # index into the rect arrays; -1 otherwise
+    rect_box = []  # (lo_x, lo_y, hi_x, hi_y) per rect
     cap_thr = []
     cap_north = []
     for row in polygons.to_pylist():
@@ -55,29 +59,47 @@ def prepare_polygons(polygons: pa.Table) -> dict:
         if row["kind"] == "ring":
             x = np.array([p["lon"] for p in row["ring"]], dtype=np.float64)
             y = np.array([p["lat"] for p in row["ring"]], dtype=np.float64)
-            boxes.append(ring_bbox(x, y))
-            ring_pos.append(len(rings))
-            rings.append((x, y))
+            bb = ring_bbox(x, y)
+            boxes.append(bb)
             cap_thr.append(np.nan)
             cap_north.append(False)
+            if is_axis_rect(x, y):
+                # comparison fast path (the reference's envelope case)
+                rect_pos.append(len(rect_box))
+                rect_box.append(bb)
+                ring_pos.append(-1)
+            else:
+                rect_pos.append(-1)
+                ring_pos.append(len(rings))
+                rings.append((x, y))
         elif row["kind"] == "cap_n":
             boxes.append((-360.0, float(row["lat_threshold"]), 360.0, 90.0))
             ring_pos.append(-1)
+            rect_pos.append(-1)
             cap_thr.append(float(row["lat_threshold"]))
             cap_north.append(True)
         else:  # cap_s
             boxes.append((-360.0, -90.0, 360.0, float(row["lat_threshold"])))
             ring_pos.append(-1)
+            rect_pos.append(-1)
             cap_thr.append(float(row["lat_threshold"]))
             cap_north.append(False)
     b = np.array(boxes, dtype=np.float64).reshape(-1, 4)
     tree = STRtree(b[:, 0], b[:, 1], b[:, 2], b[:, 3]) if len(poly_ids) else None
+    rb = np.array(rect_box, dtype=np.float64).reshape(-1, 4)
+    rects = {
+        "lo_x": rb[:, 0], "lo_y": rb[:, 1], "hi_x": rb[:, 2], "hi_y": rb[:, 3],
+        "shift_plus": rb[:, 2] > 180.0,
+        "shift_minus": rb[:, 0] < -180.0,
+    }
     return {
         "tree": tree,
         "n_polys": len(poly_ids),
         "poly_id": np.asarray(poly_ids, dtype=np.int64),
         "ring_pos": np.asarray(ring_pos, dtype=np.int64),
+        "rect_pos": np.asarray(rect_pos, dtype=np.int64),
         "pack": pack_rings(rings) if rings else None,
+        "rects": rects,
         "cap_thr": np.asarray(cap_thr, dtype=np.float64),
         "cap_north": np.asarray(cap_north, dtype=bool),
     }
@@ -117,11 +139,12 @@ class PipProbe:
         idx = np.nonzero(ok)[0]
         qx, qy = px[idx], py[idx]
         # candidate (probe, polygon) pairs; shifted probe copies only
-        # when some ring is stored unwrapped past ±180
+        # when some ring/rect is stored unwrapped past ±180
+        rects = prep["rects"]
         shifts = [0.0]
-        if pack is not None and pack["shift_plus"].any():
+        if (pack is not None and pack["shift_plus"].any()) or rects["shift_plus"].any():
             shifts.append(360.0)
-        if pack is not None and pack["shift_minus"].any():
+        if (pack is not None and pack["shift_minus"].any()) or rects["shift_minus"].any():
             shifts.append(-360.0)
         cand_q, cand_p = [], []
         for shift in shifts:
@@ -145,12 +168,18 @@ class PipProbe:
         sel = idx[qi]
         cls = np.zeros(len(qi), dtype=np.int8)
         ring_pos = prep["ring_pos"][pi]
+        rect_pos = prep["rect_pos"][pi]
         is_ring = ring_pos >= 0
+        is_rect = rect_pos >= 0
+        if is_rect.any():
+            cls[is_rect] = classify_pairs_rects(
+                px[sel[is_rect]], py[sel[is_rect]], rects, rect_pos[is_rect]
+            )
         if is_ring.any():
             cls[is_ring] = classify_pairs_rings(
                 px[sel[is_ring]], py[sel[is_ring]], pack, ring_pos[is_ring]
             )
-        is_cap = ~is_ring
+        is_cap = ~is_ring & ~is_rect
         if is_cap.any():
             thr = prep["cap_thr"][pi[is_cap]]
             north = prep["cap_north"][pi[is_cap]]

@@ -120,3 +120,39 @@ def test_strtree_edge_sizes():
     t = STRtree(np.array([0.0]), np.array([0.0]), np.array([1.0]), np.array([1.0]))
     qi, ii = t.query_points(np.array([0.5, 2.0]), np.array([0.5, 2.0]))
     assert list(qi) == [0] and list(ii) == [0]
+
+
+def test_rect_fast_path_parity():
+    """classify_pairs_rects == generic ray casting on random rectangles
+    (incl. edge/corner probes); degenerate rects are not fast-pathed."""
+    from changesetmd_ray.geo.pip import (
+        classify_pairs_rects,
+        classify_points_polygon,
+        is_axis_rect,
+    )
+
+    rng = np.random.RandomState(4)
+    checked = 0
+    for _ in range(100):
+        lo_x, lo_y = rng.uniform(-180, 170), rng.uniform(-85, 80)
+        hi_x, hi_y = lo_x + rng.uniform(1e-6, 30), lo_y + rng.uniform(1e-6, 20)
+        rx = np.array([lo_x, hi_x, hi_x, lo_x])
+        ry = np.array([lo_y, lo_y, hi_y, hi_y])
+        assert is_axis_rect(rx, ry)
+        px = np.concatenate([rng.uniform(lo_x - 1, hi_x + 1, 40), [lo_x, hi_x, (lo_x + hi_x) / 2]])
+        py = np.concatenate([rng.uniform(lo_y - 1, hi_y + 1, 40), [lo_y, hi_y, (lo_y + hi_y) / 2]])
+        a = classify_points_polygon(px, py, rx, ry)
+        rects = {
+            "lo_x": np.array([lo_x]), "lo_y": np.array([lo_y]),
+            "hi_x": np.array([hi_x]), "hi_y": np.array([hi_y]),
+            "shift_plus": np.array([hi_x > 180.0]),
+            "shift_minus": np.array([lo_x < -180.0]),
+        }
+        b = classify_pairs_rects(px, py, rects, np.zeros(len(px), np.int64))
+        assert (a == b).all()
+        checked += 1
+    assert checked == 100
+    # degenerate: rejected from the fast path
+    assert not is_axis_rect(np.array([0.0, 1.0, 1.0, 0.0]), np.array([5.0, 5.0, 5.0, 5.0]))
+    # non-rect ring: rejected
+    assert not is_axis_rect(np.array([0.0, 2.0, 1.0]), np.array([0.0, 0.0, 2.0]))
