@@ -1,0 +1,102 @@
+"""Command-line entry point — the reference's CLI surface
+(``changesetmd.py:499-527``) re-expressed for the Ray engine, so a
+reference user can switch flag-for-flag:
+
+| reference flag | here |
+|---|---|
+| ``-f/--file`` (bulk load)            | ``--input`` shard dir (or explicit ``--files``) |
+| ``-c/--create`` + ``-t/--truncate``  | ``--fresh`` (clear output data + manifest first) |
+| ``-r/--replicate`` (incremental)     | the DEFAULT: resume via the manifest diff |
+| ``-F --fromseq --toseq`` (partial)   | ``--from-part/--to-part`` (explicit range, manifest still written) |
+| ``-g/--geometry``                    | ``--s2-level/--hex-res/--grid-zoom`` (index columns are always on; these pick resolutions) |
+| ``-b/--bulkrows``                    | ``--batch-size`` |
+| ``-k/--kid`` (contributor allow-list)| ``--langs en,de`` (allow-list on the pages table's ``lang``) |
+
+Usage::
+
+    python -m changesetmd_ray --input /data/pages --out /data/out
+    python -m changesetmd_ray --input ... --out ... --fresh --langs en
+    python -m changesetmd_ray --input ... --out ... --from-part 3 --to-part 7
+
+Owns the Ray session (guarded init — reuses one if already running).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="changesetmd_ray", description=__doc__.split("\n\n")[0])
+    ap.add_argument("--input", help="directory of part-*.parquet page shards")
+    ap.add_argument("--files", nargs="*", help="explicit shard files (overrides --input)")
+    ap.add_argument("--out", required=True, help="output root (data/ + _manifest/)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="clear output data + manifest first (reference -t/--truncate)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="reprocess every partition even if marked done")
+    ap.add_argument("--from-part", type=int, default=None)
+    ap.add_argument("--to-part", type=int, default=None)
+    ap.add_argument("--s2-level", type=int, default=12)
+    ap.add_argument("--hex-res", type=int, default=9)
+    ap.add_argument("--grid-zoom", type=int, default=7)
+    ap.add_argument("--batch-size", type=int, default=2048,
+                    help="rows per extract batch (reference --bulkrows)")
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated lang allow-list (reference -k shape)")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="ray.init num_cpus when starting a fresh session")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+
+    from changesetmd_ray.pipelines.flagship import run_flagship
+    from changesetmd_ray.sources.pages import discover_partitions
+
+    if args.files:
+        files = list(args.files)
+    elif args.input:
+        files = list(discover_partitions(args.input).values())
+    else:
+        print("error: provide --input or --files", file=sys.stderr)
+        return 2
+
+    if args.from_part is not None or args.to_part is not None:
+        # partial range (reference -F --fromseq --toseq): explicit
+        # partition window, bypasses nothing else — manifest still written
+        lo = args.from_part if args.from_part is not None else 0
+        hi = args.to_part if args.to_part is not None else len(files) - 1
+        files = files[lo : hi + 1]
+
+    if args.fresh:
+        shutil.rmtree(args.out, ignore_errors=True)
+
+    metrics = run_flagship(
+        files,
+        args.out,
+        s2_level=args.s2_level,
+        hex_res=args.hex_res,
+        grid_zoom=args.grid_zoom,
+        batch_size=args.batch_size,
+        resume=not args.no_resume,
+        langs=args.langs.split(",") if args.langs else None,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,6 +60,7 @@ def run_flagship(
     concurrency=(1, 8),
     wave_size: int = 256,
     resume: bool = True,
+    langs: list[str] | None = None,
 ) -> dict:
     """Run (or resume) the flagship pipeline over ``input_files``.
 
@@ -95,6 +96,14 @@ def run_flagship(
 
             ds = ray.data.read_parquet([by_shard[p] for p in wave], include_paths=True)
             ds = ds.map_batches(_attach_shard_id, batch_format="pyarrow")
+            if langs:
+                # the reference's contributor allow-list shape
+                # (changesetmd.py:215-219): broadcast small set, vectorized is_in
+                allow = pa.array(sorted(langs), pa.string())
+                ds = ds.map_batches(
+                    lambda b, _a=allow: b.filter(pc.is_in(b["lang"], value_set=_a)),
+                    batch_format="pyarrow",
+                )
             ds = ds.map_batches(
                 GeoExtractor,
                 batch_format="pyarrow",

@@ -156,3 +156,36 @@ def test_stale_lock_is_broken(tmp_path):
         json.dump({"pid": 99999999, "ts": 0}, f)  # dead pid + ancient ts
     m.acquire_lock()  # breaks the stale lock instead of raising
     m.release_lock()
+
+
+def test_cli_end_to_end(ray_session, pages_dir, tmp_path):
+    """CLI surface: fresh run, resume, partial range, lang filter."""
+    import json as _json
+
+    from changesetmd_ray.cli import main
+    from changesetmd_ray.pipelines.flagship import read_output
+
+    out = str(tmp_path / "cli_out")
+    rc = main(["--input", pages_dir, "--out", out, "--fresh"])
+    assert rc == 0
+    total = read_output(out).count()
+    assert total > 0
+
+    # resume: everything already done → 0 new partitions
+    rc = main(["--input", pages_dir, "--out", out])
+    assert rc == 0
+    assert read_output(out).count() == total
+
+    # lang allow-list filters rows
+    out2 = str(tmp_path / "cli_lang")
+    rc = main(["--input", pages_dir, "--out", out2, "--langs", "en"])
+    assert rc == 0
+    sub = read_output(out2, columns=["lang"])
+    langs = {r["lang"] for r in sub.take_all()}
+    assert langs <= {"en"}
+
+    # partial range processes a strict subset of partitions
+    out3 = str(tmp_path / "cli_part")
+    rc = main(["--input", pages_dir, "--out", out3, "--from-part", "0", "--to-part", "0"])
+    assert rc == 0
+    assert read_output(out3).count() < total
