@@ -292,18 +292,17 @@ def bbox_join(
         plan = _salting_plan({}, {}, pair_budget)
     plan_ref = ray.put(plan)
 
+    _ = concurrency  # kept for API compat; tasks autoscale with the executor
+
     def explode(ds, side, id_col, cols):
+        # task pool: the only per-worker state is the broadcast plan
+        # (zero-copy ray.get per task); autoscaling actor pools ramp too
+        # slowly to saturate the node (see joins/pip.py measurement)
+        def fn(batch, _side=side, _id=id_col, _cols=cols):
+            return _Explode(plan_ref, _side, _id, _cols, zoom)(batch)
+
         return ds.select_columns([id_col, *cols]).map_batches(
-            _Explode,
-            fn_constructor_kwargs={
-                "plan_ref": plan_ref,
-                "side": side,
-                "id_col": id_col,
-                "cols": cols,
-                "zoom": zoom,
-            },
-            batch_format="pyarrow",
-            concurrency=concurrency,
+            fn, batch_format="pyarrow", batch_size=8192
         )
 
     both = explode(left, 0, left_id, left_cols).union(explode(right, 1, right_id, right_cols))

@@ -172,12 +172,18 @@ def minhash_lsh_candidates(
         n_perm=n_perm, n_bands=n_bands, shingle_w=shingle_w, text_col=text_col,
         id_col=id_col, carry_text=carry_text, char_ngrams=char_ngrams,
     )
+    _ = concurrency  # kept for API compat; tasks autoscale with the executor
+
+    def minhash_fn(batch):
+        # task pool: the per-worker state (permutation params) costs
+        # microseconds to rebuild; autoscaling actor pools ramp too
+        # slowly to saturate the node (see joins/pip.py measurement)
+        return _MinHashStage(**stage)(batch)
+
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs=stage,
+        minhash_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
     n_rows_band = n_perm // n_bands
