@@ -1182,6 +1182,64 @@ def q_media_features(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_docs_dup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment (union-find over verified dup pairs,
+    text/dedup.py::duplicate_clusters): documents sharing a (lang,
+    length-bucket) fingerprint form a cluster → (doc_id, rep_id = min id
+    of the component). The testdata has no exact-text dups, so the
+    cluster key is the coarse fingerprint — the machinery (distributed
+    pair generation, key-verified, driver union-find over the small
+    pair list) is the same."""
+    from changesetmd_ray.text.dedup import duplicate_clusters
+    from changesetmd_ray.text.hashing import hash_bytes64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{lg}|{len(t or '') // 100}"
+            for lg, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist())
+        ]
+        h = np.fromiter(
+            (hash_bytes64(k.encode("utf-8")) for k in keys), np.uint64, len(batch)
+        )
+        return (
+            batch.drop_columns(["text"])
+            .append_column("__key", pa.array(keys, pa.string()))
+            .append_column("__h", pa.array(h.astype(np.int64)))
+        )
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        keys = group["__key"].to_pylist()
+        out_a, out_b = [], []
+        by_key: dict[str, int] = {}
+        order = np.argsort(ids)
+        for i in order:  # collision guard: pair only true key matches
+            t = keys[i]
+            if t in by_key:
+                out_a.append(by_key[t])
+                out_b.append(int(ids[i]))
+            else:
+                by_key[t] = int(ids[i])
+        return pa.table({"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())})
+
+    pairs_ds = ds.map_batches(add_hash, batch_format="pyarrow").groupby("__h").map_groups(
+        group_pairs, batch_format="pyarrow"
+    )
+    pairs = pa.Table.from_pylist(pairs_ds.take_all()) if pairs_ds.count() else pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    return duplicate_clusters(pairs)
+
+
+_SQL_DOCS_DUP_CLUSTERS = """
+select doc_id, min(doc_id) over (partition by lang, length(text)//100) as rep_id
+from documents
+qualify count(*) over (partition by lang, length(text)//100) > 1
+"""
+
+
 def q_docs_ngram_jaccard(sf_dir: str):
     """Character-n-gram Jaccard near-dup (the 4th dedup mode): MinHash
     LSH over 5-gram hashes, exact n-gram Jaccard verified ≥ 0.5 inside
@@ -1258,6 +1316,7 @@ QUERIES = {
     "ann_cosine": q_ann_cosine,
     "ann_lsh": q_ann_lsh,
     "pages_pipeline": q_pages_pipeline,
+    "docs_dup_clusters": q_docs_dup_clusters,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "pages_points_flatten": q_pages_points_flatten,
@@ -1290,6 +1349,7 @@ ORACLE_SQL = {
     "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
     "docs_quality": _SQL_DOCS_QUALITY,
     "ann_cosine": _SQL_ANN_COSINE,
+    "docs_dup_clusters": _SQL_DOCS_DUP_CLUSTERS,
     "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
     "pages_points_flatten": _SQL_PAGES_POINTS_FLATTEN,
     "pages_tags": _SQL_PAGES_TAGS,
