@@ -87,6 +87,7 @@ def run_flagship(
     t0 = time.perf_counter()
     rows_total = 0
     points_total = 0
+    wave_stats = None
     try:
         for w in range(0, len(pending), wave_size):
             wave = pending[w : w + wave_size]
@@ -124,6 +125,9 @@ def run_flagship(
             t_wave = time.perf_counter()
             ds.write_parquet(data_dir, partition_cols=["shard_id"])
             wave_secs = time.perf_counter() - t_wave
+            # per-stage wall breakdown for the tuning loop (the
+            # measure-don't-guess rule): first lines of ds.stats()
+            wave_stats = "\n".join(ds.stats().splitlines()[:30])
 
             # manifest metrics from a cheap pruned read-back of the wave's
             # output (validates the write; reference tracked rows + max
@@ -165,6 +169,7 @@ def run_flagship(
                         "grid_zoom": grid_zoom,
                         "batch_size": batch_size,
                     },
+                    "wave_stats": wave_stats,
                 }
                 manifest.mark_done(pid, entry)
                 rows_total += entry["rows"]
@@ -181,6 +186,7 @@ def run_flagship(
         "secs": secs,
         "rows_per_sec": rows_total / secs if secs > 0 else 0.0,
         "out_dir": out_dir,
+        "last_wave_stats": wave_stats if pending else None,
     }
 
 
