@@ -44,20 +44,35 @@ class GeoExtractor:
         self.pattern = _PATTERN
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html = batch["html"]
-        lons: list[float] = []
+        html = batch["html"].combine_chunks()
+        n = len(html)
+        # ONE regex scan over the column's contiguous Arrow values buffer
+        # (no per-row as_py copies); match offsets map back to rows via
+        # searchsorted on the value offsets. A match straddling two
+        # documents' boundary is rejected by the end<=row_end check.
+        val_off = np.frombuffer(html.buffers()[1], dtype=np.int32)[
+            html.offset : html.offset + n + 1
+        ].astype(np.int64)
+        rows: list[int] = []
         lats: list[float] = []
-        offsets = np.empty(len(html) + 1, dtype=np.int32)
-        offsets[0] = 0
-        finditer = self.pattern.finditer
-        for i, cell in enumerate(html):
-            buf = cell.as_py()
-            if buf:
-                for m in finditer(buf):
-                    la, lo = (g for g in m.groups() if g is not None)
-                    lats.append(float(la))
-                    lons.append(float(lo))
-            offsets[i + 1] = len(lons)
+        lons: list[float] = []
+        if n and val_off[-1] > val_off[0]:
+            data = memoryview(html.buffers()[2])[val_off[0] : val_off[-1]]
+            base = int(val_off[0])
+            for m in self.pattern.finditer(data):
+                start = m.start() + base
+                row = int(np.searchsorted(val_off, start, "right")) - 1
+                if m.end() + base > val_off[row + 1]:
+                    continue  # crosses a document boundary
+                la, lo = (g for g in m.groups() if g is not None)
+                rows.append(row)
+                lats.append(float(la))
+                lons.append(float(lo))
+        # forward scan ⇒ rows are nondecreasing ⇒ document order per row
+        counts_per_row = np.bincount(
+            np.asarray(rows, dtype=np.int64), minlength=n
+        ) if rows else np.zeros(n, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts_per_row)]).astype(np.int32)
 
         lon_arr = np.asarray(lons, dtype=np.float64)
         lat_arr = np.asarray(lats, dtype=np.float64)
