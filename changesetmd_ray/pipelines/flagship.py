@@ -19,8 +19,10 @@ Scale design notes:
   deterministic directories: re-running a partition first removes its
   directory, so reruns are idempotent whole-partition overwrites
   (≙ the reference's upsert-on-replicate, ``changesetmd.py:164-182``).
-- the extract stage is an actor pool (regex compiled once per actor);
-  batches stay Arrow end-to-end (zero-copy ``text`` passthrough).
+- the extract/encode stages are task pools (their state rebuilds in
+  microseconds; autoscaling actor pools ramp too slowly to saturate a
+  node — measured); batches stay Arrow end-to-end (zero-copy ``text``
+  passthrough).
 """
 
 from __future__ import annotations
@@ -105,22 +107,30 @@ def run_flagship(
                     lambda b, _a=allow: b.filter(pc.is_in(b["lang"], value_set=_a)),
                     batch_format="pyarrow",
                 )
+            # task pools, not actor pools: the stage state (compiled
+            # regex / lookup tables) rebuilds in microseconds, and
+            # autoscaling actor pools ramp too slowly to saturate the
+            # node (measured in joins/pip.py; extract was capped at 8
+            # actors before this change)
+            def extract_fn(batch):
+                return GeoExtractor()(batch)
+
+            encoder = CellEncoder(
+                s2_level=s2_level, hex_res=hex_res, grid_zoom=grid_zoom
+            )
+
+            def encode_fn(batch, _enc=encoder):
+                return _enc(batch)
+
             ds = ds.map_batches(
-                GeoExtractor,
+                extract_fn,
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=concurrency,
             )
             ds = ds.map_batches(
-                CellEncoder,
-                fn_constructor_kwargs={
-                    "s2_level": s2_level,
-                    "hex_res": hex_res,
-                    "grid_zoom": grid_zoom,
-                },
+                encode_fn,
                 batch_format="pyarrow",
                 batch_size=max(batch_size * 4, 8192),
-                concurrency=concurrency,
             )
             t_wave = time.perf_counter()
             ds.write_parquet(data_dir, partition_cols=["shard_id"])
