@@ -286,3 +286,56 @@ def test_write_sorted_tiles_layout(ray_session, tmp_path):
     assert sub.count() > 0
     total = ray.data.read_parquet(out).count()
     assert total == 500
+
+
+def test_salting_bounds_group_pair_work(ray_session):
+    """North_rule skew check: per-(cell,salt) pairwise work after
+    salting stays ~within pair_budget, while the unsalted plan exceeds
+    it by orders of magnitude; outputs stay identical."""
+    import pandas as pd
+
+    from changesetmd_ray.joins import bbox_join
+    from changesetmd_ray.joins.bbox import SALT_BITS, _Explode, _cell_counts, _salting_plan
+
+    # hot cell: 600 left + 400 right boxes piled into one ~small area
+    rng = np.random.RandomState(13)
+    def boxes(n, id0):
+        lo_x = rng.uniform(10.0, 10.5, n); lo_y = rng.uniform(40.0, 40.5, n)
+        return pa.table({
+            "id": pa.array(np.arange(id0, id0 + n, dtype=np.int64)),
+            "min_lon": pa.array(lo_x), "min_lat": pa.array(lo_y),
+            "max_lon": pa.array(lo_x + 0.2), "max_lat": pa.array(lo_y + 0.2)})
+    left_t, right_t = boxes(600, 0), boxes(400, 10_000)
+    budget = 5_000
+    zoom = 4
+
+    left = ray.data.from_arrow(left_t)
+    right = ray.data.from_arrow(right_t)
+    cl = _cell_counts(left, "id", ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
+    cr = _cell_counts(right, "id", ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
+    unsalted_max = max(nl * cr.get(c, 0) for c, nl in cl.items())
+    assert unsalted_max > budget * 10  # genuinely skewed input
+
+    plan = _salting_plan(cl, cr, budget)
+    assert len(plan["cells"]) >= 1
+    cols = ("min_lon", "min_lat", "max_lon", "max_lat")
+    ex_l = _Explode(plan, 0, "id", cols, zoom)(left_t)
+    ex_r = _Explode(plan, 1, "id", cols, zoom)(right_t)
+    df = pa.concat_tables([ex_l, ex_r]).to_pandas()
+    per_group = df.groupby("jkey")["side"].agg(
+        L=lambda s: int((s == 0).sum()), R=lambda s: int((s == 1).sum())
+    )
+    work = per_group["L"] * per_group["R"]
+    # ceil-division rounding means a group can slightly exceed budget
+    assert work.max() <= budget * 2
+    assert work.max() < unsalted_max / 5
+
+    # and the join output with forced salting == without (exactness)
+    with_salt = bbox_join(left, right, zoom=zoom, left_id="id", right_id="id",
+                          pair_budget=budget).to_pandas()
+    no_salt = bbox_join(left, right, zoom=zoom, left_id="id", right_id="id",
+                        salting=False).to_pandas()
+    key = ["l_id", "r_id"]
+    a = with_salt.sort_values(key).reset_index(drop=True)
+    b = no_salt.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

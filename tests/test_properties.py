@@ -1,0 +1,92 @@
+"""Hypothesis property tests over the pure-numpy kernels (no Ray).
+
+These complement the seeded-random tests with adversarial shrinking:
+invariants that must hold for EVERY input, not just sampled ones.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from changesetmd_ray.geo.cells import cell_from_latlng, parent
+from changesetmd_ray.geo.grid import grid_dims, pack_tile, tile_xyz, unpack_cell
+from changesetmd_ray.geo.pip import classify_points_ring, is_axis_rect
+from changesetmd_ray.stages.reduce import sum_by_key
+from changesetmd_ray.text.hashing import splitmix64
+
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, st.integers(min_value=0, max_value=12))
+def test_tile_pack_unpack_roundtrip(lon, lat, zoom):
+    x, y = tile_xyz(np.array([lon]), np.array([lat]), zoom)
+    n = 1 << zoom
+    assert 0 <= x[0] < n and 0 <= y[0] < n
+    z2, x2, y2 = unpack_cell(pack_tile(zoom, x, y))
+    assert (z2[0], x2[0], y2[0]) == (zoom, x[0], y[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, st.integers(min_value=1, max_value=24))
+def test_s2_parent_of_child_is_stable(lon, lat, level):
+    child = cell_from_latlng(np.array([lat]), np.array([lon]), level)
+    direct = cell_from_latlng(np.array([lat]), np.array([lon]), level - 1)
+    assert parent(child, level - 1)[0] == direct[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=-179.0, max_value=178.0, allow_nan=False),
+    st.floats(min_value=-84.0, max_value=83.0, allow_nan=False),
+    st.floats(min_value=1e-6, max_value=1.0),
+    st.floats(min_value=1e-6, max_value=1.0),
+)
+def test_rect_classify_consistency(lo_x, lo_y, w, h):
+    """Center strictly inside, far point outside, corner on boundary —
+    for every rectangle the ray-casting kernel must agree."""
+    hi_x, hi_y = lo_x + w, lo_y + h
+    rx = np.array([lo_x, hi_x, hi_x, lo_x])
+    ry = np.array([lo_y, lo_y, hi_y, hi_y])
+    assert is_axis_rect(rx, ry)
+    cx, cy = (lo_x + hi_x) / 2, (lo_y + hi_y) / 2
+    cls = classify_points_ring(
+        np.array([cx, lo_x - 1.0, lo_x]), np.array([cy, lo_y - 1.0, lo_y]), rx, ry
+    )
+    assert list(cls) == [2, 0, 1]  # INTERIOR, OUTSIDE, BOUNDARY
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(min_value=-50, max_value=50),
+                       st.integers(min_value=-1000, max_value=1000)), max_size=200)
+)
+def test_sum_by_key_matches_dict(pairs):
+    k = np.array([p[0] for p in pairs], dtype=np.int64)
+    v = np.array([p[1] for p in pairs], dtype=np.int64)
+    kk, vv = sum_by_key(k, v)
+    exp: dict[int, int] = {}
+    for a, b in pairs:
+        exp[a] = exp.get(a, 0) + b
+    assert dict(zip(kk.tolist(), vv.tolist())) == exp
+    assert list(kk) == sorted(exp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=100))
+def test_splitmix64_deterministic_and_distinct_on_sequences(xs):
+    a = splitmix64(np.array(xs, dtype=np.uint64))
+    b = splitmix64(np.array(xs, dtype=np.uint64))
+    assert (a == b).all()
+    # splitmix64 is a bijection: distinct inputs → distinct outputs
+    assert len(set(a.tolist())) == len(set(xs))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=11), lons, lats)
+def test_tile_parenting_consistent_across_zooms(zoom, lon, lat):
+    """The z+1 tile of a point is one of the 4 children of its z tile."""
+    x1, y1 = tile_xyz(np.array([lon]), np.array([lat]), zoom)
+    x2, y2 = tile_xyz(np.array([lon]), np.array([lat]), zoom + 1)
+    assert x2[0] // 2 == x1[0] and y2[0] // 2 == y1[0]
