@@ -63,6 +63,23 @@ def _consume(res) -> int:
     return len(res)
 
 
+def _warm_imports(batch):
+    """Worker warmup body: the first task touching the library pays its
+    import in every worker process (32 simultaneous imports contend on
+    the filesystem — measured 10-15 s first-execution penalty per fresh
+    function); importing here moves that cost out of the timed region."""
+    import changesetmd_ray.joins.bbox  # noqa: F401
+    import changesetmd_ray.joins.equi  # noqa: F401
+    import changesetmd_ray.joins.knn  # noqa: F401
+    import changesetmd_ray.joins.pip  # noqa: F401
+    import changesetmd_ray.joins.tiles  # noqa: F401
+    import changesetmd_ray.stages.extract  # noqa: F401
+    import changesetmd_ray.text.ann  # noqa: F401
+    import changesetmd_ray.text.dedup  # noqa: F401
+
+    return batch
+
+
 def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:
     """North_rule headline — spatial-join + tile-assignment throughput:
     derive ``n_points`` web-page-style points (same integer-arithmetic
@@ -124,7 +141,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             return b
 
     ray.data.range(1_000_000, override_num_blocks=num_cpus * 4).map_batches(
-        lambda b: b, batch_format="pyarrow"
+        _warm_imports, batch_format="pyarrow"
     ).count()
     ray.data.range(1000).map_batches(_Noop, batch_format="pyarrow", concurrency=(1, 2)).count()
 
@@ -164,7 +181,7 @@ def _child_headline(sf_dir: str, num_cpus: int, n_points: int, trials: int = 1) 
                 return b
 
         ray.data.range(1_000_000, override_num_blocks=num_cpus * 4).map_batches(
-            lambda b: b, batch_format="pyarrow"
+            _warm_imports, batch_format="pyarrow"
         ).count()
         ray.data.range(num_cpus * 2, override_num_blocks=num_cpus).map_batches(
             _Noop, batch_format="pyarrow", concurrency=(1, num_cpus), batch_size=1
