@@ -467,6 +467,27 @@ def q_events_watermark(sf_dir: str):
 _SQL_EVENTS_WATERMARK = "select max(ts) as max_ts, count(*) as n_events from events"
 
 
+def q_events_sample(sf_dir: str):
+    """O3 sampling — deterministic multiplicative-hash systematic sample
+    (~5%): reproducible across engines/runs, unlike random_sample
+    (which exists for bench subsets). Exact integer arithmetic both
+    sides (Knuth multiplicative hash mod 2^32)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(2654435761)) % np.uint64(4294967296)
+        return batch.filter(pa.array(h < np.uint64(214748365)))  # 5% of 2^32
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+_SQL_EVENTS_SAMPLE = """
+select event_id from events
+where (event_id * 2654435761) % 4294967296 < 214748365
+"""
+
+
 def q_union_dedup(sf_dir: str):
     """O4 idempotency: union the events table with itself, exact-dedup by
     event_id (keep first), count per type — re-applying a partition twice
@@ -1293,6 +1314,7 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "events_by_type": q_events_by_type,
     "events_watermark": q_events_watermark,
+    "events_sample": q_events_sample,
     "union_dedup": q_union_dedup,
     "promo_parts_by_brand": q_promo_parts_by_brand,
     "nations_per_region": q_nations_per_region,
@@ -1334,6 +1356,7 @@ ORACLE_SQL = {
     "latest_event_per_user": _SQL_LATEST_EVENT,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "events_watermark": _SQL_EVENTS_WATERMARK,
+    "events_sample": _SQL_EVENTS_SAMPLE,
     "union_dedup": _SQL_UNION_DEDUP,
     "promo_parts_by_brand": _SQL_PROMO_PARTS,
     "nations_per_region": _SQL_NATIONS_PER_REGION,
