@@ -42,12 +42,17 @@ BENCH_QUERIES = [
     "geo_pip",
     "geo_bbox_join",
     "geo_knn",
+    "geo_knn_radius",
     "geo_tile_counts",
     "geo_raster_lookup",
     "docs_exact_dedup",
     "docs_minhash_neardup",
+    "docs_quality",
+    "embedding_neardup",
+    "priority_revenue",
     "ann_cosine",
     "pages_pipeline",
+    "pages_tags",
 ]
 
 
