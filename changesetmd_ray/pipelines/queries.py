@@ -790,6 +790,40 @@ select tile_x, tile_y, count(*) as n_points from t group by tile_x, tile_y
 """
 
 
+def q_geo_zonal_stats(sf_dir: str):
+    """Zonal statistics (J2 + A4 composition): per supplier region,
+    the number of event points inside — pip_join then a combiner-first
+    count per polygon."""
+    rects = _supplier_rect_table(sf_dir)
+    polys = _rects_as_polygons(rects, "s_suppkey")
+    pairs = pip_join(_events_points(sf_dir), polys, id_col="event_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("poly_id").aggregate([("poly_id", "count")])
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": group["poly_id"].slice(0, 1),
+                "n_events": pa.array([pc.sum(group["poly_id_count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(partial, batch_format="pyarrow").groupby("poly_id").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+_SQL_GEO_ZONAL_STATS = f"""
+with p as {_pt_sql('events', 'event_id')}, r as {_box_sql('supplier', 's_suppkey')}
+select r.s_suppkey, count(*) as n_events
+from p, r
+where p.lon between r.min_lon and r.max_lon
+  and p.lat between r.min_lat and r.max_lat
+group by r.s_suppkey
+"""
+
+
 def q_geo_area_filter(sf_dir: str):
     """M7 area filter (the documented "drop continent-sized bboxes"
     query, reference README.md:184-186): order boxes above 1e11 m²
@@ -1325,6 +1359,7 @@ QUERIES = {
     "geo_knn": q_geo_knn,
     "geo_knn_radius": q_geo_knn_radius,
     "geo_tile_counts": q_geo_tile_counts,
+    "geo_zonal_stats": q_geo_zonal_stats,
     "geo_area_filter": q_geo_area_filter,
     "geo_raster_lookup": q_geo_raster_lookup,
     "geo_cell_encode": q_geo_cell_encode,
@@ -1367,6 +1402,7 @@ ORACLE_SQL = {
     "geo_knn": _SQL_GEO_KNN,
     "geo_knn_radius": _SQL_GEO_KNN_RADIUS,
     "geo_tile_counts": _SQL_GEO_TILE_COUNTS,
+    "geo_zonal_stats": _SQL_GEO_ZONAL_STATS,
     "geo_area_filter": _SQL_GEO_AREA_FILTER,
     "geo_raster_lookup": _SQL_GEO_RASTER_LOOKUP,
     "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
