@@ -61,6 +61,9 @@ def hash_join(
     ``left_cols + right_cols`` (caller avoids name collisions; the join
     keys may appear in either list). Both sides shuffle once, co-
     partitioned by key hash; no side is broadcast or materialized."""
+    if num_buckets <= 0 or num_buckets & (num_buckets - 1):
+        raise ValueError(f"num_buckets must be a power of two (got {num_buckets}): "
+                         "the bucket mask silently collapses other values")
     if left_on not in left_cols:
         left_cols = [left_on, *left_cols]
     if right_on not in right_cols:

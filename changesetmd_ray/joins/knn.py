@@ -1,21 +1,26 @@
 """J4 — exact haversine kNN join (SURVEY.md §2.4 J4).
 
-Shape: the probe set (typically the small side — a query table) is
-broadcast once via ``ray.put``; the corpus streams through an actor-pool
-``map_batches`` stage that computes the probe×batch haversine matrix in
-numpy and keeps only each probe's **top-k within the batch**. Those
-partial candidates (≤ probes × k rows per block) shuffle through one
-small ``groupby(probe)`` whose ``map_groups`` merges partials into the
-final exact top-k with deterministic tie-breaking (distance, then
-neighbor id ascending — matching the oracle).
+Two shapes:
 
-Scale notes: corpus size is unbounded (streaming, no materialization);
-the shuffle moves only O(num_blocks · P · k) candidate rows, never the
-corpus. Probe count P is bounded by worker memory for the distance
-matrix — ``probe_chunk`` bounds it per slab. For huge P, partition the
-probes and run the join per partition (the cell-ring variant in
-SURVEY.md §2.4 is the full generalization; the reference itself has no
-kNN — this operator is a north_rule addition).
+- :func:`knn_join` — broadcast probes: the (small) probe set ships once
+  via ``ray.put``; the corpus streams through task-pool ``map_batches``
+  computing per-batch partial top-k; a repartition-tree merge produces
+  the exact global top-k with the oracle's tie order (distance asc,
+  neighbor id asc).
+- :func:`knn_radius_join` — the scale path: BOTH sides are Datasets.
+  Corpus rows go to their grid cell, probes replicate to the
+  conservative radius cover, a bucketed groupby co-locates them.
+
+The candidate metric everywhere is the 3-D chord ``hav_a = (1-p·c)/2``
+over unit vectors — one BLAS matmul instead of a 9-pass trig matrix
+(measured ~5× faster) and strictly rank-equivalent to haversine
+distance on [0, π]. The exact distance ``2R·asin(√a)`` — the same
+closed form the SQL oracle evaluates — is computed only for selected
+candidates.
+
+The reference itself has no kNN — this operator is a north_rule
+addition; its PostGIS analogue is a GiST ``<->`` / ``ST_DWithin``
+query (reference ``queries.py:57-59`` is the index it would use).
 """
 
 from __future__ import annotations
@@ -27,18 +32,10 @@ import ray
 EARTH_RADIUS_M = 6_371_008.8
 
 
-def _haversine_matrix(
-    plon: np.ndarray, plat: np.ndarray, clon: np.ndarray, clat: np.ndarray
-) -> np.ndarray:
-    """(P × C) haversine distance matrix in meters."""
-    p_lam = np.radians(plon)[:, None]
-    p_phi = np.radians(plat)[:, None]
-    c_lam = np.radians(clon)[None, :]
-    c_phi = np.radians(clat)[None, :]
-    dphi = c_phi - p_phi
-    dlam = c_lam - p_lam
-    a = np.sin(dphi / 2) ** 2 + np.cos(p_phi) * np.cos(c_phi) * np.sin(dlam / 2) ** 2
-    return 2 * EARTH_RADIUS_M * np.arcsin(np.minimum(np.sqrt(a), 1.0))
+def _check_pow2(n: int, name: str = "num_buckets") -> None:
+    if n <= 0 or n & (n - 1):
+        raise ValueError(f"{name} must be a power of two (got {n}): the bucket "
+                         "mask `& (n-1)` silently collapses other values")
 
 
 def _unit_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
@@ -49,22 +46,37 @@ def _unit_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     return np.column_stack([cphi * np.cos(lam), cphi * np.sin(lam), np.sin(phi)])
 
 
+def _chord_to_m(a: np.ndarray) -> np.ndarray:
+    """hav(d) → meters (the oracle's closed form)."""
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def _topk_per_group(gid: np.ndarray, nid: np.ndarray, dist: np.ndarray, k: int):
+    """Vectorized per-group top-k with the oracle's tie order (dist asc,
+    neighbor id asc): returns (gid, nid, dist, within) for the kept rows,
+    ``within`` = 0-based rank inside the group. The ONE top-k kernel —
+    every merge/partial path calls this, so the tie rule lives here."""
+    order = np.lexsort((nid, dist, gid))
+    g, n_, d = gid[order], nid[order], dist[order]
+    if len(g) == 0:
+        within = np.empty(0, dtype=np.int64)
+    else:
+        first = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.concatenate([starts, [len(g)]]))
+        within = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts)
+    keep = within < k
+    return g[keep], n_[keep], d[keep], within[keep]
+
+
 class _PartialTopK:
     """Per-block candidate generator: emits each probe's k nearest
-    corpus points *within this batch*.
-
-    The candidate metric is the 3-D chord: ``hav_a = (1 - p·c)/2`` where
-    p, c are unit vectors — one BLAS matmul per (probe-chunk × batch)
-    instead of a 9-pass trig matrix (measured ~5× faster), and strictly
-    rank-equivalent to haversine distance on [0, π]. The exact distance
-    ``2R·asin(√a)`` — the same closed form the SQL oracle evaluates —
-    is computed only for the selected k per probe."""
+    corpus points *within this batch* (tie-safe at the k boundary)."""
 
     def __init__(self, probes_ref, k: int, id_col: str, lon_col: str, lat_col: str,
-                 probe_chunk: int = 2048):
+                 probe_chunk: int = 512):
         p = ray.get(probes_ref) if isinstance(probes_ref, ray.ObjectRef) else probes_ref
-        self.pid, plon, plat = p
-        self.pxyz = _unit_xyz(np.asarray(plon, np.float64), np.asarray(plat, np.float64))
+        self.pid, self.pxyz = p  # unit vectors precomputed ONCE in knn_join
         self.k = k
         self.id_col = id_col
         self.lon_col = lon_col
@@ -88,16 +100,22 @@ class _PartialTopK:
         for s in range(0, len(self.pid), self.chunk):
             e = min(s + self.chunk, len(self.pid))
             a = (1.0 - self.pxyz[s:e] @ cxyz) * 0.5  # hav(d), rank ≡ d
+            # tie-safe candidate cut: keep EVERYTHING within the k-th
+            # smallest chord (plus an ulp margin, so equal distances
+            # never lose their id-ordered slot to argpartition's
+            # arbitrary choice), then resolve (dist, id) exactly
             if k < a.shape[1]:
-                part = np.argpartition(a, k - 1, axis=1)[:, :k]
+                t = np.partition(a, k - 1, axis=1)[:, k - 1 : k]
+                thr = t + np.maximum(np.abs(t) * 1e-12, 1e-18)
+                ri, ci = np.nonzero(a <= thr)
             else:
-                part = np.broadcast_to(np.arange(a.shape[1]), (a.shape[0], a.shape[1])).copy()
-            rows = np.repeat(np.arange(e - s), part.shape[1])
-            cols = part.ravel()
-            a_sel = np.clip(a[rows, cols], 0.0, 1.0)
-            out_p.append(self.pid[s:e][rows])
-            out_n.append(cid[cols])
-            out_d.append(2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a_sel)))
+                ri, ci = np.nonzero(np.ones_like(a, dtype=bool))
+            g, n_, d, _ = _topk_per_group(
+                ri.astype(np.int64), cid[ci].astype(np.int64), _chord_to_m(a[ri, ci]), k
+            )
+            out_p.append(self.pid[s:e][g])
+            out_n.append(n_)
+            out_d.append(d)
         return pa.table(
             {
                 "probe_id": pa.array(np.concatenate(out_p), pa.int64()),
@@ -108,31 +126,17 @@ class _PartialTopK:
 
 
 def _merge_topk_block(batch: pa.Table, k: int, final: bool) -> pa.Table:
-    """Vectorized multi-probe top-k within one block: sort by (probe,
-    dist, neighbor) — the oracle's tie order — and keep each probe's
-    first k rows. No per-probe Python dispatch."""
-    pid = batch["probe_id"].to_numpy(zero_copy_only=False)
-    nid = batch["neighbor_id"].to_numpy(zero_copy_only=False)
-    d = batch["dist_m"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((nid, d, pid))
-    p, n_, dd = pid[order], nid[order], d[order]
-    if len(p) == 0:
-        within = np.empty(0, dtype=np.int64)
-    else:
-        first = np.concatenate([[True], p[1:] != p[:-1]])
-        starts = np.nonzero(first)[0]
-        counts = np.diff(np.concatenate([starts, [len(p)]]))
-        within = np.arange(len(p), dtype=np.int64) - np.repeat(starts, counts)
-    keep = within < k
-    cols = {
-        "probe_id": pa.array(p[keep], pa.int64()),
-        "neighbor_id": pa.array(n_[keep], pa.int64()),
-    }
+    """Vectorized multi-probe top-k merge within one block."""
+    g, n_, d, within = _topk_per_group(
+        batch["probe_id"].to_numpy(zero_copy_only=False),
+        batch["neighbor_id"].to_numpy(zero_copy_only=False),
+        batch["dist_m"].to_numpy(zero_copy_only=False),
+        k,
+    )
+    cols = {"probe_id": pa.array(g, pa.int64()), "neighbor_id": pa.array(n_, pa.int64())}
     if final:
-        cols["rank"] = pa.array(within[keep] + 1)
-        cols["dist_m"] = pa.array(dd[keep], pa.float64())
-        return pa.table(cols)
-    cols["dist_m"] = pa.array(dd[keep], pa.float64())
+        cols["rank"] = pa.array(within + 1)
+    cols["dist_m"] = pa.array(d, pa.float64())
     return pa.table(cols)
 
 
@@ -154,24 +158,25 @@ def knn_join(
     """Exact k-nearest-neighbors of every probe among the corpus points.
 
     ``corpus``: Dataset with id/lon/lat columns (streams). ``probes``:
-    small driver-side pyarrow Table (broadcast). Returns a Dataset
+    small driver-side pyarrow Table (broadcast; NaN/null-coordinate
+    probes are dropped, matching the radius path). Returns a Dataset
     ``(probe_id, neighbor_id, rank, dist_m)``, rank 1..k.
     """
     pid = probes[probe_id].to_numpy(zero_copy_only=False).astype(np.int64)
     plon = probes[probe_lon].to_numpy(zero_copy_only=False).astype(np.float64)
     plat = probes[probe_lat].to_numpy(zero_copy_only=False).astype(np.float64)
-    probes_ref = ray.put((pid, plon, plat))
+    ok = ~(np.isnan(plon) | np.isnan(plat))
+    # probe unit vectors computed ONCE here, not per corpus batch
+    probes_ref = ray.put((pid[ok], _unit_xyz(plon[ok], plat[ok])))
     _ = concurrency  # kept for API compat; tasks autoscale with the executor
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         # task pool, not actor pool: the only state is the broadcast
         # ray.get (zero-copy), and autoscaling actor pools ramp too
         # slowly to saturate the node (same measurement as pip_join);
-        # probe_chunk bounds the P×C distance-matrix temporaries so they
+        # probe_chunk bounds the P×C chord-matrix temporaries so they
         # stay cache-resident
-        return _PartialTopK(
-            probes_ref, k, corpus_id, corpus_lon, corpus_lat, probe_chunk=512
-        )(batch)
+        return _PartialTopK(probes_ref, k, corpus_id, corpus_lon, corpus_lat)(batch)
 
     partials = corpus.select_columns([corpus_id, corpus_lon, corpus_lat]).map_batches(
         partial_topk,
@@ -206,7 +211,10 @@ def _probe_cover_cells(lon: np.ndarray, lat: np.ndarray, radius_m: float, zoom: 
                        max_cells_per_probe: int = 512):
     """For each probe, every grid cell that can contain a point within
     ``radius_m`` (conservative cover; lon wraparound, lat clamp).
-    Returns (probe_row_index, packed_cell) pair arrays."""
+    Returns DEDUPLICATED (probe_row_index, packed_cell) pair arrays —
+    near the poles the lon window can wrap onto itself, which would
+    otherwise emit the same (probe, cell) twice and violate the
+    pair-meets-once invariant downstream."""
     from changesetmd_ray.geo.grid import _lat_to_iy, _lon_to_ix, grid_dims, pack_cell
 
     nx, ny = grid_dims(zoom)
@@ -216,7 +224,8 @@ def _probe_cover_cells(lon: np.ndarray, lat: np.ndarray, radius_m: float, zoom: 
     ky = np.full(len(lon), int(np.ceil(lat_deg / h_deg)), dtype=np.int64)
     worst = np.minimum(np.abs(lat) + lat_deg, 89.9999)
     lon_deg = radius_m / (_LAT_M_PER_DEG * np.maximum(np.cos(np.radians(worst)), 1e-9))
-    kx = np.minimum(np.ceil(lon_deg / w_deg).astype(np.int64), nx // 2)
+    # cap so the window is at most nx columns wide (2k+1 ≤ nx)
+    kx = np.minimum(np.ceil(lon_deg / w_deg).astype(np.int64), (nx - 1) // 2)
     per = (2 * kx + 1) * (2 * ky + 1)
     if per.size and per.max() > max_cells_per_probe:
         raise ValueError(
@@ -235,7 +244,14 @@ def _probe_cover_cells(lon: np.ndarray, lat: np.ndarray, radius_m: float, zoom: 
     gx = (np.repeat(ix, per) + dx) % nx
     gy = np.repeat(iy, per) + dy
     keep = (gy >= 0) & (gy < ny)
-    return row[keep], pack_cell(zoom, gx[keep], gy[keep]).astype(np.int64)
+    row, cell = row[keep], pack_cell(zoom, gx[keep], gy[keep]).astype(np.int64)
+    # (row, cell) dedup — wrap at full-width windows can revisit a column
+    order = np.lexsort((cell, row))
+    row, cell = row[order], cell[order]
+    if len(row):
+        first = np.concatenate([[True], (row[1:] != row[:-1]) | (cell[1:] != cell[:-1])])
+        row, cell = row[first], cell[first]
+    return row, cell
 
 
 def knn_radius_join(
@@ -251,6 +267,7 @@ def knn_radius_join(
     lat_col: str = "lat",
     num_buckets: int = 128,
     merge_fanin: int | None = None,
+    probe_chunk: int = 512,
 ):
     """J4 scale path — radius-bounded exact kNN with BOTH sides as
     Datasets (no broadcast): each probe gets its ≤ k nearest corpus
@@ -259,14 +276,17 @@ def knn_radius_join(
     Partitioning: corpus rows go to their own grid cell; probes
     replicate to every cell their radius disk can touch (conservative
     cover, so no in-radius neighbor is ever missed); one bucketed
-    groupby co-locates them; per-cell distances are one unit-vector
-    matmul. A (probe, corpus) pair meets in exactly ONE cell — the
-    corpus point's — so no pair dedup is needed. Probes with fewer than
-    k in-radius neighbors return fewer rows (SQL LEFT-JOIN-free
-    semantics; the reference's GiST radius queries behave the same).
-    Pick ``zoom`` so a cell is about the radius size: the probe cover
-    is then O(9) cells."""
+    groupby co-locates them; per-cell distances are chunked unit-vector
+    matmuls (``probe_chunk`` bounds the per-cell temporaries, same as
+    the broadcast path). A (probe, corpus) pair meets in exactly ONE
+    cell — the corpus point's — so no pair dedup is needed. Probes with
+    fewer than k in-radius neighbors return fewer rows. Pick ``zoom``
+    so a cell is about the radius size: the probe cover is then O(9)
+    cells."""
     from changesetmd_ray.geo.grid import point_cell
+    from changesetmd_ray.text.hashing import splitmix64
+
+    _check_pow2(num_buckets)
 
     def corpus_side(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -275,8 +295,6 @@ def knn_radius_join(
         lon, lat = lon[ok], lat[ok]
         cid = batch[corpus_id].to_numpy(zero_copy_only=False)[ok]
         cell = point_cell(lon, lat, zoom).astype(np.int64)
-        from changesetmd_ray.text.hashing import splitmix64
-
         b = (splitmix64(cell.astype(np.uint64)) & np.uint64(num_buckets - 1)).astype(np.int64)
         return pa.table(
             {"cell": pa.array(cell), "__bucket": pa.array(b),
@@ -292,8 +310,6 @@ def knn_radius_join(
         lon, lat = lon[ok], lat[ok]
         pid = batch[probe_id].to_numpy(zero_copy_only=False)[ok]
         row, cell = _probe_cover_cells(lon, lat, radius_m, zoom)
-        from changesetmd_ray.text.hashing import splitmix64
-
         b = (splitmix64(cell.astype(np.uint64)) & np.uint64(num_buckets - 1)).astype(np.int64)
         return pa.table(
             {"cell": pa.array(cell), "__bucket": pa.array(b),
@@ -326,26 +342,22 @@ def knn_radius_join(
             if mid == s or mid == e:  # corpus-only or probe-only cell
                 continue
             cxyz = _unit_xyz(lon[s:mid], lat[s:mid]).T  # corpus 3×C
-            pxyz = _unit_xyz(lon[mid:e], lat[mid:e])  # probes P×3
-            a = (1.0 - pxyz @ cxyz) * 0.5
-            d = 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
-            pi, ci = np.nonzero(d <= radius_m)
-            if not len(pi):
-                continue
-            # per-probe partial top-k inside this cell
-            dd = d[pi, ci]
-            nid = rid[s:mid][ci]
-            pid_ = rid[mid:e][pi]
-            o = np.lexsort((nid, dd, pid_))
-            pid_, nid, dd = pid_[o], nid[o], dd[o]
-            first = np.concatenate([[True], pid_[1:] != pid_[:-1]])
-            st = np.nonzero(first)[0]
-            cnt = np.diff(np.concatenate([st, [len(pid_)]]))
-            within = np.arange(len(pid_), dtype=np.int64) - np.repeat(st, cnt)
-            keep = within < k
-            out_p.append(pid_[keep])
-            out_n.append(nid[keep])
-            out_d.append(dd[keep])
+            nid_all = rid[s:mid]
+            # chunk the probe axis: a dense cell's P×C chord matrix must
+            # stay cache/heap-bounded (same rule as _PartialTopK)
+            for ps in range(mid, e, probe_chunk):
+                pe = min(ps + probe_chunk, e)
+                pxyz = _unit_xyz(lon[ps:pe], lat[ps:pe])
+                d = _chord_to_m((1.0 - pxyz @ cxyz) * 0.5)
+                pi, ci = np.nonzero(d <= radius_m)
+                if not len(pi):
+                    continue
+                gg, nn, dd, _ = _topk_per_group(
+                    rid[ps:pe][pi], nid_all[ci], d[pi, ci], k
+                )
+                out_p.append(gg)
+                out_n.append(nn)
+                out_d.append(dd)
         if not out_p:
             return pa.table(
                 {"probe_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),

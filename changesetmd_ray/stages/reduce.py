@@ -29,16 +29,20 @@ from changesetmd_ray.text.hashing import splitmix64
 
 
 def sum_by_key(keys: np.ndarray, values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized (keys, values) → (unique sorted keys, per-key sums)."""
+    """Vectorized (keys, values) → (unique sorted keys, per-key sums).
+    Integer values promote to int64; float values sum as float64 —
+    ``np.add.at`` into an int accumulator would silently truncate each
+    float addend."""
+    acc_t = np.result_type(np.asarray(values).dtype, np.int64)
     order = np.argsort(keys, kind="stable")
     k = keys[order]
     v = values[order]
     if len(k) == 0:
-        return k, v.astype(np.int64)
+        return k, v.astype(acc_t)
     first = np.concatenate([[True], k[1:] != k[:-1]])
     idx = np.cumsum(first) - 1
     out_k = k[first]
-    out_v = np.zeros(len(out_k), dtype=np.int64)
+    out_v = np.zeros(len(out_k), dtype=acc_t)
     np.add.at(out_v, idx, v)
     return out_k, out_v
 
@@ -48,7 +52,7 @@ def _combine_table(batch: pa.Table, key_col: str, val_col: str) -> pa.Table:
         batch[key_col].to_numpy(zero_copy_only=False),
         batch[val_col].to_numpy(zero_copy_only=False),
     )
-    return pa.table({key_col: pa.array(k), val_col: pa.array(v, pa.int64())})
+    return pa.table({key_col: pa.array(k), val_col: pa.array(v)})
 
 
 def tree_sum(partials, *, key_col: str, val_col: str, fanin: int = 64):
@@ -81,8 +85,13 @@ def bucket_sum(partials, *, key_col: str, val_col: str, num_buckets: int = 64):
     more than byte volume (measured: 8.4 M sparse rows ≈ 10 s vs 8 k
     packed rows ≪ 1 s for the same bytes), so packing makes the
     all-to-all cheap at any scale; byte volume is unchanged."""
+    if num_buckets <= 0 or num_buckets & (num_buckets - 1):
+        raise ValueError(f"num_buckets must be a power of two (got {num_buckets})")
 
     def local(batch: pa.Table) -> pa.Table:
+        key_t = batch.schema.field(key_col).type
+        val_np = batch.schema.field(val_col).type
+        acc_t = pa.float64() if pa.types.is_floating(val_np) else pa.int64()
         k, v = sum_by_key(
             batch[key_col].to_numpy(zero_copy_only=False),
             batch[val_col].to_numpy(zero_copy_only=False),
@@ -91,16 +100,18 @@ def bucket_sum(partials, *, key_col: str, val_col: str, num_buckets: int = 64):
         order = np.argsort(b, kind="stable")
         k, v, b = k[order], v[order], b[order]
         if len(b) == 0:
+            # empty blocks must carry the SAME list types as non-empty
+            # ones or the shuffle fails on mixed schemas
             return pa.table(
                 {"__bucket": pa.array([], pa.int64()),
-                 "__keys": pa.array([], pa.list_(pa.int64())),
-                 "__vals": pa.array([], pa.list_(pa.int64()))}
+                 "__keys": pa.array([], pa.list_(key_t)),
+                 "__vals": pa.array([], pa.list_(acc_t))}
             )
         first = np.concatenate([[True], b[1:] != b[:-1]])
         starts = np.nonzero(first)[0]
         offsets = np.concatenate([starts, [len(b)]]).astype(np.int32)
-        keys_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(k))
-        vals_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(v, pa.int64()))
+        keys_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(k, key_t))
+        vals_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(v, acc_t))
         return pa.table(
             {"__bucket": pa.array(b[starts]), "__keys": keys_list, "__vals": vals_list}
         )
@@ -109,7 +120,7 @@ def bucket_sum(partials, *, key_col: str, val_col: str, num_buckets: int = 64):
         keys = group["__keys"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         vals = group["__vals"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         k, v = sum_by_key(keys, vals)
-        return pa.table({key_col: pa.array(k), val_col: pa.array(v, pa.int64())})
+        return pa.table({key_col: pa.array(k), val_col: pa.array(v)})
 
     return (
         partials.map_batches(local, batch_format="pyarrow", batch_size=None)

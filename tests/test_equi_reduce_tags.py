@@ -141,3 +141,31 @@ def test_media_decode_stub(ray_session):
     stub = MediaDecodeStub(codec="strict")
     with pytest.raises(NotImplementedError):
         stub._decode(b"x")
+
+
+def test_sum_by_key_float_values_not_truncated():
+    k = np.array([0, 0, 1], dtype=np.int64)
+    v = np.array([0.5, 0.5, 1.25])
+    kk, vv = sum_by_key(k, v)
+    assert vv.dtype == np.float64
+    assert list(vv) == [1.0, 1.25]
+
+
+def test_bucket_sum_float_and_empty_blocks(ray_session):
+    """Float payloads sum exactly; blocks emptied by an upstream filter
+    must not break the shuffle schema."""
+    t = pa.table({"key": pa.array([1, 1, 2, 7], pa.int64()),
+                  "val": pa.array([0.5, 0.25, 2.0, -1.0])})
+    ds = ray.data.from_arrow(t).repartition(4)  # some blocks empty after split
+    out = bucket_sum(ds, key_col="key", val_col="val", num_buckets=4).to_pandas()
+    got = dict(zip(out["key"], out["val"]))
+    assert got == {1: 0.75, 2: 2.0, 7: -1.0}
+
+
+def test_num_buckets_must_be_power_of_two(ray_session):
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1])}))
+    with pytest.raises(ValueError, match="power of two"):
+        bucket_sum(ds, key_col="k", val_col="v", num_buckets=48)
+    with pytest.raises(ValueError, match="power of two"):
+        hash_join(ds, ds, left_on="k", right_on="k", left_cols=["k"], right_cols=["v"],
+                  num_buckets=100)

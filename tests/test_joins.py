@@ -339,3 +339,40 @@ def test_salting_bounds_group_pair_work(ray_session):
     a = with_salt.sort_values(key).reset_index(drop=True)
     b = no_salt.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_probe_cover_cells_no_duplicates_near_pole():
+    """Full-width lon windows at the pole must not revisit a column
+    (duplicate (probe, cell) pairs would double-count neighbors)."""
+    from changesetmd_ray.joins.knn import _probe_cover_cells
+
+    row, cells = _probe_cover_cells(np.array([10.0]), np.array([89.5]), 200_000.0, 6)
+    pairs = set(zip(row.tolist(), cells.tolist()))
+    assert len(pairs) == len(row)
+
+
+def test_knn_partial_tie_break_matches_oracle(ray_session):
+    """Coincident corpus points: the (distance, id asc) rule must pick
+    the smaller id even when argpartition would choose otherwise."""
+    from changesetmd_ray.joins.knn import knn_join
+
+    corpus = ray.data.from_arrow(pa.table(
+        {"id": pa.array([5, 3], pa.int64()),
+         "lon": pa.array([1.0, 1.0]), "lat": pa.array([1.0, 1.0])}))
+    probes = pa.table({"id": pa.array([100], pa.int64()),
+                       "lon": pa.array([0.0]), "lat": pa.array([0.0])})
+    out = knn_join(corpus, probes, 1).to_pandas()
+    assert list(out["neighbor_id"]) == [3]
+
+
+def test_knn_nan_probes_dropped(ray_session):
+    from changesetmd_ray.joins.knn import knn_join
+
+    corpus = ray.data.from_arrow(pa.table(
+        {"id": pa.array([1, 2], pa.int64()),
+         "lon": pa.array([0.0, 1.0]), "lat": pa.array([0.0, 1.0])}))
+    probes = pa.table({"id": pa.array([10, 11], pa.int64()),
+                       "lon": pa.array([0.5, float("nan")]), "lat": pa.array([0.5, 2.0])})
+    out = knn_join(corpus, probes, 2).to_pandas()
+    assert set(out["probe_id"]) == {10}
+    assert not out["dist_m"].isna().any()
