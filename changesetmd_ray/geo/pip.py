@@ -95,16 +95,16 @@ def classify_points_polygon(
     return cls
 
 
-def classify_points_cap(px: np.ndarray, py: np.ndarray, lat_threshold: float, north: bool) -> np.ndarray:
-    """Pole cap: ``lat >= t`` (north) or ``lat <= t`` (south)."""
+def classify_points_cap(px: np.ndarray, py: np.ndarray, lat_threshold, north) -> np.ndarray:
+    """Pole cap: ``lat >= t`` (north) or ``lat <= t`` (south).
+    ``lat_threshold`` / ``north`` may be scalars or per-point arrays
+    (the pair-vectorized join path passes arrays)."""
     py = np.asarray(py, dtype=np.float64)
+    thr = np.broadcast_to(np.asarray(lat_threshold, dtype=np.float64), py.shape)
+    n = np.broadcast_to(np.asarray(north, dtype=bool), py.shape)
     out = np.zeros(py.shape, dtype=np.int8)
-    if north:
-        out[py > lat_threshold] = INTERIOR
-        out[py == lat_threshold] = BOUNDARY
-    else:
-        out[py < lat_threshold] = INTERIOR
-        out[py == lat_threshold] = BOUNDARY
+    out[np.where(n, py > thr, py < thr)] = INTERIOR
+    out[py == thr] = BOUNDARY
     _ = px
     return out
 

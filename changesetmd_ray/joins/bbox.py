@@ -58,13 +58,9 @@ def _compact(cells: np.ndarray, zoom: int) -> np.ndarray:
     return iy * np.int64(nx) + ix
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit mix for salt assignment (stable across
-    processes, unlike Python ``hash``)."""
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+# deterministic 64-bit mix for salt/bucket assignment — the ONE shared
+# kernel (stable across processes, unlike Python ``hash``)
+from changesetmd_ray.text.hashing import splitmix64 as _splitmix64  # noqa: E402
 
 
 class _Explode:
@@ -94,6 +90,22 @@ class _Explode:
         rid = rid[ok]
         box = [b[ok] for b in box]
 
+        # antimeridian-wrapped boxes (min_lon > max_lon, the normalized
+        # wrap representation from geo/envelope.py) split into their two
+        # lon segments so the per-cell exact test sees only plain
+        # intervals; bbox_join dedups the (rare) pair that matches in
+        # both segments and rejects non-intersects predicates for
+        # wrapped inputs (segment-OR only equals pair-intersects)
+        wrapped = box[0] > box[2]
+        if wrapped.any():
+            w = np.nonzero(wrapped)[0]
+            seg2 = [box[0][w].copy(), box[1][w], box[2][w].copy(), box[3][w]]
+            seg2[0] = np.full(len(w), -180.0)
+            box = [b.copy() for b in box]
+            box[2][wrapped] = 180.0
+            rid = np.concatenate([rid, rid[w]])
+            box = [np.concatenate([b, s]) for b, s in zip(box, seg2)]
+
         row_idx, cells = cover_bbox(box[0], box[1], box[2], box[3], self.zoom)
         cc = _compact(cells, self.zoom)
         rid_r = rid[row_idx]
@@ -121,7 +133,13 @@ class _Explode:
                     idx = np.repeat(np.arange(len(cc)), rep)
                     starts = np.concatenate([[0], np.cumsum(rep)[:-1]])
                     local = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, rep)
-                    cc, rid_r, salt = cc[idx], rid_r[idx], local
+                    # keep the split side's HASHED salts; only replicated
+                    # rows take the 0..k-1 replica index (overwriting all
+                    # salts with `local` silently disabled the split)
+                    new_salt = salt[idx]
+                    from_rep = np.repeat(rep > 1, rep)
+                    new_salt[from_rep] = local[from_rep]
+                    cc, rid_r, salt = cc[idx], rid_r[idx], new_salt
                     box_r = [b[idx] for b in box_r]
 
         jkey = (cc << SALT_BITS) | salt
@@ -142,7 +160,7 @@ class _Explode:
         )
 
 
-def _cell_counts(ds, id_col: str, cols: tuple, zoom: int) -> dict[int, int]:
+def _cell_counts(ds, cols: tuple, zoom: int) -> dict[int, int]:
     """Per-compact-cell covering counts for one side: a column-pruned
     pass combined DISTRIBUTED first (one level of the repartition tree),
     so the driver only ever receives ≤ 32 × |distinct touched cells|
@@ -257,6 +275,49 @@ class _PairTest:
         return pa.table({self.left_out: pa.array(la, pa.int64()), self.right_out: pa.array(ra, pa.int64())})
 
 
+def _any_wrapped(ds, cols: tuple) -> bool:
+    """Cheap pruned scan: does any box wrap the antimeridian
+    (min_lon > max_lon)?"""
+
+    def check(batch: pa.Table) -> pa.Table:
+        lo = batch[cols[0]].to_numpy(zero_copy_only=False)
+        hi = batch[cols[2]].to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([bool(np.any(lo > hi))])})
+
+    parts = ds.select_columns([cols[0], cols[2]]).map_batches(
+        check, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return any(r["w"] for r in parts)
+
+
+def _distinct_pairs(pairs, a_col: str, b_col: str):
+    """Exact distinct over (a, b) id pairs: bucket by pair hash, unique
+    within each bucket (only needed when wrapped boxes exist — a pair
+    can then match in both lon segments)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(_splitmix64(a) ^ b) & np.uint64(NUM_BUCKETS - 1)
+        return batch.append_column("__pbucket", pa.array(h.astype(np.int64)))
+
+    def uniq(group: pa.Table) -> pa.Table:
+        a = group[a_col].to_numpy(zero_copy_only=False)
+        b = group[b_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            a, b = a[first], b[first]
+        return pa.table({a_col: pa.array(a, pa.int64()), b_col: pa.array(b, pa.int64())})
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__pbucket")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
 def bbox_join(
     left,
     right,
@@ -284,9 +345,17 @@ def bbox_join(
     left_out = left_out or (left_id if left_id != right_id else f"l_{left_id}")
     right_out = right_out or (right_id if right_id != left_id else f"r_{right_id}")
 
+    wrapped = _any_wrapped(left, left_cols) or _any_wrapped(right, right_cols)
+    if wrapped and predicate != "intersects":
+        raise NotImplementedError(
+            "antimeridian-wrapped boxes (min_lon > max_lon) are only supported for "
+            "predicate='intersects': coveredby/contains need AND-semantics across "
+            "the wrap segments"
+        )
+
     if salting:
-        cl = _cell_counts(left.select_columns([left_id, *left_cols]), left_id, left_cols, zoom)
-        cr = _cell_counts(right.select_columns([right_id, *right_cols]), right_id, right_cols, zoom)
+        cl = _cell_counts(left.select_columns(list(left_cols)), left_cols, zoom)
+        cr = _cell_counts(right.select_columns(list(right_cols)), right_cols, zoom)
         plan = _salting_plan(cl, cr, pair_budget)
     else:
         plan = _salting_plan({}, {}, pair_budget)
@@ -311,4 +380,9 @@ def bbox_join(
     def pair_test(group: pa.Table) -> pa.Table:
         return tester(group)
 
-    return both.groupby("__bucket").map_groups(pair_test, batch_format="pyarrow")
+    out = both.groupby("__bucket").map_groups(pair_test, batch_format="pyarrow")
+    if wrapped:
+        # a pair can match once per lon segment — distinct only when
+        # wrapped inputs exist (costs one extra bounded shuffle)
+        out = _distinct_pairs(out, left_out, right_out)
+    return out

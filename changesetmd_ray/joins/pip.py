@@ -26,6 +26,7 @@ from changesetmd_ray.geo.pip import (
     BOUNDARY,
     INTERIOR,
     classify_pairs_rects,
+    classify_points_cap,
     classify_pairs_rings,
     is_axis_rect,
     pack_rings,
@@ -130,11 +131,13 @@ class PipProbe:
         tree = self.prep["tree"]
         prep = self.prep
         pack = prep["pack"]
+        id_type = batch.schema.field(self.id_col).type
+        empty = pa.table(
+            {self.id_col: pa.nulls(0, id_type),
+             "poly_id": pa.array(np.empty(0, np.int64), pa.int64())}
+        )
         if tree is None or not ok.any():
-            return pa.table(
-                {self.id_col: pa.array(np.empty(0, dtype=ids.dtype)),
-                 "poly_id": pa.array(np.empty(0, np.int64), pa.int64())}
-            )
+            return empty
 
         idx = np.nonzero(ok)[0]
         qx, qy = px[idx], py[idx]
@@ -154,10 +157,7 @@ class PipProbe:
         qi = np.concatenate(cand_q)
         pi = np.concatenate(cand_p)
         if not len(qi):
-            return pa.table(
-                {self.id_col: pa.array(np.empty(0, dtype=ids.dtype)),
-                 "poly_id": pa.array(np.empty(0, np.int64), pa.int64())}
-            )
+            return empty
         if len(shifts) > 1:
             # dedup (probe, poly) candidates from the shifted queries
             key = qi * np.int64(prep["n_polys"]) + pi
@@ -181,18 +181,15 @@ class PipProbe:
             )
         is_cap = ~is_ring & ~is_rect
         if is_cap.any():
-            thr = prep["cap_thr"][pi[is_cap]]
-            north = prep["cap_north"][pi[is_cap]]
-            y = py[sel[is_cap]]
-            c = np.zeros(int(is_cap.sum()), dtype=np.int8)
-            c[np.where(north, y > thr, y < thr)] = INTERIOR
-            c[y == thr] = BOUNDARY
-            cls[is_cap] = c
+            cls[is_cap] = classify_points_cap(
+                px[sel[is_cap]], py[sel[is_cap]],
+                prep["cap_thr"][pi[is_cap]], prep["cap_north"][pi[is_cap]],
+            )
 
         hit = (cls == INTERIOR) | (self.want_boundary & (cls == BOUNDARY))
         return pa.table(
             {
-                self.id_col: pa.array(ids[sel[hit]]),
+                self.id_col: pa.array(ids[sel[hit]], id_type),
                 "poly_id": pa.array(prep["poly_id"][pi[hit]], pa.int64()),
             }
         )

@@ -106,13 +106,21 @@ def raster_vector_join(vector, raster: pa.Table, zoom: int, *,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             col = batch[tile_col]
+            if len(self.keys) == 0:
+                # empty raster: every value column is null (numpy's &
+                # would not short-circuit the keys[pos_c] gather below)
+                for c, vals in self.values.items():
+                    batch = batch.append_column(
+                        c, pa.nulls(len(batch), pa.from_numpy_dtype(vals.dtype))
+                    )
+                return batch
             # null tile keys must NOT go through to_numpy's float64 path:
             # 60-bit packed keys lose precision in float64 (ulp > 128)
             valid = ~np.asarray(pc.is_null(col).combine_chunks())
             tk = np.asarray(pc.fill_null(col, 0).combine_chunks()).astype(np.int64)
             pos = np.searchsorted(self.keys, tk)
-            pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
-            hit = valid & (len(self.keys) > 0) & (self.keys[pos_c] == tk)
+            pos_c = np.clip(pos, 0, len(self.keys) - 1)
+            hit = valid & (self.keys[pos_c] == tk)
             for c, vals in self.values.items():
                 v = vals[pos_c]
                 batch = batch.append_column(c, pa.array(v, mask=~hit))

@@ -311,8 +311,8 @@ def test_salting_bounds_group_pair_work(ray_session):
 
     left = ray.data.from_arrow(left_t)
     right = ray.data.from_arrow(right_t)
-    cl = _cell_counts(left, "id", ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
-    cr = _cell_counts(right, "id", ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
+    cl = _cell_counts(left, ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
+    cr = _cell_counts(right, ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
     unsalted_max = max(nl * cr.get(c, 0) for c, nl in cl.items())
     assert unsalted_max > budget * 10  # genuinely skewed input
 
@@ -376,3 +376,82 @@ def test_knn_nan_probes_dropped(ray_session):
     out = knn_join(corpus, probes, 2).to_pandas()
     assert set(out["probe_id"]) == {10}
     assert not out["dist_m"].isna().any()
+
+
+def test_salting_preserves_hashed_salts_with_mixed_hot_cells():
+    """Two hot cells with OPPOSITE split sides in one batch: replication
+    expansion must not overwrite the split side's hashed salts (the bug
+    collapsed them all to salt 0, defeating the split)."""
+    from changesetmd_ray.joins.bbox import SALT_BITS, _Explode
+
+    # hot cells A and B; side 0 is split in A, replicated in B
+    plan = {
+        "cells": None, "k": None, "split": None,
+    }
+    # build boxes landing in two different cells at zoom 4
+    lo = np.array([10.0] * 40 + [60.0] * 40)
+    la = np.full(80, 40.0)
+    t = pa.table({
+        "id": pa.array(np.arange(80, dtype=np.int64)),
+        "min_lon": pa.array(lo), "min_lat": pa.array(la),
+        "max_lon": pa.array(lo + 0.2), "max_lat": pa.array(la + 0.2)})
+    from changesetmd_ray.geo.grid import _lat_to_iy, _lon_to_ix, grid_dims
+    nx, ny = grid_dims(4)
+    cell_a = _lat_to_iy(np.array([40.0]), ny)[0] * nx + _lon_to_ix(np.array([10.0]), nx)[0]
+    cell_b = _lat_to_iy(np.array([40.0]), ny)[0] * nx + _lon_to_ix(np.array([60.0]), nx)[0]
+    cells = np.sort(np.array([cell_a, cell_b], dtype=np.int64))
+    plan = {"cells": cells,
+            "k": np.array([4, 4], dtype=np.int64),
+            "split": np.array([0 if c == cell_a else 1 for c in cells], dtype=np.int64)}
+    out = _Explode(plan, 0, "id", ("min_lon", "min_lat", "max_lon", "max_lat"), 4)(t)
+    jk = out["jkey"].to_numpy()
+    salts = jk & ((1 << SALT_BITS) - 1)
+    cc = jk >> SALT_BITS
+    a_salts = salts[cc == cell_a]  # split side: hashed salts, spread over [0,4)
+    b_salts = salts[cc == cell_b]  # replicated: each row 4 copies, salts 0..3
+    assert len(set(a_salts.tolist())) > 1, "hashed salts were collapsed"
+    assert sorted(set(b_salts.tolist())) == [0, 1, 2, 3]
+    assert len(b_salts) == 40 * 4
+
+
+def test_bbox_join_wrapped_intersects_matches_oracle(ray_session):
+    """Antimeridian-wrapped boxes (min_lon > max_lon): intersects pairs
+    must match the brute-force wrap-aware oracle; other predicates
+    raise."""
+    from changesetmd_ray.joins.bbox import bbox_join
+
+    rng = np.random.RandomState(21)
+    n_l, n_r = 60, 50
+    # left: half wrapped around ±180
+    l_lo = np.where(np.arange(n_l) % 2 == 0, rng.uniform(165, 179, n_l), rng.uniform(-30, 0, n_l))
+    l_hi = np.where(np.arange(n_l) % 2 == 0, rng.uniform(-179, -165, n_l), l_lo + rng.uniform(1, 20, n_l))
+    l_y = rng.uniform(-60, 60, n_l)
+    left = pa.table({"id": pa.array(np.arange(n_l, dtype=np.int64)),
+                     "min_lon": pa.array(l_lo), "min_lat": pa.array(l_y),
+                     "max_lon": pa.array(l_hi), "max_lat": pa.array(l_y + 5.0)})
+    r_lo = rng.uniform(-180, 160, n_r)
+    r_y = rng.uniform(-60, 60, n_r)
+    right = pa.table({"id": pa.array(np.arange(1000, 1000 + n_r, dtype=np.int64)),
+                      "min_lon": pa.array(r_lo), "min_lat": pa.array(r_y),
+                      "max_lon": pa.array(r_lo + rng.uniform(1, 15, n_r)),
+                      "max_lat": pa.array(r_y + 4.0)})
+
+    got = bbox_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    zoom=4, left_id="id", right_id="id").to_pandas()
+    got_pairs = set(zip(got["l_id"], got["r_id"]))
+
+    def lon_overlap(alo, ahi, blo, bhi):
+        a_segs = [(alo, ahi)] if alo <= ahi else [(alo, 180.0), (-180.0, ahi)]
+        return any(s <= bhi and blo <= e for s, e in a_segs)
+
+    exp = set()
+    for i in range(n_l):
+        for j in range(n_r):
+            if (l_y[i] <= r_y[j] + 4.0 and r_y[j] <= l_y[i] + 5.0
+                    and lon_overlap(l_lo[i], l_hi[i], r_lo[j], r_lo[j] + (right["max_lon"][j].as_py() - r_lo[j]))):
+                exp.add((i, 1000 + j))
+    assert got_pairs == exp
+
+    with pytest.raises(NotImplementedError, match="wrapped"):
+        bbox_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  zoom=4, predicate="coveredby", left_id="id", right_id="id").to_pandas()
