@@ -73,14 +73,28 @@ def run_flagship(
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
     os.makedirs(data_dir, exist_ok=True)
 
-    # An int is interpreted as an autoscaling (1, n) pool: two fixed-size
-    # pools can reserve every CPU and starve the read/write tasks into a
-    # deadlock (observed at num_cpus=4 with 2+2 actors); autoscaling lets
-    # the streaming executor keep CPUs free for the task stages.
-    if not isinstance(concurrency, tuple):
-        concurrency = (1, max(int(concurrency), 1))
+    # stages run as TASK pools; ``concurrency`` (int or (min, max)
+    # tuple) caps concurrent tasks by its max bound, None = executor
+    # default (all CPUs)
+    task_cap = None
+    if concurrency is not None:
+        task_cap = max(concurrency) if isinstance(concurrency, tuple) else int(concurrency)
 
+    for p in input_files:
+        if not p.endswith(".parquet"):
+            raise ValueError(
+                f"input {p!r}: shard files must end in .parquet — the shard id "
+                "is derived from the basename and drives resume bookkeeping"
+            )
     by_shard = {_shard_of(p): p for p in input_files}
+    if len(by_shard) != len(input_files):
+        from collections import Counter
+
+        dupes = [s for s, c in Counter(_shard_of(p) for p in input_files).items() if c > 1]
+        raise ValueError(
+            f"duplicate shard basenames {dupes!r}: shard ids must be unique "
+            "(one file = one partition)"
+        )
     order = sorted(by_shard)
     pending = manifest.pending(order) if resume else order
     skipped = len(order) - len(pending)
@@ -126,11 +140,13 @@ def run_flagship(
                 extract_fn,
                 batch_format="pyarrow",
                 batch_size=batch_size,
+                concurrency=task_cap,
             )
             ds = ds.map_batches(
                 encode_fn,
                 batch_format="pyarrow",
                 batch_size=max(batch_size * 4, 8192),
+                concurrency=task_cap,
             )
             t_wave = time.perf_counter()
             ds.write_parquet(data_dir, partition_cols=["shard_id"])
@@ -147,6 +163,21 @@ def run_flagship(
                 for pid in wave
                 for f in glob.glob(os.path.join(data_dir, f"shard_id={pid}", "*.parquet"))
             ]
+            if not wave_files:
+                # a wave can legitimately produce zero output (e.g. a
+                # lang filter matching nothing): mark its partitions
+                # done with zero rows instead of crashing the read-back
+                for pid in wave:
+                    manifest.mark_done(pid, {
+                        "input": by_shard[pid], "rows": 0, "points": 0,
+                        "watermark": None, "wave_secs": wave_secs,
+                        "stage_config": {
+                            "s2_level": s2_level, "hex_res": hex_res,
+                            "grid_zoom": grid_zoom, "batch_size": batch_size,
+                        },
+                        "wave_stats": wave_stats,
+                    })
+                continue
             back = ray.data.read_parquet(
                 wave_files, columns=["n_points", "warc_ts"], include_paths=True
             )

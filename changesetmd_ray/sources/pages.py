@@ -61,10 +61,12 @@ def validate_schema(path: str, columns: list[str] | None = None) -> None:
     from the declared contract for the requested columns."""
     actual = pq.read_schema(path)
     for name in columns or PAGES_SCHEMA.names:
-        want = PAGES_SCHEMA.field(name)
         idx = actual.get_field_index(name)
         if idx < 0:
             raise ValueError(f"{path}: missing required column {name!r}")
+        if PAGES_SCHEMA.get_field_index(name) < 0:
+            continue  # extra (non-contract) column: presence-only check
+        want = PAGES_SCHEMA.field(name)
         got = actual.field(idx)
         if got.type != want.type:
             raise ValueError(

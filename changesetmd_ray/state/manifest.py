@@ -44,7 +44,7 @@ class Manifest:
         return {
             f[: -len(".json")]
             for f in os.listdir(self.dir)
-            if f.endswith(".json") and f != "LOCK.json"
+            if f.endswith(".json") and not f.startswith(".lock-")
         }
 
     def pending(self, all_partitions: list[str]) -> list[str]:
@@ -84,22 +84,37 @@ class Manifest:
     def acquire_lock(self, stale_sec: float = 24 * 3600.0) -> None:
         """NOWAIT lock like the reference's ``LOCK TABLE ... NOWAIT``
         (``changesetmd.py:308-313``) but with stale-lock recovery."""
-        while True:
+        # atomic create-WITH-content: write a private tmp file, then
+        # os.link it into place — the lock never exists half-written, so
+        # a concurrent reader can't misjudge a live lock as stale
+        tmp = os.path.join(self.dir, f".lock-{os.getpid()}-{time.monotonic_ns()}")
+        with open(tmp, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        tried_break = False
+        try:
+            while True:
+                try:
+                    os.link(tmp, self._lock_path)
+                    return
+                except FileExistsError:
+                    if not tried_break and self._lock_is_stale(stale_sec):
+                        # break the stale lock ONCE; if another process
+                        # wins the re-acquire race we raise rather than
+                        # remove its fresh lock
+                        tried_break = True
+                        try:
+                            os.remove(self._lock_path)
+                        except FileNotFoundError:
+                            pass
+                        continue
+                    raise ManifestLockedError(
+                        f"another run holds {self._lock_path}; remove it if stale"
+                    )
+        finally:
             try:
-                fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"pid": os.getpid(), "ts": time.time()}, f)
-                return
-            except FileExistsError:
-                if self._lock_is_stale(stale_sec):
-                    try:
-                        os.remove(self._lock_path)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                raise ManifestLockedError(
-                    f"another run holds {self._lock_path}; remove it if stale"
-                )
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
 
     def _lock_is_stale(self, stale_sec: float) -> bool:
         try:

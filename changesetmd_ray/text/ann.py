@@ -166,7 +166,7 @@ def ann_lsh_topk(
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "neighbor_id": pa.array([], pa.int64()),
                                  "cosine": pa.array([], pa.float64())})
-            csig = _rh_signature(emb, planes)
+            csig = _rh_signature(emb, self.planes)
             out_q, out_n, out_s = [], [], []
             for i in range(len(self.qid)):
                 d = hamming64(np.full(len(csig), self.qsig[i], dtype=np.uint64), csig)

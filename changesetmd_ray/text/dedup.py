@@ -86,7 +86,11 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
         keys = group[key_col].to_pylist()
         ids = group[id_col].to_numpy(zero_copy_only=False)
         if keep == "latest":
-            order = -group[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            ts_arr = group[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            ts_i = ts_arr.astype(np.int64)
+            # NaT's int64 sentinel is INT64_MIN, whose negation wraps to
+            # itself — null timestamps must LOSE, not win
+            order = np.where(np.isnat(ts_arr), np.iinfo(np.int64).max, -ts_i)
         else:
             order = ids
         winners = []
@@ -203,6 +207,21 @@ def minhash_lsh_candidates(
         # unique ids only (same id can appear once per band; bucket is one band)
         ia, ib, est, jac = [], [], [], []
         band_key = int(group["band"][0].as_py())
+        # hoisted out of the O(m²) pair loop: per-row band keys and
+        # (lazily) per-row shingle/ngram hash sets — a hot bucket of m
+        # near-identical docs otherwise re-derives both once per PARTNER
+        row_band_keys = [band_keys(sig[i], n_bands).astype(np.int64) for i in range(len(ids))]
+        doc_hashes: dict[int, np.ndarray] = {}
+
+        def hashes_of(i: int) -> np.ndarray:
+            if i not in doc_hashes:
+                doc_hashes[i] = (
+                    char_ngram_hashes(texts[i] or "", char_ngrams)
+                    if char_ngrams
+                    else shingle_hashes(token_hashes(tokenize(texts[i] or "")), shingle_w)
+                )
+            return doc_hashes[i]
+
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
                 if ids[x] == ids[y]:
@@ -215,24 +234,13 @@ def minhash_lsh_candidates(
                 for bi in range(n_bands):
                     s, e = bi * n_rows_band, (bi + 1) * n_rows_band
                     if np.array_equal(sa[s:e], sb[s:e]):
-                        kb = band_keys(sa, n_bands)[bi]
-                        first = np.int64(kb.astype(np.int64))
+                        first = int(row_band_keys[a][bi])
                         break
-                if first is None or int(first) != band_key:
+                if first is None or first != band_key:
                     continue
                 e_j = float((sa == sb).mean())
                 if carry_text:
-                    ha = (
-                        char_ngram_hashes(texts[a] or "", char_ngrams)
-                        if char_ngrams
-                        else shingle_hashes(token_hashes(tokenize(texts[a] or "")), shingle_w)
-                    )
-                    hb = (
-                        char_ngram_hashes(texts[b] or "", char_ngrams)
-                        if char_ngrams
-                        else shingle_hashes(token_hashes(tokenize(texts[b] or "")), shingle_w)
-                    )
-                    j = jaccard(ha, hb)
+                    j = jaccard(hashes_of(a), hashes_of(b))
                     if threshold is not None and j < threshold:
                         continue
                     jac.append(j)
@@ -306,7 +314,7 @@ def simhash_candidates(
         if len(ids) >= 2:
             for x in range(len(ids)):
                 for y in range(x + 1, len(ids)):
-                    if ids[x] == ids[y] or fps[x] is None:
+                    if ids[x] == ids[y]:
                         continue
                     d = int(hamming64(fps[x : x + 1], fps[y : y + 1])[0])
                     if d > max_hamming:

@@ -189,3 +189,49 @@ def test_cli_end_to_end(ray_session, pages_dir, tmp_path):
     rc = main(["--input", pages_dir, "--out", out3, "--from-part", "0", "--to-part", "0"])
     assert rc == 0
     assert read_output(out3).count() < total
+
+
+def test_empty_wave_marks_done(ray_session, pages_dir, tmp_path):
+    """A lang filter matching nothing must mark partitions done with
+    zero rows, not crash the read-back (and resume must skip them)."""
+    from changesetmd_ray.pipelines.flagship import run_flagship
+    from changesetmd_ray.sources.pages import discover_partitions
+    from changesetmd_ray.state.manifest import Manifest
+
+    files = list(discover_partitions(pages_dir).values())
+    out = str(tmp_path / "empty_wave")
+    m1 = run_flagship(files, out, langs=["zz"])  # matches nothing
+    assert m1["rows"] == 0
+    manifest = Manifest(out + "/_manifest")
+    assert len(manifest.completed()) == len(files)
+    m2 = run_flagship(files, out, langs=["zz"])  # resume: all skipped
+    assert m2["partitions"] == 0 and m2["skipped"] == len(files)
+
+
+def test_duplicate_and_bad_shard_names_rejected(ray_session, tmp_path):
+    from changesetmd_ray.pipelines.flagship import run_flagship
+
+    with pytest.raises(ValueError, match="duplicate shard basenames"):
+        run_flagship(["/a/part-1.parquet", "/b/part-1.parquet"], str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="must end in .parquet"):
+        run_flagship(["/a/data.snappy.pq"], str(tmp_path / "y"))
+
+
+def test_manifest_lock_never_half_written(tmp_path):
+    """The lock is created atomically WITH content (tmp + link), so a
+    concurrent reader can never see an empty lock file and misjudge a
+    live lock as stale; breaking a stale lock happens at most once."""
+    import json
+    import os
+
+    from changesetmd_ray.state.manifest import Manifest, ManifestLockedError
+
+    m = Manifest(str(tmp_path / "m"))
+    m.acquire_lock()
+    with open(os.path.join(str(tmp_path / "m"), "LOCK")) as f:
+        info = json.load(f)  # readable immediately — never empty
+    assert info["pid"] == os.getpid()
+    m2 = Manifest(str(tmp_path / "m"))
+    with pytest.raises(ManifestLockedError):
+        m2.acquire_lock()
+    m.release_lock()

@@ -257,3 +257,22 @@ def test_media_decode_strict_raises():
     )
     with pytest.raises(Exception):
         decode_media(ray.data.from_arrow(media), codec="strict").take_all()
+
+
+def test_exact_dedup_latest_null_ts_loses(ray_session):
+    """keep='latest': a NULL timestamp must never beat a real one (NaT's
+    int64 sentinel negates onto itself)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from changesetmd_ray.text.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["same", "same"]),
+        "ts": pa.array([np.datetime64("2020-01-01", "us"), None], pa.timestamp("us")),
+    })
+    out = exact_dedup(ray.data.from_arrow(t), key_col="text", id_col="doc_id",
+                      keep="latest", ts_col="ts").to_pandas()
+    assert list(out["doc_id"]) == [1]
