@@ -168,7 +168,13 @@ def bbox_area_sq_m(min_lon, min_lat, max_lon, max_lat) -> np.ndarray:
     """
     min_lon = np.asarray(min_lon, dtype=np.float64)
     max_lon = np.asarray(max_lon, dtype=np.float64)
-    dlam = np.radians(max_lon - min_lon)
+    # wrapped boxes (min_lon > max_lon, the normalize_bbox antimeridian
+    # representation) span max-min+360 — the raw difference would yield
+    # the COMPLEMENT area; normal boxes (incl. the full ±180 sphere) are
+    # untouched
+    diff = max_lon - min_lon
+    dlon = np.where(diff >= 0.0, diff, diff + 360.0)
+    dlam = np.radians(dlon)
     s = np.sin(np.radians(np.asarray(max_lat, dtype=np.float64))) - np.sin(
         np.radians(np.asarray(min_lat, dtype=np.float64))
     )

@@ -169,39 +169,6 @@ def disk_cells(cell: int, k: int) -> np.ndarray:
     return pack_cell(z, gx[keep].ravel(), gy[keep].ravel())
 
 
-def cell_min_ring_distance_m(cell: int, lon: float, lat: float, k: int) -> float:
-    """Lower bound on the distance from point (lon, lat) — inside
-    ``cell`` — to anything *outside* the disk of radius k around the
-    cell. Used as the kNN stopping criterion: once the k-th candidate is
-    nearer than this bound, no point outside the disk can beat it."""
-    z, ix, iy = unpack_cell(np.asarray([cell], dtype=np.uint64))
-    z = int(z[0])
-    nx, ny = grid_dims(z)
-    h_deg = 180.0 / ny
-    w_deg = 360.0 / nx
-    min_lon_c, min_lat_c, _, max_lat_c = cell_bounds(np.asarray([cell], dtype=np.uint64))
-    # degrees from the point to the outer edge of the disk, per axis
-    north = (float(max_lat_c[0]) + k * h_deg) - lat
-    south = lat - (float(min_lat_c[0]) - k * h_deg)
-    west = lon - (float(min_lon_c[0]) - k * w_deg)
-    east = (float(min_lon_c[0]) + w_deg + k * w_deg) - lon
-    lat_m = min(north, south) * 111_194.9  # 1° lat in meters (mean)
-    # lon degrees shrink with cos(lat); use the worst (largest) cos in the disk
-    max_abs_lat = min(90.0, max(abs(lat - south), abs(lat + north)))
-    lon_m = min(west, east) * 111_194.9 * max(np.cos(np.radians(max_abs_lat)), 1e-9)
-    # crossing a pole means the disk clamps — treat clamped edge as covered
-    if float(min_lat_c[0]) - k * h_deg <= -90.0:
-        south_m = np.inf
-    else:
-        south_m = south * 111_194.9
-    if float(max_lat_c[0]) + k * h_deg >= 90.0:
-        north_m = np.inf
-    else:
-        north_m = north * 111_194.9
-    return float(min(north_m, south_m, lon_m))
-
-
-# ---------------------------------------------------------------- tiles
 
 def tile_xyz(lon: np.ndarray, lat: np.ndarray, zoom: int) -> tuple[np.ndarray, np.ndarray]:
     """Web-mercator slippy tile (x, y) for each point at ``zoom``.

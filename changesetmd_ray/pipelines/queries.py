@@ -286,9 +286,12 @@ def q_orders_per_segment(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(self.keys, ck)
-            seg = self.segs[np.clip(pos, 0, len(self.keys) - 1)]
-            price = pc.round(batch["o_totalprice"], ndigits=2)
+            pos = np.clip(np.searchsorted(self.keys, ck), 0, max(len(self.keys) - 1, 0))
+            # inner-join parity: drop orders whose custkey has no
+            # customer row instead of attaching a neighbor's segment
+            hit = (len(self.keys) > 0) & (self.keys[pos] == ck) if len(self.keys) else np.zeros(len(ck), bool)
+            seg = self.segs[pos[hit]]
+            price = pc.round(batch["o_totalprice"].filter(pa.array(hit)), ndigits=2)
             t = pa.table({"c_mktsegment": pa.array(list(seg), pa.string()), "price": price})
             return t.group_by("c_mktsegment").aggregate([("price", "sum"), ("price", "count")])
 
@@ -362,9 +365,11 @@ def q_anti_join_customers(sf_dir: str):
             self.have = ray.get(have_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.have) == 0:  # nothing to exclude (numpy & would
+                return batch          # not short-circuit the gather)
             ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.clip(np.searchsorted(self.have, ck), 0, max(len(self.have) - 1, 0))
-            hit = (len(self.have) > 0) & (self.have[pos] == ck)
+            pos = np.clip(np.searchsorted(self.have, ck), 0, len(self.have) - 1)
+            hit = self.have[pos] == ck
             return batch.filter(pa.array(~hit))
 
     return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
@@ -556,8 +561,9 @@ def q_nations_per_region(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             k = batch["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.clip(np.searchsorted(self.rk, k), 0, len(self.rk) - 1)
-            t = pa.table({"r_name": pa.array(list(self.rn[pos]), pa.string())})
+            pos = np.clip(np.searchsorted(self.rk, k), 0, max(len(self.rk) - 1, 0))
+            hit = (len(self.rk) > 0) & (self.rk[pos] == k) if len(self.rk) else np.zeros(len(k), bool)
+            t = pa.table({"r_name": pa.array(list(self.rn[pos[hit]]), pa.string())})
             return t.group_by("r_name").aggregate([("r_name", "count")])
 
     partials = _read(sf_dir, "nation", ["n_regionkey"]).map_batches(
@@ -1111,6 +1117,7 @@ def q_pages_points_flatten(sf_dir: str):
     def flatten(batch: pa.Table) -> pa.Table:
         pts = batch["points"].combine_chunks()
         offsets = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]  # slice-safe: offsets are absolute
         counts = np.diff(offsets)
         url = batch["url"].to_pylist()
         did = np.array([int(u.rsplit("/d", 1)[1]) for u in url], dtype=np.int64)
@@ -1251,8 +1258,10 @@ def q_docs_dup_clusters(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        # null text partitions separately (SQL's length(NULL) is NULL,
+        # its own window partition) — never folded into bucket 0
         keys = [
-            f"{lg}|{len(t or '') // 100}"
+            f"{lg}|{'null' if t is None else len(t) // 100}"
             for lg, t in zip(batch["lang"].to_pylist(), batch["text"].to_pylist())
         ]
         h = np.fromiter(
@@ -1282,7 +1291,8 @@ def q_docs_dup_clusters(sf_dir: str):
     pairs_ds = ds.map_batches(add_hash, batch_format="pyarrow").groupby("__h").map_groups(
         group_pairs, batch_format="pyarrow"
     )
-    pairs = pa.Table.from_pylist(pairs_ds.take_all()) if pairs_ds.count() else pa.table(
+    rows = pairs_ds.take_all()  # ONE execution (count() would re-run the DAG)
+    pairs = pa.Table.from_pylist(rows) if rows else pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
     return duplicate_clusters(pairs)

@@ -9,6 +9,8 @@ use the same definitions on both sides (see ``__ray_entry__.py``).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -58,7 +60,6 @@ class LangId:
                 preds.append(best if bs > 0 else "und")
                 scores.append(bs)
                 continue
-            tok_set = toks if len(toks) < 50 else set(toks)
             best, bs = "und", 0.0
             for lang, ws in self.markers.items():
                 hits = sum(1 for w in toks if w in ws)
@@ -85,7 +86,10 @@ def quality_features(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     col = batch[text_col]
     n_chars = pc.utf8_length(col)
     # whitespace token count = count of space-runs in trimmed text + 1 (0 for empty)
-    trimmed = pc.utf8_trim_whitespace(col)
+    # trim SPACES only — the SQL oracle's trim() (DuckDB) removes only
+    # ' ' while Arrow's utf8_trim_whitespace strips all Unicode
+    # whitespace, which diverges on texts with edge tabs/newlines
+    trimmed = pc.utf8_trim(col, characters=" ")
     runs = pc.count_substring_regex(trimmed, r"\s+")
     nonempty = pc.not_equal(pc.utf8_length(trimmed), 0)
     n_tokens = pc.if_else(nonempty, pc.add(runs, 1), 0)
@@ -147,7 +151,6 @@ class Fingerprint:
             if len(norm) < self.k:
                 out[i] = np.uint64(hash_bytes64(norm))
                 continue
-            import zlib
 
             grams = np.fromiter(
                 (zlib.crc32(norm[j : j + self.k]) for j in range(len(norm) - self.k + 1)),
