@@ -111,9 +111,18 @@ def parent(cell: np.ndarray, parent_res: int | None = None) -> np.ndarray:
     contains this cell's centre — same approximate-containment semantics
     as canonical H3 ``h3ToParent``."""
     res, _, _ = decode(cell)
-    pr = int(res[0]) - 1 if parent_res is None else parent_res
     lon, lat = cell_center(cell)
-    return encode(lon, lat, pr)
+    if parent_res is not None:
+        return encode(lon, lat, parent_res)
+    # per-ELEMENT parent resolution (mixed-res input is valid, as in
+    # cell_center); res-0 cells have no parent
+    if np.any(res == 0):
+        raise ValueError("res-0 cells have no parent")
+    out = np.empty(len(cell), dtype=np.uint64)
+    for pr in np.unique(res - 1):
+        m = res - 1 == pr
+        out[m] = encode(lon[m], lat[m], int(pr))
+    return out
 
 
 def neighbors(cell: int) -> np.ndarray:

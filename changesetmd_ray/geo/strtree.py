@@ -34,6 +34,9 @@ class STRtree:
         max_y = np.asarray(max_y, dtype=np.float64)
         n = len(min_x)
         self.n_items = n
+        if node_capacity < 2:
+            raise ValueError(f"node_capacity must be >= 2 (got {node_capacity}): "
+                             "capacity 1 never reduces a level (infinite loop)")
         self.cap = int(node_capacity)
         if n == 0:
             self.order = np.empty(0, dtype=np.int64)

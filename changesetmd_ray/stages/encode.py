@@ -26,16 +26,18 @@ class CellEncoder:
         self.s2_level = s2_level
         self.hex_res = hex_res
         self.grid_zoom = grid_zoom
-        # touch the lazily-built S2 lookup tables so the cost is paid at
-        # actor construction, not first batch
-        cells.cell_from_latlng(np.array([0.0]), np.array([0.0]), s2_level)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         min_lon = batch["min_lon"].to_numpy(zero_copy_only=False)
         min_lat = batch["min_lat"].to_numpy(zero_copy_only=False)
         max_lon = batch["max_lon"].to_numpy(zero_copy_only=False)
         max_lat = batch["max_lat"].to_numpy(zero_copy_only=False)
-        cx = (min_lon + max_lon) * 0.5
+        # wrap-aware centre: an antimeridian box (min_lon > max_lon,
+        # the normalize_bbox representation) centres near ±180, not 0
+        raw = (min_lon + max_lon) * 0.5
+        with np.errstate(invalid="ignore"):
+            wrapped = min_lon > max_lon
+        cx = np.where(wrapped, np.where(raw >= 0.0, raw - 180.0, raw + 180.0), raw)
         cy = (min_lat + max_lat) * 0.5
         ok = ~(np.isnan(cx) | np.isnan(cy))
 

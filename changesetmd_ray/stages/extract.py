@@ -59,15 +59,24 @@ class GeoExtractor:
         if n and val_off[-1] > val_off[0]:
             data = memoryview(html.buffers()[2])[val_off[0] : val_off[-1]]
             base = int(val_off[0])
+            starts: list[int] = []
+            ends: list[int] = []
             for m in self.pattern.finditer(data):
-                start = m.start() + base
-                row = int(np.searchsorted(val_off, start, "right")) - 1
-                if m.end() + base > val_off[row + 1]:
-                    continue  # crosses a document boundary
                 la, lo = (g for g in m.groups() if g is not None)
-                rows.append(row)
+                starts.append(m.start())
+                ends.append(m.end())
                 lats.append(float(la))
                 lons.append(float(lo))
+            if starts:
+                # ONE vectorized row-mapping + boundary mask instead of a
+                # numpy call per match
+                st = np.asarray(starts, dtype=np.int64) + base
+                en = np.asarray(ends, dtype=np.int64) + base
+                row_arr = np.searchsorted(val_off, st, "right") - 1
+                ok_m = en <= val_off[row_arr + 1]  # reject boundary straddles
+                rows = row_arr[ok_m].tolist()
+                lats = [v for v, k in zip(lats, ok_m) if k]
+                lons = [v for v, k in zip(lons, ok_m) if k]
         # forward scan ⇒ rows are nondecreasing ⇒ document order per row
         counts_per_row = np.bincount(
             np.asarray(rows, dtype=np.int64), minlength=n

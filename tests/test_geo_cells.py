@@ -140,3 +140,37 @@ def test_hex_aperture7_area_scaling():
     n2 = len(np.unique(hexgrid.encode(lon, lat, 2)))
     n3 = len(np.unique(hexgrid.encode(lon, lat, 3)))
     assert 4.0 < n3 / n2 < 10.0  # √7-per-side scaling; edges blur the exact 7
+
+
+def test_cell_encoder_wrapped_bbox_center():
+    """Antimeridian box (min_lon > max_lon) must encode near ±180, not 0."""
+    import pyarrow as pa
+
+    from changesetmd_ray.geo import cells
+    from changesetmd_ray.stages.encode import CellEncoder
+
+    batch = pa.table({
+        "min_lon": pa.array([170.0]), "min_lat": pa.array([-5.0]),
+        "max_lon": pa.array([-170.0]), "max_lat": pa.array([5.0]),
+    })
+    out = CellEncoder(s2_level=10, hex_res=6, grid_zoom=6)(batch)
+    got = np.asarray(out["s2_cell"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    want = cells.cell_from_latlng(np.array([0.0]), np.array([180.0]), 10)
+    want_alt = cells.cell_from_latlng(np.array([0.0]), np.array([-180.0]), 10)
+    assert got[0] in (want[0], want_alt[0])
+
+
+def test_hex_parent_mixed_res_and_res0():
+    import pytest as _pytest
+
+    from changesetmd_ray.geo import hexgrid
+
+    c5 = hexgrid.encode(np.array([10.0]), np.array([20.0]), 5)
+    c9 = hexgrid.encode(np.array([10.0]), np.array([20.0]), 9)
+    both = np.concatenate([c5, c9])
+    p = hexgrid.parent(both)
+    res, _, _ = hexgrid.decode(p)
+    assert list(res) == [4, 8]  # per-element, not first-element
+    c0 = hexgrid.encode(np.array([10.0]), np.array([20.0]), 0)
+    with _pytest.raises(ValueError, match="res-0"):
+        hexgrid.parent(c0)
