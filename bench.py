@@ -85,6 +85,24 @@ def _warm_imports(batch):
     return batch
 
 
+def _warmup(num_cpus: int) -> None:
+    """ONE warmup protocol for both bench modes: spin up the worker pool
+    with the library imported in every worker, plus one autoscaling
+    actor pool, so timed regions measure pipelines, not cold-start."""
+    import ray.data
+
+    class _Noop:
+        def __call__(self, b):
+            return b
+
+    ray.data.range(1_000_000, override_num_blocks=num_cpus * 4).map_batches(
+        _warm_imports, batch_format="pyarrow"
+    ).count()
+    ray.data.range(num_cpus * 2, override_num_blocks=num_cpus).map_batches(
+        _Noop, batch_format="pyarrow", concurrency=(1, max(num_cpus, 2)), batch_size=1
+    ).count()
+
+
 def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:
     """North_rule headline — spatial-join + tile-assignment throughput:
     derive ``n_points`` web-page-style points (same integer-arithmetic
@@ -139,16 +157,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from changesetmd_ray.pipelines.queries import QUERIES
 
-    # session warmup: start workers and the first actor pool so the
-    # timed loop measures the pipelines, not Ray cold-start
-    class _Noop:
-        def __call__(self, b):
-            return b
-
-    ray.data.range(1_000_000, override_num_blocks=num_cpus * 4).map_batches(
-        _warm_imports, batch_format="pyarrow"
-    ).count()
-    ray.data.range(1000).map_batches(_Noop, batch_format="pyarrow", concurrency=(1, 2)).count()
+    _warmup(num_cpus)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -178,19 +187,9 @@ def _child_headline(sf_dir: str, num_cpus: int, n_points: int, trials: int = 1) 
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:
-        # spin up the worker pool + an actor pool before the timed
-        # region: the scaling criterion measures steady-state throughput,
-        # not process cold-start (which is a fixed cost, not per-row)
-        class _Noop:
-            def __call__(self, b):
-                return b
-
-        ray.data.range(1_000_000, override_num_blocks=num_cpus * 4).map_batches(
-            _warm_imports, batch_format="pyarrow"
-        ).count()
-        ray.data.range(num_cpus * 2, override_num_blocks=num_cpus).map_batches(
-            _Noop, batch_format="pyarrow", concurrency=(1, num_cpus), batch_size=1
-        ).count()
+        # the scaling criterion measures steady-state throughput, not
+        # process cold-start (a fixed cost, not per-row)
+        _warmup(num_cpus)
         # best of N trials: the sandbox host is shared (a pure
         # multiprocessing probe shows ±20% wall noise), so the fastest
         # trial is the least-interfered measurement of the engine

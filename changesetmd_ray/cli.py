@@ -55,17 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    import ray
-
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
-
-    from changesetmd_ray.pipelines.flagship import run_flagship
     from changesetmd_ray.sources.pages import discover_partitions
 
+    # resolve + validate inputs BEFORE paying Ray session startup
     if args.files:
         files = list(args.files)
     elif args.input:
@@ -75,11 +67,28 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     if args.from_part is not None or args.to_part is not None:
-        # partial range (reference -F --fromseq --toseq): explicit
-        # partition window, bypasses nothing else — manifest still written
-        lo = args.from_part if args.from_part is not None else 0
-        hi = args.to_part if args.to_part is not None else len(files) - 1
-        files = files[lo : hi + 1]
+        # partial range (reference -F --fromseq --toseq): selected by the
+        # part id PARSED FROM THE FILENAME, not list position — gaps or
+        # offset numbering must not silently shift the window
+        import re as _re
+
+        def part_id(path):
+            m = _re.search(r"part-(\d+)\.parquet$", path)
+            return int(m.group(1)) if m else None
+
+        lo = args.from_part if args.from_part is not None else float("-inf")
+        hi = args.to_part if args.to_part is not None else float("inf")
+        files = [p for p in files if (i := part_id(p)) is not None and lo <= i <= hi]
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+
+    from changesetmd_ray.pipelines.flagship import run_flagship
 
     if args.fresh:
         shutil.rmtree(args.out, ignore_errors=True)

@@ -95,8 +95,10 @@ def make_pages_shard(
     n_pts = rng.poisson(2.2, n) + 1
     no_geo = rng.random(n) < 0.03
     n_pts[no_geo] = 0
-    n_pts[0] = 0  # edge: guaranteed no-geo row
-    n_pts[1] = 1  # degenerate bbox
+    if n > 0:
+        n_pts[0] = 0  # edge: guaranteed no-geo row
+    if n > 1:
+        n_pts[1] = 1  # degenerate bbox
     total = int(n_pts.sum())
     lons = _quant(rng, -180, 180, total)
     lats = _quant(rng, -90, 90, total)
@@ -337,10 +339,11 @@ def make_changesets(n: int, seed: int = 42) -> pa.Table:
     def null_where(arr, mask, typ):
         return pa.array([None if m else v for v, m in zip(arr.tolist(), mask)], typ)
 
+    anon_mask = rng.random(n) < 0.002  # anonymous rows lack BOTH uid and name
     return pa.table(
         {
             "id": pa.array(ids),
-            "user_id": null_where(uid, rng.random(n) < 0.002, pa.int64()),
+            "user_id": null_where(uid, anon_mask, pa.int64()),
             "created_at": pa.array(created, pa.timestamp("us")),
             "closed_at": pa.array(
                 [None if o else (c + d) for c, d, o in zip(created, dur, open_flag)],
@@ -348,7 +351,9 @@ def make_changesets(n: int, seed: int = 42) -> pa.Table:
             ),
             "open": pa.array(open_flag),
             "num_changes": pa.array(rng.integers(1, 500, n), pa.int32()),
-            "user_name": pa.array([f"user_{u}" for u in uid], pa.string()),
+            "user_name": pa.array(
+                [None if a else f"user_{u}" for u, a in zip(uid, anon_mask)], pa.string()
+            ),
             "min_lat": null_where(min_lat, no_bbox, pa.float64()),
             "max_lat": null_where(max_lat, no_bbox, pa.float64()),
             "min_lon": null_where(min_lon, no_bbox, pa.float64()),

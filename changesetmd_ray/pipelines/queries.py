@@ -1183,7 +1183,7 @@ def q_pages_tags(sf_dir: str):
     tag = os.path.basename(os.path.normpath(sf_dir))
     paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
     ds = ray.data.read_parquet(paths, columns=["url", "html"])
-    ds = ds.map_batches(TagExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(TagExtractor(), batch_format="pyarrow")
 
     def predicate(batch: pa.Table) -> pa.Table:
         gen = pc.map_lookup(batch["tags"], pa.scalar("generator"), "first")

@@ -22,22 +22,31 @@ import pyarrow.compute as pc
 
 from changesetmd_ray.text.hashing import splitmix64
 
+# the media-table input contract (what producers actually emit and
+# decode_media consumes)
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
         ("media_type", pa.string()),  # 'image' | 'audio' | 'video'
         ("payload", pa.binary()),
-        ("meta_width", pa.int32()),
-        ("meta_height", pa.int32()),
     ]
 )
 
 
 def media_metadata(batch: pa.Table, *, payload_col: str = "payload") -> pa.Table:
-    """Cheap typed metadata without decoding: byte size + stable content
-    hash (vectorized Arrow kernels)."""
+    """Cheap typed metadata without decoding: byte size + stable 64-bit
+    content hash (the exact-dedup key for media payloads)."""
+    from changesetmd_ray.text.hashing import hash_bytes64
+
     size = pc.binary_length(batch[payload_col])
-    return batch.append_column("payload_bytes", pc.cast(size, pa.int64()))
+    h = np.fromiter(
+        (hash_bytes64(p if p is not None else b"") for p in batch[payload_col].to_pylist()),
+        np.uint64,
+        len(batch),
+    )
+    return batch.append_column("payload_bytes", pc.cast(size, pa.int64())).append_column(
+        "payload_hash", pa.array(h.astype(np.int64), pa.int64())
+    )
 
 
 class MediaDecodeStub:

@@ -9,7 +9,9 @@ an Arrow MapArray (``pa.MapArray.from_arrays``) so downstream predicates
 run as vectorized ``pc.map_lookup`` + ``pc.match_like`` kernels — no
 JSON, no Python dicts past this stage.
 
-Callable class → actor pool (regex compiled once per actor, T2 pattern).
+The pattern compiles once at module import; the callable class is just
+a convenient batch UDF — run it as a TASK pool (instances pickle
+cheaply), not an actor pool.
 """
 
 from __future__ import annotations

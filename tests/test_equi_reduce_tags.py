@@ -131,8 +131,9 @@ def test_media_decode_stub(ray_session):
         }
     )
     out = decode_media(ray.data.from_arrow(media), feat_dim=8, codec="fake").to_pandas()
-    assert list(out.columns) == ["media_id", "media_type", "payload_bytes", "feature"]
+    assert list(out.columns) == ["media_id", "media_type", "payload_bytes", "payload_hash", "feature"]
     assert out["payload_bytes"].tolist() == [3, 0]
+    assert out["payload_hash"].nunique() == 2  # stable content hash per payload
     assert all(len(f) == 8 for f in out["feature"])
     # determinism across calls
     out2 = decode_media(ray.data.from_arrow(media), feat_dim=8, codec="fake").to_pandas()
