@@ -236,10 +236,12 @@ def q_tpch_q1(sf_dir: str):
 
 _SQL_TPCH_Q1 = """
 select l_returnflag, l_linestatus,
-       sum(cast(l_quantity as bigint)) as sum_qty,
-       sum(cast(round(l_extendedprice*100) as bigint)) / 100.0 as sum_base_price,
-       sum(cast(round(l_extendedprice*100) as bigint)
-           * (100 - cast(round(l_discount*100) as bigint))) / 10000.0 as sum_disc_price,
+       cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+       cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) / 100.0
+           as sum_base_price,
+       cast(sum(cast(round(l_extendedprice*100) as bigint)
+           * (100 - cast(round(l_discount*100) as bigint))) as bigint) / 10000.0
+           as sum_disc_price,
        count(*) as count_order
 from lineitem
 where l_shipdate <= timestamp '1998-09-02 00:00:00'
@@ -910,8 +912,10 @@ from pt left join rt on pt.tile_x = rt.tile_x and pt.tile_y = rt.tile_y
 
 
 def q_geo_cell_encode(sf_dir: str):
-    """T2 cell encoders (own S2 + hex implementations — no SQL oracle;
-    correctness is covered by the geo property tests)."""
+    """T2 cell encoders (own S2 + hex implementations). SQL-oracled
+    bit-exactly: the encoders' float constants are inlined into the SQL
+    via repr and the S2 Hilbert rounds unrolled with the lookup table as
+    a list literal (:mod:`changesetmd_ray.oracle_cells_sql`)."""
     from changesetmd_ray.stages.encode import CellEncoder
 
     pts = _events_points(sf_dir).map_batches(
@@ -928,6 +932,19 @@ def q_geo_cell_encode(sf_dir: str):
         concurrency=(1, 4),
     )
     return enc.select_columns(["event_id", "s2_cell", "hex_cell", "grid_cell"])
+
+
+def _sql_geo_cell_encode() -> str:
+    from changesetmd_ray.oracle_cells_sql import cells_select
+
+    inner = cells_select(
+        _pt_sql("events", "event_id"),
+        ["event_id"],
+        s2_level=12,
+        hex_res=8,
+        grid_zoom=7,
+    )
+    return f"select event_id, s2_cell, hex_cell, grid_cell from {inner} t"
 
 
 # ------------------------------------------------------- text/training
@@ -1082,7 +1099,10 @@ def pages_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
 def q_pages_pipeline(sf_dir: str):
     """The flagship extract+encode chain over input_hint pages (S5 + T2):
     html → points/bbox with byte-identical text passthrough → S2/hex/grid
-    cells. Rows-only check (cell ids are own-spec)."""
+    cells. Fully SQL-oracled: the planted coords are e3-integer-derived
+    (parsed float == (e3)/1000.0 exactly, single rounding on both sides),
+    and the cell ids reproduce via :mod:`changesetmd_ray.oracle_cells_sql`
+    over the bbox centre."""
     from changesetmd_ray.stages.encode import CellEncoder
     from changesetmd_ray.stages.extract import GeoExtractor
 
@@ -1098,6 +1118,42 @@ def q_pages_pipeline(sf_dir: str):
     )
     return ds.select_columns(
         ["url", "n_points", "min_lon", "min_lat", "max_lon", "max_lat", "s2_cell", "hex_cell"]
+    )
+
+
+def _sql_pages_pipeline() -> str:
+    from changesetmd_ray.oracle_cells_sql import cells_select
+
+    # bbox centre source: per-doc min/max over the planted points, with
+    # the integer-e3-numerator float derivation (bit-equal to the floats
+    # the extractor parses out of the "%.7f" html strings)
+    ctr = """(
+      with __pts as (
+        select doc_id,
+          ((((doc_id*31 + j*7) * 7919) % 360000) - 180000)/1000.0 as lon,
+          ((((doc_id*31 + j*7) * 104729) % 170000) - 85000)/1000.0 as lat
+        from documents, (select unnest([0, 1, 2]) as j) t
+        where j <= doc_id % 3
+      ), __agg as (
+        select doc_id, cast(count(*) as int) as n_points,
+          min(lon) as min_lon, min(lat) as min_lat,
+          max(lon) as max_lon, max(lat) as max_lat
+        from __pts group by doc_id
+      )
+      select 'https://docs.example.org/d' || doc_id as url, n_points,
+        min_lon, min_lat, max_lon, max_lat,
+        (min_lon + max_lon)*0.5 as lon, (min_lat + max_lat)*0.5 as lat
+      from __agg
+    )"""
+    inner = cells_select(
+        ctr,
+        ["url", "n_points", "min_lon", "min_lat", "max_lon", "max_lat"],
+        s2_level=12,
+        hex_res=8,
+    )
+    return (
+        "select url, n_points, min_lon, min_lat, max_lon, max_lat, "
+        f"s2_cell, hex_cell from {inner} t"
     )
 
 
@@ -1165,7 +1221,7 @@ class GeoExtractor2Cols:
 
 
 _SQL_PAGES_POINTS_FLATTEN = """
-select doc_id, j,
+select doc_id, cast(j as bigint) as j,
        cast(round((((doc_id*31 + j*7) * 7919) % 360000)/1000.0 - 180.0, 3)*1000 as bigint) as lon_e3,
        cast(round((((doc_id*31 + j*7) * 104729) % 170000)/1000.0 - 85.0, 3)*1000 as bigint) as lat_e3
 from documents, (select unnest([0, 1, 2]) as j) t
@@ -1422,6 +1478,8 @@ ORACLE_SQL = {
     "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
     "pages_points_flatten": _SQL_PAGES_POINTS_FLATTEN,
     "pages_tags": _SQL_PAGES_TAGS,
+    "geo_cell_encode": _sql_geo_cell_encode(),
+    "pages_pipeline": _sql_pages_pipeline(),
     # rows-only (non-SQL-expressible): geo_cell_encode,
     # docs_minhash_neardup, docs_simhash_neardup, docs_langid,
     # docs_tokens, docs_fingerprint, ann_lsh, pages_pipeline,

@@ -91,6 +91,20 @@ def main() -> int:
             except AssertionError as ex:
                 msg = str(ex).splitlines()[0]
                 print(f"       value diff: {msg}")
+            # The driver's hash is dtype-representation-sensitive
+            # (HUGEINT->object vs int64 diverges even when values match),
+            # so a dtype mismatch is a hard failure here too.
+            if ok_vals:
+                got_dt = [str(d) for d in got.dtypes]
+                exp_dt = [str(d) for d in exp.dtypes]
+                if got_dt != exp_dt:
+                    ok_vals = False
+                    diff = [
+                        f"{c}: {a}!={b}"
+                        for c, a, b in zip(got.columns, got_dt, exp_dt)
+                        if a != b
+                    ]
+                    print(f"       dtype diff: {diff}")
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if status == "FAIL":
             failures.append(name)
