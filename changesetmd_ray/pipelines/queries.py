@@ -501,7 +501,10 @@ def q_union_dedup(sf_dir: str):
     yields the original counts (reference README.md:101-104)."""
     a = _read(sf_dir, "events", ["event_id", "event_type"])
     b = _read(sf_dir, "events", ["event_id", "event_type"])
-    deduped = exact_dedup(a.union(b), key_col="event_id", id_col="event_id")
+    deduped = exact_dedup(
+        a.union(b), key_col="event_id", id_col="event_id",
+        unique_ids=False,  # the doubled input repeats every id by design
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by("event_type").aggregate([("event_type", "count")])

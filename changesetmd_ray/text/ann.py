@@ -205,34 +205,79 @@ def embedding_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_blocks: int = 8,
     batch_size: int = 2048,
 ):
     """Embedding-cosine near-duplicate pairs: all ``(id_a, id_b)`` with
-    ``id_a < id_b`` and cosine ≥ ``threshold``.
+    ``id_a < id_b`` and cosine ≥ ``threshold`` — EXACT (recall 1.0).
 
-    Broadcast-matmul shape: the L2-normalized corpus matrix ships once
-    via ``ray.put`` and the same dataset streams against it — one numpy
-    matmul per batch, pairs deduped for free by the id ordering. The
-    broadcast side must fit a worker heap; beyond that, bucket by LSH
-    signature first (``ann_lsh_topk``'s pruning) or block the matrix by
-    id range. Task pool (the per-task state is a zero-copy ``ray.get``).
+    Block-pair covering, fully distributed (no driver materialization):
+    each vector hashes to one of ``n_blocks`` id blocks and is fanned
+    out to the ``n_blocks`` bucket keys ``(min(i,j), max(i,j))`` it
+    participates in; each bucket cross-matmuls its two blocks (one
+    triangular matmul for the diagonal buckets). A pair lands in exactly
+    one bucket, so no global distinct is needed. Shuffle volume is
+    ``n_blocks ×`` the corpus embeddings; per-bucket work is
+    ``(N/n_blocks)²·D`` — pick ``n_blocks ~ √(cluster cores)`` to
+    balance replication against bucket size. Exact all-pairs above a
+    threshold is inherently O(N²·D) compute at any layout; for the
+    approximate-but-cheap regime use :func:`ann_lsh_topk`'s pruning or
+    MinHash over text (:mod:`changesetmd_ray.text.dedup`).
     """
-    corpus = ds.select_columns([id_col, emb_col]).take_all()
-    ids = np.asarray([r[id_col] for r in corpus], dtype=np.int64)
-    mat = _norm_rows(np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in corpus]))
-    order = np.argsort(ids)
-    ref = ray.put((ids[order], np.ascontiguousarray(mat[order])))
+    from changesetmd_ray.text.hashing import splitmix64
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        cid, cmat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        bmat = _norm_rows(_emb_matrix(batch, emb_col))
-        cos = bmat @ cmat.T
-        bi, ci = np.nonzero((cos >= threshold) & (bid[:, None] < cid[None, :]))
+    def fanout(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _norm_rows(_emb_matrix(batch, emb_col))
+        n, dim = emb.shape
+        blk = (splitmix64(ids.astype(np.uint64)) % np.uint64(n_blocks)).astype(np.int64)
+        # bucket key for (block b, partner j): (min<<32)|max — n_blocks keys/row
+        other = np.arange(n_blocks, dtype=np.int64)
+        lo = np.minimum(blk[:, None], other[None, :])
+        hi = np.maximum(blk[:, None], other[None, :])
+        bucket = (lo * n_blocks + hi).reshape(-1)
+        rep_ids = np.repeat(ids, n_blocks)
+        rep_blk = np.repeat(blk, n_blocks)
+        rep_emb = np.repeat(emb, n_blocks, axis=0)
         return pa.table(
-            {"id_a": pa.array(bid[bi]), "id_b": pa.array(cid[ci])}
+            {
+                "__bucket": pa.array(bucket),
+                "__blk": pa.array(rep_blk),
+                id_col: pa.array(rep_ids),
+                "__emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep_emb.reshape(-1), pa.float64()), dim
+                ),
+            }
         )
 
-    return ds.select_columns([id_col, emb_col]).map_batches(
-        pairs, batch_format="pyarrow", batch_size=batch_size
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = group["__blk"].to_numpy(zero_copy_only=False)
+        emb = _emb_matrix(group, "__emb")  # already normalized in fanout
+        bucket = int(group["__bucket"][0].as_py())
+        i, j = bucket // n_blocks, bucket % n_blocks
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        if i == j:
+            # diagonal: all pairs within the block
+            if len(ids) < 2:
+                return empty
+            cos = emb @ emb.T
+            ai, bi = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+            return pa.table({"id_a": pa.array(ids[ai]), "id_b": pa.array(ids[bi])})
+        ma, mb = blk == i, blk == j
+        if not ma.any() or not mb.any():
+            return empty
+        ida, idb = ids[ma], ids[mb]
+        cos = emb[ma] @ emb[mb].T
+        ai, bi = np.nonzero(cos >= threshold)
+        a, b = ida[ai], idb[bi]
+        lo_id, hi_id = np.minimum(a, b), np.maximum(a, b)
+        keep = lo_id < hi_id  # drop id self-collisions across blocks (none expected)
+        return pa.table({"id_a": pa.array(lo_id[keep]), "id_b": pa.array(hi_id[keep])})
+
+    return (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(fanout, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )

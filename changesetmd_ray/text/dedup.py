@@ -34,7 +34,8 @@ from changesetmd_ray.text.hashing import (
     band_keys,
     char_ngram_hashes,
     hamming64,
-    hash_bytes64,
+
+    hash_bytes128,
     jaccard,
     minhash_params,
     minhash_signature,
@@ -46,40 +47,32 @@ from changesetmd_ray.text.hashing import (
 )
 
 
-def _first_by(ids: np.ndarray, order_vals: np.ndarray) -> int:
-    """Index of the winner: min order value, ties by min id."""
-    return int(np.lexsort((ids, order_vals))[0])
 
 
-def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str = "first",
-                ts_col: str | None = None):
-    """One row per distinct ``key_col`` value. ``keep='first'`` keeps the
-    smallest ``id_col``; ``keep='latest'`` keeps max ``ts_col`` (ties →
-    smallest id) — the reference's last-writer-wins upsert (A5/S8).
-    Returns the surviving rows with their original schema."""
-    if keep not in ("first", "latest"):
-        raise ValueError(keep)
-    if keep == "latest" and ts_col is None:
-        raise ValueError("keep='latest' needs ts_col")
+def _dedup_rows_shuffle(ds, *, key_col: str, id_col: str, keep: str, ts_col: str | None):
+    """Full-row keep-one groupby — the duplicate-id-safe path: every row
+    of a key group co-locates, the winner row is picked in place, so
+    replayed copies collapse correctly. Rows (payload included) ride the
+    shuffle; prefer the loser-filter path for unique-id corpora."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         field = batch.schema.field(key_col).type
         if pa.types.is_integer(field):
             k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = splitmix64(k)
+            h = splitmix64(k).astype(np.int64)
         else:
             vals = batch[key_col].to_pylist()
             h = np.fromiter(
                 (
-                    hash_bytes64(
+                    hash_bytes128(
                         v.encode("utf-8") if isinstance(v, str) else (v if v is not None else b"")
-                    )
+                    )[0]
                     for v in vals
                 ),
-                np.uint64,
+                np.int64,
                 len(vals),
             )
-        return batch.append_column("__h", pa.array(h.astype(np.int64), pa.int64()))
+        return batch.append_column("__h", pa.array(h, pa.int64()))
 
     def keep_one(group: pa.Table) -> pa.Table:
         # collision guard: within a hash group, split by the actual key
@@ -88,23 +81,170 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
         if keep == "latest":
             ts_arr = group[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
             ts_i = ts_arr.astype(np.int64)
-            # NaT's int64 sentinel is INT64_MIN, whose negation wraps to
-            # itself — null timestamps must LOSE, not win
             order = np.where(np.isnat(ts_arr), np.iinfo(np.int64).max, -ts_i)
         else:
             order = ids
         winners = []
         seen: dict = {}
-        for i, k in enumerate(keys):
-            seen.setdefault(k, []).append(i)
+        for i, kk in enumerate(keys):
+            seen.setdefault(kk, []).append(i)
         for idxs in seen.values():
             idxs = np.asarray(idxs)
-            winners.append(int(idxs[_first_by(ids[idxs], order[idxs])]))
+            winners.append(int(idxs[np.lexsort((ids[idxs], order[idxs]))[0]]))
         return group.take(pa.array(sorted(winners))).drop_columns(["__h"])
 
     return ds.map_batches(add_hash, batch_format="pyarrow").groupby("__h").map_groups(
         keep_one, batch_format="pyarrow"
     )
+
+
+def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str = "first",
+                ts_col: str | None = None, loser_broadcast_limit: int = 4_000_000,
+                num_buckets: int = 256, unique_ids: bool = True):
+    """One row per distinct ``key_col`` value. ``keep='first'`` keeps the
+    smallest ``id_col``; ``keep='latest'`` keeps max ``ts_col`` (ties →
+    smallest id) — the reference's last-writer-wins upsert (A5/S8).
+    Returns the surviving rows with their original schema.
+
+    Scale shape — the all-to-all never carries the payload:
+
+    1. key-extract: each row → ``(h1, h2, id[, order])`` where (h1, h2)
+       is a 128-bit blake2b of the key (collision-guard strength; for
+       integer keys h1 = splitmix64(key), a bijection, so zero
+       collisions and h2 is unused),
+    2. a narrow ``groupby(h1)`` elects the per-key winner and emits the
+       LOSER ids (sub-grouped by h2 inside the group),
+    3. the source then streams through a filter: loser ids broadcast
+       once via ``ray.put`` when ≤ ``loser_broadcast_limit`` (the corpus
+       never shuffles at all — web-dedup loser sets are duplicates only,
+       ≪ corpus); above the limit, a bucketed distributed anti-join by
+       id (one corpus shuffle, same cost as the naive design's floor).
+
+    ``id_col`` must be unique per row (it identifies losers). For
+    replayed/duplicated inputs where the same id appears more than once
+    (the reference's replicate-replay idempotency, S9), pass
+    ``unique_ids=False`` — that path shuffles full rows through the key
+    groupby (correct under any duplication) and suits narrow tables.
+    """
+    if keep not in ("first", "latest"):
+        raise ValueError(keep)
+    if keep == "latest" and ts_col is None:
+        raise ValueError("keep='latest' needs ts_col")
+    if not unique_ids:
+        return _dedup_rows_shuffle(ds, key_col=key_col, id_col=id_col, keep=keep, ts_col=ts_col)
+    int_key = pa.types.is_integer(ds.schema().base_schema.field(key_col).type)
+
+    narrow_cols = [key_col, id_col] + ([ts_col] if keep == "latest" else [])
+    narrow_cols = list(dict.fromkeys(narrow_cols))  # key_col may equal id_col
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if int_key:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h1 = splitmix64(k).astype(np.int64)
+            h2 = np.zeros(len(ids), dtype=np.int64)
+        else:
+            vals = batch[key_col].to_pylist()
+            h1 = np.empty(len(vals), dtype=np.int64)
+            h2 = np.empty(len(vals), dtype=np.int64)
+            for i, v in enumerate(vals):
+                b = v.encode("utf-8") if isinstance(v, str) else (v if v is not None else b"")
+                h1[i], h2[i] = hash_bytes128(b)
+        if keep == "latest":
+            ts_arr = batch[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            ts_i = ts_arr.astype(np.int64)
+            # NaT's int64 sentinel is INT64_MIN, whose negation wraps to
+            # itself — null timestamps must LOSE, not win
+            order = np.where(np.isnat(ts_arr), np.iinfo(np.int64).max, -ts_i)
+        else:
+            order = np.zeros(len(ids), dtype=np.int64)
+        return pa.table(
+            {"__h": pa.array(h1), "__h2": pa.array(h2),
+             "__id": pa.array(ids), "__ord": pa.array(order)}
+        )
+
+    def losers_of(group: pa.Table) -> pa.Table:
+        ids = group["__id"].to_numpy(zero_copy_only=False)
+        h2 = group["__h2"].to_numpy(zero_copy_only=False)
+        order = group["__ord"].to_numpy(zero_copy_only=False)
+        # sort by (h2, order, id): the first row of each h2 run wins
+        perm = np.lexsort((ids, order, h2))
+        h2s = h2[perm]
+        first = np.concatenate([[True], h2s[1:] != h2s[:-1]])
+        return pa.table({"__loser": pa.array(ids[perm][~first])})
+
+    losers = (
+        ds.select_columns(narrow_cols)
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(losers_of, batch_format="pyarrow")
+        .materialize()  # narrow (ids only), bounded by the duplicate count
+    )
+    n_losers = losers.count()
+
+    if n_losers <= loser_broadcast_limit:
+        if n_losers == 0:
+            return ds
+        arr = np.sort(losers.to_pandas()["__loser"].to_numpy().astype(np.int64))
+        ref = ray.put(arr)
+
+        def drop(batch: pa.Table) -> pa.Table:
+            la = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(la, ids)
+            pos[pos == len(la)] = 0
+            is_loser = la[pos] == ids
+            return batch.filter(pa.array(~is_loser))
+
+        return ds.map_batches(drop, batch_format="pyarrow")
+
+    # fallback: distributed anti-join by id (bucket co-partition)
+    schema = ds.schema().base_schema
+    out_cols = list(schema.names)
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(ids) & np.uint64(num_buckets - 1)).astype(np.int64)
+        return (
+            batch.append_column("__bucket", pa.array(b))
+            .append_column("__loser", pa.nulls(len(batch), pa.int64()))
+        )
+
+    def tag_losers(batch: pa.Table) -> pa.Table:
+        lid = batch["__loser"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(lid) & np.uint64(num_buckets - 1)).astype(np.int64)
+        t = pa.table(
+            {c: pa.nulls(len(batch), schema.field(c).type) for c in out_cols}
+        )
+        return t.append_column("__bucket", pa.array(b)).append_column(
+            "__loser", batch["__loser"]
+        )
+
+    order_cols = [*out_cols, "__bucket", "__loser"]
+    union = (
+        ds.map_batches(tag_src, batch_format="pyarrow")
+        .map_batches(lambda b: b.select(order_cols), batch_format="pyarrow")
+        .union(
+            losers.map_batches(tag_losers, batch_format="pyarrow").map_batches(
+                lambda b: b.select(order_cols), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        lmask = np.asarray(group["__loser"].is_valid())
+        src = group.filter(pa.array(~lmask)).select(out_cols)
+        lids = np.unique(
+            group.filter(pa.array(lmask))["__loser"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if len(lids) == 0 or len(src) == 0:
+            return src
+        ids = src[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(lids, ids)
+        pos[pos == len(lids)] = 0
+        return src.filter(pa.array(lids[pos] != ids))
+
+    return union.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
 
 
 class _MinHashStage:

@@ -37,6 +37,18 @@ def hash_bytes64(data: bytes) -> int:
     return int(splitmix64(np.uint64((hi << 32) | lo))[()])
 
 
+def hash_bytes128(data: bytes) -> tuple[int, int]:
+    """Stable 128-bit hash as two int64 halves (blake2b) — the exact-
+    dedup content key: collision probability ~N²/2^129, negligible at
+    any corpus size this engine targets."""
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little", signed=True)
+    h2 = int.from_bytes(d[8:], "little", signed=True)
+    return h1, h2
+
+
 def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
@@ -116,6 +128,19 @@ def band_keys(sig: np.ndarray, n_bands: int) -> np.ndarray:
     acc = np.zeros(n_bands, dtype=np.uint64)
     for j in range(r):
         acc = splitmix64(acc ^ bands[:, j])
+    return splitmix64(acc ^ (np.arange(n_bands, dtype=np.uint64) << np.uint64(56)))
+
+
+def band_keys_matrix(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(m × n_bands) band keys for a signature MATRIX (m × n_perm) —
+    the whole-bucket vectorized form of :func:`band_keys` (identical
+    values, r fused passes instead of one call per row)."""
+    m, n_perm = sigs.shape
+    r = n_perm // n_bands
+    bands = sigs[:, : n_bands * r].reshape(m, n_bands, r)
+    acc = np.zeros((m, n_bands), dtype=np.uint64)
+    for j in range(r):
+        acc = splitmix64(acc ^ bands[:, :, j])
     return splitmix64(acc ^ (np.arange(n_bands, dtype=np.uint64) << np.uint64(56)))
 
 
