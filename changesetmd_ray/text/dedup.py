@@ -31,8 +31,11 @@ import pyarrow as pa
 import ray
 
 from changesetmd_ray.text.hashing import (
+    any_eq_pairs,
     band_keys,
+    band_keys_matrix,
     char_ngram_hashes,
+    eq_count_pairs,
     hamming64,
 
     hash_bytes128,
@@ -247,6 +250,24 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
     return union.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
 
 
+def _pair_index_blocks(n: int, max_pairs: int = 1 << 21):
+    """Yield ``(px, py)`` int64 index arrays covering every ``i < j``
+    pair of ``range(n)`` in blocks of ≤ ``max_pairs`` pairs — bounds the
+    working-set of vectorized pair kernels on hot buckets (a group of
+    100 k near-identical docs is 5 × 10⁹ pairs; never materialize that
+    in one shot)."""
+    rows_per_block = max(1, max_pairs // max(n - 1, 1))
+    for s in range(0, n - 1, rows_per_block):
+        e = min(s + rows_per_block, n - 1)
+        rows = np.arange(s, e, dtype=np.int64)
+        counts = n - rows - 1
+        total = int(counts.sum())
+        px = np.repeat(rows, counts)
+        starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+        py = np.arange(total, dtype=np.int64) - np.repeat(starts, counts) + px + 1
+        yield px, py
+
+
 class _MinHashStage:
     """Actor stage: text → (band_key, id [, signature, text]) rows.
     MinHash permutation params are built once per actor."""
@@ -302,6 +323,7 @@ def minhash_lsh_candidates(
     carry_text: bool = False,
     concurrency=(1, 8),
     batch_size: int = 1024,
+    num_fold_buckets: int = 256,
 ):
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
@@ -311,6 +333,16 @@ def minhash_lsh_candidates(
     colliding in several bands is only emitted by the lowest such band,
     no global distinct needed). With ``threshold`` set, pairs below it
     (signature estimate; exact Jaccard when ``carry_text``) are dropped.
+
+    Scale shape: band keys are FOLDED into ``num_fold_buckets`` coarse
+    groups before the shuffle (``map_groups`` dispatches one Python call
+    per group — millions of singleton band buckets would be dominated by
+    dispatch, and the sort-shuffle cost tracks distinct-key count). The
+    fold stage re-groups rows by exact band-slice equality with one
+    ``np.unique`` and enumerates pairs with blocked index arithmetic —
+    no per-pair Python. A hot bucket of m near-identical docs costs one
+    (m·(m-1)/2 × n_bands) vectorized comparison, not m² interpreter
+    iterations.
     """
     stage = dict(
         n_perm=n_perm, n_bands=n_bands, shingle_w=shingle_w, text_col=text_col,
@@ -322,7 +354,10 @@ def minhash_lsh_candidates(
         # task pool: the per-worker state (permutation params) costs
         # microseconds to rebuild; autoscaling actor pools ramp too
         # slowly to saturate the node (see joins/pip.py measurement)
-        return _MinHashStage(**stage)(batch)
+        out = _MinHashStage(**stage)(batch)
+        b = out["band"].to_numpy(zero_copy_only=False).view(np.uint64)
+        fold = (b & np.uint64(num_fold_buckets - 1)).astype(np.int64)
+        return out.append_column("__bucket", pa.array(fold))
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
         minhash_fn,
@@ -333,24 +368,34 @@ def minhash_lsh_candidates(
     n_rows_band = n_perm // n_bands
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64()),
-                 **({"jaccard": pa.array([], pa.float64())} if carry_text else {})}
-            )
-        sig = np.asarray(group["sig"].combine_chunks().flatten()).reshape(len(ids), n_perm).astype(
-            np.uint64
+        empty_cols = {
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+        if carry_text:
+            empty_cols["jaccard"] = pa.array([], pa.float64())
+        empty = pa.table(empty_cols)
+        m = len(group)
+        if m < 2:
+            return empty
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        band_own = group["band"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sig = (
+            np.asarray(group["sig"].combine_chunks().flatten())
+            .reshape(m, n_perm)
+            .astype(np.uint64)
         )
+        # regroup by (routing band, exact band slice): only rows whose
+        # slice at their routing band is IDENTICAL can collide there
+        bk = band_keys_matrix(sig, n_bands)  # (m, n_bands) uint64
+        mi = np.argmax(bk == band_own[:, None], axis=1).astype(np.int64)
+        slice_idx = mi[:, None] * n_rows_band + np.arange(n_rows_band, dtype=np.int64)[None, :]
+        slices = np.take_along_axis(sig, slice_idx, axis=1)
+        gkey = np.concatenate([mi[:, None].astype(np.uint64), slices], axis=1)
+        _, labels, counts = np.unique(gkey, axis=0, return_inverse=True, return_counts=True)
+        order = np.argsort(labels, kind="stable")
+
         texts = group["__text"].to_pylist() if carry_text else None
-        # unique ids only (same id can appear once per band; bucket is one band)
-        ia, ib, est, jac = [], [], [], []
-        band_key = int(group["band"][0].as_py())
-        # hoisted out of the O(m²) pair loop: per-row band keys and
-        # (lazily) per-row shingle/ngram hash sets — a hot bucket of m
-        # near-identical docs otherwise re-derives both once per PARTNER
-        row_band_keys = [band_keys(sig[i], n_bands).astype(np.int64) for i in range(len(ids))]
         doc_hashes: dict[int, np.ndarray] = {}
 
         def hashes_of(i: int) -> np.ndarray:
@@ -362,50 +407,80 @@ def minhash_lsh_candidates(
                 )
             return doc_hashes[i]
 
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if ids[x] == ids[y]:
+        out_a, out_b, out_est, out_jac = [], [], [], []
+        pos = 0
+        for g in counts:
+            idx = order[pos : pos + g]
+            pos += g
+            if g < 2:
+                continue
+            bi = int(mi[idx[0]])  # the whole group shares its routing band
+            for px, py in _pair_index_blocks(int(g)):
+                gx, gy = idx[px], idx[py]
+                keep = ids[gx] != ids[gy]
+                gx, gy = gx[keep], gy[keep]
+                if len(gx) == 0:
                     continue
-                a, b = (x, y) if ids[x] < ids[y] else (y, x)
-                # emit-once rule: only if this is the FIRST band where the
-                # two signatures collide
-                sa, sb = sig[a], sig[b]
-                first = None
-                for bi in range(n_bands):
-                    s, e = bi * n_rows_band, (bi + 1) * n_rows_band
-                    if np.array_equal(sa[s:e], sb[s:e]):
-                        first = int(row_band_keys[a][bi])
-                        break
-                if first is None or first != band_key:
-                    continue
-                e_j = float((sa == sb).mean())
-                if carry_text:
-                    j = jaccard(hashes_of(a), hashes_of(b))
-                    if threshold is not None and j < threshold:
+                # emit-once: the pair collides at band bi by group
+                # construction; emit here iff NO earlier band collides
+                if bi > 0:
+                    early = any_eq_pairs(bk, gx, gy, bi)
+                    gx, gy = gx[~early], gy[~early]
+                    if len(gx) == 0:
                         continue
-                    jac.append(j)
-                elif threshold is not None and e_j < threshold:
-                    continue
-                ia.append(int(ids[a]))
-                ib.append(int(ids[b]))
-                est.append(e_j)
+                est = eq_count_pairs(sig, gx, gy) / np.float64(n_perm)
+                if threshold is not None and not carry_text:
+                    k2 = est >= threshold
+                    gx, gy, est = gx[k2], gy[k2], est[k2]
+                    if len(gx) == 0:
+                        continue
+                a = np.minimum(ids[gx], ids[gy])
+                b = np.maximum(ids[gx], ids[gy])
+                if carry_text:
+                    jj = np.fromiter(
+                        (jaccard(hashes_of(int(x)), hashes_of(int(y))) for x, y in zip(gx, gy)),
+                        np.float64,
+                        len(gx),
+                    )
+                    k3 = np.ones(len(gx), dtype=bool) if threshold is None else jj >= threshold
+                    out_jac.append(jj[k3])
+                    a, b, est = a[k3], b[k3], est[k3]
+                out_a.append(a)
+                out_b.append(b)
+                out_est.append(est)
+        if not out_a:
+            return empty
         cols = {
-            "id_a": pa.array(ia, pa.int64()),
-            "id_b": pa.array(ib, pa.int64()),
-            "est_jaccard": pa.array(est, pa.float64()),
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "est_jaccard": pa.array(np.concatenate(out_est), pa.float64()),
         }
         if carry_text:
-            cols["jaccard"] = pa.array(jac, pa.float64())
+            cols["jaccard"] = pa.array(np.concatenate(out_jac), pa.float64())
         return pa.table(cols)
 
-    return exploded.groupby("band").map_groups(bucket_pairs, batch_format="pyarrow")
+    return exploded.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+def _simhash_chunk_params(n_bands: int) -> tuple[np.ndarray, np.ndarray]:
+    """(shift, mask) uint64 arrays for the n_bands chunk split of 64
+    bits (last band takes the remainder; width-64 mask guarded)."""
+    width = 64 // n_bands
+    lo = np.arange(n_bands, dtype=np.uint64) * np.uint64(width)
+    ws = np.full(n_bands, width, dtype=np.uint64)
+    ws[-1] = np.uint64(64 - (n_bands - 1) * width)
+    masks = np.full(n_bands, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    small = ws < 64
+    masks[small] = (np.uint64(1) << ws[small]) - np.uint64(1)
+    return lo, masks
 
 
 class _SimHashStage:
-    def __init__(self, max_hamming: int, text_col: str, id_col: str):
+    def __init__(self, max_hamming: int, text_col: str, id_col: str, num_fold_buckets: int = 256):
         self.n_bands = max_hamming + 1
         self.text_col = text_col
         self.id_col = id_col
+        self.num_fold_buckets = num_fold_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -414,17 +489,17 @@ class _SimHashStage:
             (simhash64(token_hashes(tokenize(t or ""))) for t in texts), np.uint64, len(texts)
         )
         # split 64 bits into n_bands chunks; band key = (band_idx, chunk)
-        width = 64 // self.n_bands
-        bands = []
-        for bi in range(self.n_bands):
-            lo = np.uint64(bi * width)
-            w = np.uint64(64 - bi * width) if bi == self.n_bands - 1 else np.uint64(width)
-            chunk = (fps >> lo) & ((np.uint64(1) << w) - np.uint64(1))
-            bands.append(splitmix64(chunk ^ (np.uint64(bi) << np.uint64(58))).astype(np.int64))
-        n = len(ids)
+        lo, masks = _simhash_chunk_params(self.n_bands)
+        chunks = (fps[:, None] >> lo[None, :]) & masks[None, :]  # (n, n_bands)
+        keys = splitmix64(
+            chunks ^ (np.arange(self.n_bands, dtype=np.uint64)[None, :] << np.uint64(58))
+        )
+        band = keys.T.reshape(-1)  # band-major to match the tile layout
+        fold = (band & np.uint64(self.num_fold_buckets - 1)).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands)),
+                "band": pa.array(band.astype(np.int64)),
+                "__bucket": pa.array(fold),
                 self.id_col: pa.array(np.tile(ids, self.n_bands)),
                 "fp": pa.array(np.tile(fps.astype(np.int64), self.n_bands)),
             }
@@ -438,58 +513,87 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     concurrency=(1, 8),
+    num_fold_buckets: int = 256,
 ):
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
     Pigeonhole banding guarantees recall 1.0 w.r.t. the fingerprints;
     exact Hamming check inside each bucket; emit-once via the
-    lowest-matching-band rule. Returns ``(id_a, id_b, hamming)``."""
+    lowest-matching-band rule. Returns ``(id_a, id_b, hamming)``.
+
+    Same fold-bucket + vectorized pair shape as
+    :func:`minhash_lsh_candidates`: bands fold into
+    ``num_fold_buckets`` coarse groups; inside a group, rows regroup by
+    exact chunk value with ``np.unique`` and pairs are enumerated with
+    blocked index arithmetic (popcount Hamming, argmax emit-once)."""
     n_bands = max_hamming + 1
-    width = 64 // n_bands
+    lo, masks = _simhash_chunk_params(n_bands)
+    bidx = np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(58)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        m = len(group)
+        if m < 2:
+            return empty
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         fps = group["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        band_key = int(group["band"][0].as_py())
-        ia, ib, hm = [], [], []
-        if len(ids) >= 2:
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    if ids[x] == ids[y]:
+        band_own = group["band"].to_numpy(zero_copy_only=False).view(np.uint64)
+        chunks = (fps[:, None] >> lo[None, :]) & masks[None, :]  # (m, n_bands)
+        ckeys = splitmix64(chunks ^ bidx)
+        mi = np.argmax(ckeys == band_own[:, None], axis=1)
+        cval = np.take_along_axis(chunks, mi[:, None], axis=1)[:, 0]
+        gkey = np.stack([mi.astype(np.uint64), cval], axis=1)
+        _, labels, counts = np.unique(gkey, axis=0, return_inverse=True, return_counts=True)
+        order = np.argsort(labels, kind="stable")
+        out_a, out_b, out_h = [], [], []
+        pos = 0
+        for g in counts:
+            idx = order[pos : pos + g]
+            pos += g
+            if g < 2:
+                continue
+            bi = int(mi[idx[0]])  # the whole group shares its routing band
+            for px, py in _pair_index_blocks(int(g)):
+                gx, gy = idx[px], idx[py]
+                keep = ids[gx] != ids[gy]
+                gx, gy = gx[keep], gy[keep]
+                if len(gx) == 0:
+                    continue
+                d = hamming64(fps[gx], fps[gy])
+                keep = d <= max_hamming
+                gx, gy, d = gx[keep], gy[keep], d[keep]
+                if len(gx) == 0:
+                    continue
+                # emit-once: the pair agrees at chunk bi by group
+                # construction; emit here iff NO earlier chunk agrees
+                if bi > 0:
+                    early = any_eq_pairs(chunks, gx, gy, bi)
+                    gx, gy, d = gx[~early], gy[~early], d[~early]
+                    if len(gx) == 0:
                         continue
-                    d = int(hamming64(fps[x : x + 1], fps[y : y + 1])[0])
-                    if d > max_hamming:
-                        continue
-                    # first band where the two fingerprints agree
-                    first = None
-                    for bi in range(n_bands):
-                        lo = np.uint64(bi * width)
-                        w = np.uint64(64 - bi * width) if bi == n_bands - 1 else np.uint64(width)
-                        mask = (np.uint64(1) << w) - np.uint64(1)
-                        if (fps[x] >> lo) & mask == (fps[y] >> lo) & mask:
-                            first = int(
-                                splitmix64(
-                                    np.array([((fps[x] >> lo) & mask) ^ (np.uint64(bi) << np.uint64(58))], dtype=np.uint64)
-                                ).astype(np.int64)[0]
-                            )
-                            break
-                    if first != band_key:
-                        continue
-                    a, b = (x, y) if ids[x] < ids[y] else (y, x)
-                    ia.append(int(ids[a]))
-                    ib.append(int(ids[b]))
-                    hm.append(d)
+                out_a.append(np.minimum(ids[gx], ids[gy]))
+                out_b.append(np.maximum(ids[gx], ids[gy]))
+                out_h.append(d)
+        if not out_a:
+            return empty
         return pa.table(
-            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
-             "hamming": pa.array(hm, pa.int64())}
+            {"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+             "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+             "hamming": pa.array(np.concatenate(out_h), pa.int64())}
         )
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
         _SimHashStage,
-        fn_constructor_kwargs={"max_hamming": max_hamming, "text_col": text_col, "id_col": id_col},
+        fn_constructor_kwargs={
+            "max_hamming": max_hamming, "text_col": text_col, "id_col": id_col,
+            "num_fold_buckets": num_fold_buckets,
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    return exploded.groupby("band").map_groups(bucket_pairs, batch_format="pyarrow")
+    return exploded.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
 
 def duplicate_clusters(pairs: pa.Table, *, id_a: str = "id_a", id_b: str = "id_b") -> pa.Table:

@@ -159,10 +159,43 @@ def simhash64(tok_h: np.ndarray) -> int:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Element-wise Hamming distance between uint64 arrays (popcount via
-    byte unpack — vectorized, no Python bit loop)."""
+    """Element-wise Hamming distance between uint64 arrays (SWAR
+    popcount — uint64-sized temporaries only; the byte-unpack form
+    allocates 8× the input, which faults slowly at pair-kernel sizes)."""
     x = np.bitwise_xor(np.atleast_1d(a).astype(np.uint64), np.atleast_1d(b).astype(np.uint64))
-    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def eq_count_pairs(mat: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Per-pair count of equal columns between rows ``mat[px]`` and
+    ``mat[py]`` — column-at-a-time so temporaries stay at
+    ``len(px) × 8`` bytes (a single 2-D row-gather allocates
+    ``len(px) × n_cols × 8``, which page-faults ~30× slower than
+    column chunks at multi-GB sizes)."""
+    matT = np.ascontiguousarray(mat.T)
+    cnt = np.zeros(len(px), dtype=np.uint16)
+    for c in range(mat.shape[1]):
+        col = matT[c]
+        cnt += col[px] == col[py]
+    return cnt
+
+
+def any_eq_pairs(mat: np.ndarray, px: np.ndarray, py: np.ndarray, n_cols: int) -> np.ndarray:
+    """Per-pair OR of column equality over ``mat``'s first ``n_cols``
+    columns (same column-at-a-time rationale as
+    :func:`eq_count_pairs`)."""
+    matT = np.ascontiguousarray(mat[:, :n_cols].T)
+    out = np.zeros(len(px), dtype=bool)
+    for c in range(n_cols):
+        col = matT[c]
+        out |= col[px] == col[py]
+    return out
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

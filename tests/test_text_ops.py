@@ -126,6 +126,86 @@ def test_simhash_candidates():
         assert 0 <= r["hamming"] <= 8
 
 
+def _hot_corpus(n=120, vocab=500, length=80, muts=2, seed=7):
+    """Near-identical corpus: every doc is the same base with a few
+    doc-unique word mutations — every LSH bucket is hot."""
+    rng = np.random.default_rng(seed)
+    base = [f"tok{w}" for w in rng.integers(0, vocab, length)]
+    rows = []
+    for i in range(n):
+        words = list(base)
+        for p in rng.integers(0, length, muts):
+            words[int(p)] = f"m{i}_{p}"
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+def test_minhash_vectorized_matches_bruteforce():
+    """The blocked/vectorized bucket kernel must emit exactly the
+    signature-level LSH candidate set (collide in ≥1 band AND est ≥
+    threshold), each pair once, with exact est values."""
+    from changesetmd_ray.text.hashing import minhash_params, minhash_signature
+
+    rows = _hot_corpus()
+    docs = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows])}
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(
+            ray.data.from_arrow(docs).repartition(4), threshold=0.5
+        ).take_all()
+    }
+    a, b = minhash_params(128)
+    sigs = {
+        i: minhash_signature(shingle_hashes(token_hashes(tokenize(t)), 3), a, b)
+        for i, t in rows
+    }
+    exp = {}
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            si, sj = sigs[i], sigs[j]
+            collide = any(
+                np.array_equal(si[k * 8 : (k + 1) * 8], sj[k * 8 : (k + 1) * 8])
+                for k in range(16)
+            )
+            est = float((si == sj).mean())
+            if collide and est >= 0.5:
+                exp[(i, j)] = est
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-12
+
+
+def test_simhash_vectorized_matches_bruteforce():
+    """Pigeonhole banding has recall 1.0 over fingerprints: the output
+    must be EXACTLY the set of pairs with Hamming ≤ t, each once."""
+    from changesetmd_ray.text.hashing import simhash64
+
+    rows = _hot_corpus()
+    docs = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows])}
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(
+            ray.data.from_arrow(docs).repartition(4), max_hamming=6
+        ).take_all()
+    }
+    fps = {i: simhash64(token_hashes(tokenize(t))) for i, t in rows}
+    exp = {}
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = bin(fps[i] ^ fps[j]).count("1")
+            if d <= 6:
+                exp[(i, j)] = d
+    assert got == exp
+
+
 def test_duplicate_clusters_union_find():
     pairs = pa.table(
         {"id_a": pa.array([1, 2, 8], pa.int64()), "id_b": pa.array([2, 3, 9], pa.int64())}
