@@ -140,6 +140,46 @@ def _merge_topk_block(batch: pa.Table, k: int, final: bool) -> pa.Table:
     return pa.table(cols)
 
 
+def _merge_topk_final(partials, k: int, merge_buckets: int, merge_fanin: int | None):
+    """Final exact top-k merge of partial candidate rows.
+
+    ``merge_buckets > 1``: partition by probe-id hash and merge each
+    bucket independently — the per-probe top-k never needs global
+    co-location, so no single task funnels blocks × P × k rows
+    (the scale default). ``merge_buckets = 1``: the old
+    ``repartition(1)`` consolidation (cheapest at small P — one narrow
+    gather instead of a sort shuffle). ``merge_fanin`` adds a pre-shrink
+    level that caps the merged volume at fanin × P × k rows first."""
+    from changesetmd_ray.text.hashing import splitmix64
+
+    p = partials
+    if merge_fanin:
+        p = p.repartition(merge_fanin).map_batches(
+            lambda b: _merge_topk_block(b, k, final=False),
+            batch_format="pyarrow", batch_size=None,
+        )
+    if merge_buckets <= 1:
+        return p.repartition(1).map_batches(
+            lambda b: _merge_topk_block(b, k, final=True),
+            batch_format="pyarrow", batch_size=None,
+        )
+    _check_pow2(merge_buckets, "merge_buckets")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pid = batch["probe_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(pid) & np.uint64(merge_buckets - 1)).astype(np.int64)
+        return batch.append_column("__mb", pa.array(b))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return _merge_topk_block(group.drop_columns(["__mb"]), k, final=True)
+
+    return (
+        p.map_batches(tag, batch_format="pyarrow")
+        .groupby("__mb")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def knn_join(
     corpus,
     probes: pa.Table,
@@ -154,6 +194,7 @@ def knn_join(
     batch_size: int = 8192,
     concurrency=None,
     merge_fanin: int | None = None,
+    merge_buckets: int = 1,
 ):
     """Exact k-nearest-neighbors of every probe among the corpus points.
 
@@ -184,22 +225,12 @@ def knn_join(
         batch_size=batch_size,
     )
 
-    # repartition-tree merge (no sort-based groupby shuffle). Partial
-    # volume is blocks × P × k rows; every all-to-all carries ~1-2 s
-    # fixed latency, so the default is ONE level (repartition(1) +
-    # vectorized final top-k — P is broadcast-bounded, the final block
-    # always fits). Set merge_fanin (e.g. 64) when blocks × P × k is
-    # too big for one task — the level-1 pass shrinks each merged block
-    # to ≤ P·k rows first.
-    p = partials
-    if merge_fanin:
-        p = p.repartition(merge_fanin).map_batches(
-            lambda b: _merge_topk_block(b, k, final=False),
-            batch_format="pyarrow", batch_size=None,
-        )
-    return p.repartition(1).map_batches(
-        lambda b: _merge_topk_block(b, k, final=True), batch_format="pyarrow", batch_size=None
-    )
+    # merge default for THIS path is merge_buckets=1 (repartition(1) +
+    # vectorized final top-k): P is broadcast-bounded here, so the final
+    # block always fits one task and a sort shuffle would only add
+    # latency. Raise merge_buckets / set merge_fanin when blocks × P × k
+    # partial volume grows.
+    return _merge_topk_final(partials, k, merge_buckets, merge_fanin)
 
 
 # --------------------------- J4 scale path: cell-partitioned radius kNN
@@ -267,6 +298,7 @@ def knn_radius_join(
     lat_col: str = "lat",
     num_buckets: int = 128,
     merge_fanin: int | None = None,
+    merge_buckets: int = 64,
     probe_chunk: int = 512,
 ):
     """J4 scale path — radius-bounded exact kNN with BOTH sides as
@@ -372,12 +404,7 @@ def knn_radius_join(
         )
 
     partials = both.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    p = partials
-    if merge_fanin:
-        p = p.repartition(merge_fanin).map_batches(
-            lambda b: _merge_topk_block(b, k, final=False),
-            batch_format="pyarrow", batch_size=None,
-        )
-    return p.repartition(1).map_batches(
-        lambda b: _merge_topk_block(b, k, final=True), batch_format="pyarrow", batch_size=None
-    )
+    # this is the large-probe-set path, so the final merge defaults to
+    # the probe-hash bucketed shape: partial rows (P × ≤cover-cells × k)
+    # never funnel into a single task
+    return _merge_topk_final(partials, k, merge_buckets, merge_fanin)
