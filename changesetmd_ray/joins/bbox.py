@@ -93,10 +93,12 @@ class _Explode:
         # antimeridian-wrapped boxes (min_lon > max_lon, the normalized
         # wrap representation from geo/envelope.py) split into their two
         # lon segments so the per-cell exact test sees only plain
-        # intervals; bbox_join dedups the (rare) pair that matches in
-        # both segments and rejects non-intersects predicates for
-        # wrapped inputs (segment-OR only equals pair-intersects)
+        # intervals. ``nseg`` (1 | 2) rides along: intersects dedups the
+        # (rare) pair that matches in both segments; coveredby/contains
+        # require ALL the covered side's segments to be covered —
+        # bbox_join counts emissions per pair against ``nseg``
         wrapped = box[0] > box[2]
+        nseg = np.where(wrapped, np.int8(2), np.int8(1))
         if wrapped.any():
             w = np.nonzero(wrapped)[0]
             seg2 = [box[0][w].copy(), box[1][w], box[2][w].copy(), box[3][w]]
@@ -104,11 +106,13 @@ class _Explode:
             box = [b.copy() for b in box]
             box[2][wrapped] = 180.0
             rid = np.concatenate([rid, rid[w]])
+            nseg = np.concatenate([nseg, np.full(len(w), 2, dtype=np.int8)])
             box = [np.concatenate([b, s]) for b, s in zip(box, seg2)]
 
         row_idx, cells = cover_bbox(box[0], box[1], box[2], box[3], self.zoom)
         cc = _compact(cells, self.zoom)
         rid_r = rid[row_idx]
+        nseg_r = nseg[row_idx]
         box_r = [b[row_idx] for b in box]
 
         # salt: default 0; hot cells either split (1 row, hashed salt) or
@@ -140,6 +144,7 @@ class _Explode:
                     from_rep = np.repeat(rep > 1, rep)
                     new_salt[from_rep] = local[from_rep]
                     cc, rid_r, salt = cc[idx], rid_r[idx], new_salt
+                    nseg_r = nseg_r[idx]
                     box_r = [b[idx] for b in box_r]
 
         jkey = (cc << SALT_BITS) | salt
@@ -152,6 +157,7 @@ class _Explode:
                 "__bucket": pa.array(bucket),
                 "side": pa.array(np.full(len(jkey), self.side, dtype=np.int8)),
                 "rid": pa.array(rid_r, pa.int64()),
+                "nseg": pa.array(nseg_r, pa.int8()),
                 "lo_x": pa.array(box_r[0]),
                 "lo_y": pa.array(box_r[1]),
                 "hi_x": pa.array(box_r[2]),
@@ -160,11 +166,16 @@ class _Explode:
         )
 
 
-def _cell_counts(ds, cols: tuple, zoom: int) -> dict[int, int]:
-    """Per-compact-cell covering counts for one side: a column-pruned
-    pass combined DISTRIBUTED first (one level of the repartition tree),
-    so the driver only ever receives ≤ 32 × |distinct touched cells|
-    rows — never blocks × cells (which grows with input size)."""
+_WRAPPED_SENTINEL = -1  # compact cells are iy·nx+ix ≥ 0, so -1 is free
+
+
+def _cell_counts(ds, cols: tuple, zoom: int) -> tuple[dict[int, int], bool]:
+    """Per-compact-cell covering counts for one side, plus whether any
+    box wraps the antimeridian (folded into this pass so wrap detection
+    costs no extra input scan). A column-pruned pass combined
+    DISTRIBUTED first (one level of the repartition tree), so the
+    driver only ever receives ≤ 32 × |distinct touched cells| rows —
+    never blocks × cells (which grows with input size)."""
     from changesetmd_ray.stages.reduce import _combine_table
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -175,6 +186,10 @@ def _cell_counts(ds, cols: tuple, zoom: int) -> dict[int, int]:
         box = [b[ok] for b in box]
         _, cells = cover_bbox(box[0], box[1], box[2], box[3], zoom)
         u, n = np.unique(_compact(cells, zoom), return_counts=True)
+        n_wrapped = int(np.count_nonzero(box[0] > box[2]))
+        if n_wrapped:
+            u = np.concatenate([[np.int64(_WRAPPED_SENTINEL)], u])
+            n = np.concatenate([[np.int64(n_wrapped)], n])
         return pa.table({"cell": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())})
 
     partials = ds.select_columns(list(cols)).map_batches(
@@ -186,7 +201,8 @@ def _cell_counts(ds, cols: tuple, zoom: int) -> dict[int, int]:
     out: dict[int, int] = {}
     for row in combined.take_all():
         out[row["cell"]] = out.get(row["cell"], 0) + row["n"]
-    return out
+    wrapped = out.pop(_WRAPPED_SENTINEL, 0) > 0
+    return out, wrapped
 
 
 def _salting_plan(
@@ -218,14 +234,18 @@ class _PairTest:
     the join at sf0.1)."""
 
     def __init__(self, predicate: str, zoom: int, left_out: str, right_out: str,
-                 chunk_rows: int = 512):
+                 chunk_rows: int = 512, emit_need: bool = False):
         self.fn = _PRED[predicate]
         self.zoom = zoom
         self.left_out = left_out
         self.right_out = right_out
         self.chunk = chunk_rows
+        # which side must be FULLY covered (its wrap segments AND):
+        # coveredby ⇒ left is inside right; contains ⇒ right inside left
+        self.emit_need = emit_need
+        self.need_side = 1 if predicate == "contains" else 0
 
-    def _one_cell(self, cell, lid, L, rid_r, R, nx, ny, out_l, out_r):
+    def _one_cell(self, cell, lid, L, lseg, rid_r, R, rseg, nx, ny, out_l, out_r, out_need):
         for s in range(0, len(lid), self.chunk):
             e = min(s + self.chunk, len(lid))
             a = tuple(c[s:e, None] for c in L)
@@ -242,21 +262,26 @@ class _PairTest:
             keep = ref_cell == cell
             out_l.append(lid[s:e][li[keep]])
             out_r.append(rid_r[ri[keep]])
+            if self.emit_need:
+                need = lseg[s:e][li[keep]] if self.need_side == 0 else rseg[ri[keep]]
+                out_need.append(need.astype(np.int64))
 
     def __call__(self, group: pa.Table) -> pa.Table:
         jk = group["jkey"].to_numpy(zero_copy_only=False)
         side = group["side"].to_numpy(zero_copy_only=False)
         rid = group["rid"].to_numpy(zero_copy_only=False)
+        nseg = group["nseg"].to_numpy(zero_copy_only=False)
         cols = [group[c].to_numpy(zero_copy_only=False) for c in ("lo_x", "lo_y", "hi_x", "hi_y")]
         # order by (jkey, side) so each group is [left rows..., right rows...]
         order = np.lexsort((side, jk))
-        jk, side, rid = jk[order], side[order], rid[order]
+        jk, side, rid, nseg = jk[order], side[order], rid[order], nseg[order]
         cols = [c[order] for c in cols]
         starts = np.concatenate([[0], np.nonzero(jk[1:] != jk[:-1])[0] + 1, [len(jk)]])
         nx, ny = grid_dims(self.zoom)
 
         out_l: list[np.ndarray] = []
         out_r: list[np.ndarray] = []
+        out_need: list[np.ndarray] = []
         for g in range(len(starts) - 1):
             s, e = starts[g], starts[g + 1]
             mid = s + int(np.searchsorted(side[s:e], 1))
@@ -265,14 +290,18 @@ class _PairTest:
             cell = int(jk[s]) >> SALT_BITS
             self._one_cell(
                 cell,
-                rid[s:mid], [c[s:mid] for c in cols],
-                rid[mid:e], [c[mid:e] for c in cols],
-                nx, ny, out_l, out_r,
+                rid[s:mid], [c[s:mid] for c in cols], nseg[s:mid],
+                rid[mid:e], [c[mid:e] for c in cols], nseg[mid:e],
+                nx, ny, out_l, out_r, out_need,
             )
 
         la = np.concatenate(out_l) if out_l else np.empty(0, np.int64)
         ra = np.concatenate(out_r) if out_r else np.empty(0, np.int64)
-        return pa.table({self.left_out: pa.array(la, pa.int64()), self.right_out: pa.array(ra, pa.int64())})
+        out = {self.left_out: pa.array(la, pa.int64()), self.right_out: pa.array(ra, pa.int64())}
+        if self.emit_need:
+            na = np.concatenate(out_need) if out_need else np.empty(0, np.int64)
+            out["__need"] = pa.array(na, pa.int64())
+        return pa.table(out)
 
 
 def _any_wrapped(ds, cols: tuple) -> bool:
@@ -288,6 +317,43 @@ def _any_wrapped(ds, cols: tuple) -> bool:
         check, batch_format="pyarrow", batch_size=None
     ).take_all()
     return any(r["w"] for r in parts)
+
+
+def _require_all_segments(pairs, a_col: str, b_col: str):
+    """Wrapped coveredby/contains: a pair is real only when EVERY wrap
+    segment of the covered side is covered — i.e. the per-pair emission
+    count equals ``__need`` (the covered row's segment count, constant
+    across its emissions). Bucketed by pair hash; one bounded shuffle of
+    candidate pairs, same cost class as :func:`_distinct_pairs`."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(_splitmix64(a) ^ b) & np.uint64(NUM_BUCKETS - 1)
+        return batch.append_column("__pbucket", pa.array(h.astype(np.int64)))
+
+    def agg(group: pa.Table) -> pa.Table:
+        a = group[a_col].to_numpy(zero_copy_only=False)
+        b = group[b_col].to_numpy(zero_copy_only=False)
+        need = group["__need"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, need = a[order], b[order], need[order]
+        if len(a) == 0:
+            return pa.table({a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())})
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.concatenate([starts, [len(a)]]))
+        keep = counts == need[starts]
+        return pa.table(
+            {a_col: pa.array(a[starts][keep], pa.int64()),
+             b_col: pa.array(b[starts][keep], pa.int64())}
+        )
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__pbucket")
+        .map_groups(agg, batch_format="pyarrow")
+    )
 
 
 def _distinct_pairs(pairs, a_col: str, b_col: str):
@@ -342,22 +408,23 @@ def bbox_join(
     choose it so a median bbox covers O(1–10) cells. ``pair_budget``
     bounds any group's L×R work; cells above it are salted.
     """
+    if zoom > 28:
+        raise ValueError(
+            f"zoom {zoom} > 28: jkey = compact_cell << {SALT_BITS} would overflow "
+            "int64 and silently corrupt group keys"
+        )
     left_out = left_out or (left_id if left_id != right_id else f"l_{left_id}")
     right_out = right_out or (right_id if right_id != left_id else f"r_{right_id}")
 
-    wrapped = _any_wrapped(left, left_cols) or _any_wrapped(right, right_cols)
-    if wrapped and predicate != "intersects":
-        raise NotImplementedError(
-            "antimeridian-wrapped boxes (min_lon > max_lon) are only supported for "
-            "predicate='intersects': coveredby/contains need AND-semantics across "
-            "the wrap segments"
-        )
-
     if salting:
-        cl = _cell_counts(left.select_columns(list(left_cols)), left_cols, zoom)
-        cr = _cell_counts(right.select_columns(list(right_cols)), right_cols, zoom)
+        # wrapped-box detection is folded into the salting pre-pass
+        # (same pruned columns) — no extra input scan
+        cl, wl = _cell_counts(left.select_columns(list(left_cols)), left_cols, zoom)
+        cr, wr = _cell_counts(right.select_columns(list(right_cols)), right_cols, zoom)
+        wrapped = wl or wr
         plan = _salting_plan(cl, cr, pair_budget)
     else:
+        wrapped = _any_wrapped(left, left_cols) or _any_wrapped(right, right_cols)
         plan = _salting_plan({}, {}, pair_budget)
     plan_ref = ray.put(plan)
 
@@ -375,14 +442,19 @@ def bbox_join(
         )
 
     both = explode(left, 0, left_id, left_cols).union(explode(right, 1, right_id, right_cols))
-    tester = _PairTest(predicate, zoom, left_out, right_out)
+    need_pass = wrapped and predicate in ("coveredby", "contains")
+    tester = _PairTest(predicate, zoom, left_out, right_out, emit_need=need_pass)
 
     def pair_test(group: pa.Table) -> pa.Table:
         return tester(group)
 
     out = both.groupby("__bucket").map_groups(pair_test, batch_format="pyarrow")
-    if wrapped:
-        # a pair can match once per lon segment — distinct only when
-        # wrapped inputs exist (costs one extra bounded shuffle)
+    if need_pass:
+        # AND-semantics across wrap segments: keep a pair only when all
+        # of the covered side's segments were individually covered
+        out = _require_all_segments(out, left_out, right_out)
+    elif wrapped:
+        # intersects: a pair can match once per lon segment — distinct
+        # only when wrapped inputs exist (one extra bounded shuffle)
         out = _distinct_pairs(out, left_out, right_out)
     return out

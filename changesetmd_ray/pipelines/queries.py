@@ -391,11 +391,17 @@ def q_latest_event_per_user(sf_dir: str):
     per-user final merge."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    def _ts_key(col: pa.ChunkedArray) -> np.ndarray:
+        # NaT's int64 sentinel INT64_MIN negates to itself, so a null
+        # timestamp would WIN under -ts; map it to a losing sentinel
+        # (the oracle's NULLS LAST under ts desc)
+        ts_arr = col.to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return np.where(np.isnat(ts_arr), np.iinfo(np.int64).max, -ts_arr.astype(np.int64))
+
     def partial(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((-eid, -ts, uid))
+        order = np.lexsort((-eid, _ts_key(batch["ts"]), uid))
         u = uid[order]
         first = np.concatenate([[True], u[1:] != u[:-1]])
         sel = order[first]
@@ -405,9 +411,8 @@ def q_latest_event_per_user(sf_dir: str):
         )
 
     def final(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         eid = group["event_id"].to_numpy(zero_copy_only=False)
-        i = int(np.lexsort((-eid, -ts))[0])
+        i = int(np.lexsort((-eid, _ts_key(group["ts"])))[0])
         return pa.table(
             {
                 "user_id": group["user_id"].slice(i, 1),
@@ -491,8 +496,11 @@ def q_events_sample(sf_dir: str):
 
 _SQL_EVENTS_SAMPLE = """
 select event_id from events
-where (event_id * 2654435761) % 4294967296 < 214748365
+where (cast(event_id as hugeint) * 2654435761) % 4294967296 < 214748365
 """
+# hugeint: bigint would overflow above event_id ~3.4e9, while the numpy
+# side wraps mod 2^64 — and (x mod 2^64) mod 2^32 == x mod 2^32, so the
+# hugeint form matches the uint64 wrap exactly at any scale factor
 
 
 def q_union_dedup(sf_dir: str):

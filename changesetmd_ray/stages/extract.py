@@ -49,8 +49,16 @@ class GeoExtractor:
         # ONE regex scan over the column's contiguous Arrow values buffer
         # (no per-row as_py copies); match offsets map back to rows via
         # searchsorted on the value offsets. A match straddling two
-        # documents' boundary is rejected by the end<=row_end check.
-        val_off = np.frombuffer(html.buffers()[1], dtype=np.int32)[
+        # documents' boundary is rejected by the end<=row_end check —
+        # and triggers the exact per-row re-scan, because finditer
+        # already consumed the straddled span and could have skipped a
+        # real match overlapping it in the next document.
+        off_dtype = (
+            np.int64
+            if pa.types.is_large_binary(html.type) or pa.types.is_large_string(html.type)
+            else np.int32
+        )
+        val_off = np.frombuffer(html.buffers()[1], dtype=off_dtype)[
             html.offset : html.offset + n + 1
         ].astype(np.int64)
         rows: list[int] = []
@@ -74,9 +82,19 @@ class GeoExtractor:
                 en = np.asarray(ends, dtype=np.int64) + base
                 row_arr = np.searchsorted(val_off, st, "right") - 1
                 ok_m = en <= val_off[row_arr + 1]  # reject boundary straddles
-                rows = row_arr[ok_m].tolist()
-                lats = [v for v, k in zip(lats, ok_m) if k]
-                lons = [v for v, k in zip(lons, ok_m) if k]
+                if ok_m.all():
+                    rows = row_arr.tolist()
+                else:
+                    # rare exact path: scan each row's own byte slice so
+                    # no consumed straddle span can hide a real match
+                    rows, lats, lons = [], [], []
+                    rel = (val_off - base).tolist()
+                    for r in range(n):
+                        for m in self.pattern.finditer(data[rel[r] : rel[r + 1]]):
+                            la, lo = (g for g in m.groups() if g is not None)
+                            rows.append(r)
+                            lats.append(float(la))
+                            lons.append(float(lo))
         # forward scan ⇒ rows are nondecreasing ⇒ document order per row
         counts_per_row = np.bincount(
             np.asarray(rows, dtype=np.int64), minlength=n

@@ -311,8 +311,8 @@ def test_salting_bounds_group_pair_work(ray_session):
 
     left = ray.data.from_arrow(left_t)
     right = ray.data.from_arrow(right_t)
-    cl = _cell_counts(left, ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
-    cr = _cell_counts(right, ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
+    cl, _ = _cell_counts(left, ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
+    cr, _ = _cell_counts(right, ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
     unsalted_max = max(nl * cr.get(c, 0) for c, nl in cl.items())
     assert unsalted_max > budget * 10  # genuinely skewed input
 
@@ -452,6 +452,60 @@ def test_bbox_join_wrapped_intersects_matches_oracle(ray_session):
                 exp.add((i, 1000 + j))
     assert got_pairs == exp
 
-    with pytest.raises(NotImplementedError, match="wrapped"):
-        bbox_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
-                  zoom=4, predicate="coveredby", left_id="id", right_id="id").to_pandas()
+
+def test_bbox_join_wrapped_coveredby_and_contains(ray_session):
+    """Wrapped boxes under coveredby/contains: ALL wrap segments of the
+    covered side must be covered (AND-semantics) — partial single-segment
+    coverage must NOT match. Verified against a brute-force wrap-aware
+    oracle, both predicate directions."""
+    from changesetmd_ray.joins.bbox import bbox_join
+
+    def segs(lo, hi):
+        return [(lo, hi)] if lo <= hi else [(lo, 180.0), (-180.0, hi)]
+
+    def covered(al, ay0, ah, ay1, bl, by0, bh, by1):
+        if not (by0 <= ay0 and ay1 <= by1):
+            return False
+        return all(
+            any(bs <= s and e <= be for bs, be in segs(bl, bh)) for s, e in segs(al, ah)
+        )
+
+    rng = np.random.RandomState(33)
+    n_l, n_r = 50, 40
+    # small covered-side boxes, every third wrapped
+    wrap_l = np.arange(n_l) % 3 == 0
+    l_lo = np.where(wrap_l, rng.uniform(170, 179, n_l), rng.uniform(-40, 20, n_l))
+    l_hi = np.where(wrap_l, rng.uniform(-179, -170, n_l), l_lo + rng.uniform(1, 8, n_l))
+    l_y0 = rng.uniform(-50, 50, n_l)
+    l_y1 = l_y0 + rng.uniform(1, 6, n_l)
+    # big covering-side boxes, every fourth wrapped (segments only
+    # partially overlap the lefts' → exercises the partial-cover reject)
+    wrap_r = np.arange(n_r) % 4 == 0
+    r_lo = np.where(wrap_r, rng.uniform(150, 176, n_r), rng.uniform(-60, 0, n_r))
+    r_hi = np.where(wrap_r, rng.uniform(-176, -150, n_r), r_lo + rng.uniform(10, 60, n_r))
+    r_y0 = rng.uniform(-60, 40, n_r)
+    r_y1 = r_y0 + rng.uniform(8, 30, n_r)
+
+    small = pa.table({"id": pa.array(np.arange(n_l, dtype=np.int64)),
+                      "min_lon": pa.array(l_lo), "min_lat": pa.array(l_y0),
+                      "max_lon": pa.array(l_hi), "max_lat": pa.array(l_y1)})
+    big = pa.table({"id": pa.array(np.arange(1000, 1000 + n_r, dtype=np.int64)),
+                    "min_lon": pa.array(r_lo), "min_lat": pa.array(r_y0),
+                    "max_lon": pa.array(r_hi), "max_lat": pa.array(r_y1)})
+
+    exp = {
+        (i, 1000 + j)
+        for i in range(n_l)
+        for j in range(n_r)
+        if covered(l_lo[i], l_y0[i], l_hi[i], l_y1[i], r_lo[j], r_y0[j], r_hi[j], r_y1[j])
+    }
+    assert exp, "fixture must plant true coveredby matches"
+
+    got = bbox_join(ray.data.from_arrow(small), ray.data.from_arrow(big),
+                    zoom=4, predicate="coveredby", left_id="id", right_id="id").to_pandas()
+    assert set(zip(got["l_id"], got["r_id"])) == exp
+
+    # contains is the mirrored direction: big contains small
+    got_c = bbox_join(ray.data.from_arrow(big), ray.data.from_arrow(small),
+                      zoom=4, predicate="contains", left_id="id", right_id="id").to_pandas()
+    assert set(zip(got_c["l_id"], got_c["r_id"])) == {(b, a) for a, b in exp}
