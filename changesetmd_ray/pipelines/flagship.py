@@ -32,6 +32,7 @@ import os
 import shutil
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -49,6 +50,33 @@ def _shard_of(path: str) -> str:
 def _attach_shard_id(batch: pa.Table) -> pa.Table:
     shard = pc.replace_substring_regex(batch["path"], r"^.*/([^/]+)\.parquet$", r"\1")
     return batch.drop_columns(["path"]).append_column("shard_id", shard)
+
+
+def _flatten_points_child(batch: pa.Table) -> pa.Table:
+    """Parent rows → child point rows (url, warc_ts, seq, lon, lat) —
+    the reference's second table write (changesets + comments,
+    changesetmd.py:190-196): the nested ``points`` list explodes into a
+    child table keyed by the parent's natural key, ``seq`` preserving
+    document order."""
+    sid = pc.replace_substring_regex(batch["path"], r"^.*shard_id=([^/]+)/.*$", r"\1")
+    pts = batch["points"].combine_chunks()
+    offsets = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]  # slice-safe: offsets are absolute
+    counts = np.diff(offsets)
+    idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), counts))
+    total = int(counts.sum())
+    seq = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    flat = pts.flatten()
+    return pa.table(
+        {
+            "url": batch["url"].take(idx),
+            "warc_ts": batch["warc_ts"].take(idx),
+            "seq": pa.array(seq),
+            "lon": flat.field("lon"),
+            "lat": flat.field("lat"),
+            "shard_id": sid.take(idx),
+        }
+    )
 
 
 def run_flagship(
@@ -70,8 +98,10 @@ def run_flagship(
     wall seconds, rows/sec.
     """
     data_dir = os.path.join(out_dir, "data")
+    points_dir = os.path.join(out_dir, "points")
     manifest = Manifest(os.path.join(out_dir, "_manifest"))
     os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(points_dir, exist_ok=True)
 
     # stages run as TASK pools; ``concurrency`` (int or (min, max)
     # tuple) caps concurrent tasks by its max bound, None = executor
@@ -108,8 +138,10 @@ def run_flagship(
         for w in range(0, len(pending), wave_size):
             wave = pending[w : w + wave_size]
             # idempotent overwrite: clear the wave's output dirs first
+            # (parent AND child — they commit together per wave)
             for pid in wave:
                 shutil.rmtree(os.path.join(data_dir, f"shard_id={pid}"), ignore_errors=True)
+                shutil.rmtree(os.path.join(points_dir, f"shard_id={pid}"), ignore_errors=True)
 
             ds = ray.data.read_parquet([by_shard[p] for p in wave], include_paths=True)
             ds = ds.map_batches(_attach_shard_id, batch_format="pyarrow")
@@ -178,6 +210,16 @@ def run_flagship(
                         "wave_stats": wave_stats,
                     })
                 continue
+            # child table (S7): flatten the wave's points lists from a
+            # pruned read-back of the just-written parent — the payload
+            # (text/html) is never re-read; the child commits before the
+            # manifest marks the wave done, so a crash between the two
+            # writes redoes the whole wave idempotently
+            pts = ray.data.read_parquet(
+                wave_files, columns=["url", "warc_ts", "points"], include_paths=True
+            ).map_batches(_flatten_points_child, batch_format="pyarrow")
+            pts.write_parquet(points_dir, partition_cols=["shard_id"])
+
             back = ray.data.read_parquet(
                 wave_files, columns=["n_points", "warc_ts"], include_paths=True
             )
@@ -232,5 +274,10 @@ def run_flagship(
 
 
 def read_output(out_dir: str, columns: list[str] | None = None):
-    """Dataset over the flagship output (column-pruned)."""
+    """Dataset over the flagship parent output (column-pruned)."""
     return ray.data.read_parquet(os.path.join(out_dir, "data"), columns=columns)
+
+
+def read_points_output(out_dir: str, columns: list[str] | None = None):
+    """Dataset over the flagship child (flattened points) output."""
+    return ray.data.read_parquet(os.path.join(out_dir, "points"), columns=columns)

@@ -1240,6 +1240,72 @@ where j <= doc_id % 3
 """
 
 
+def q_flagship_points_join(sf_dir: str):
+    """S7 child-table sink + J1 over the flagship's own artifacts: run
+    (or resume) the flagship over input_hint pages — which writes BOTH
+    the parent table and the flattened ``points`` child table, the
+    reference's two-table layout (changesets + comments,
+    changesetmd.py:190-196) — then hash-join the child rows back to
+    their parents. Output is integer-exact against the planted-coords
+    SQL derivation (same trick as ``pages_points_flatten``)."""
+    from changesetmd_ray.joins.equi import hash_join
+    from changesetmd_ray.pipelines.flagship import (
+        read_output,
+        read_points_output,
+        run_flagship,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    pages = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
+    out = f"/tmp/changesetmd_flagship_{tag}"
+    run_flagship(pages, out, wave_size=4, concurrency=(1, 4))
+
+    def _doc_id(batch: pa.Table) -> np.ndarray:
+        urls = batch["url"].to_pylist()
+        return np.array([int(u.rsplit("/d", 1)[1]) for u in urls], dtype=np.int64)
+
+    def parent_fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_doc_id": pa.array(_doc_id(batch)), "n_points": batch["n_points"]}
+        )
+
+    def child_fn(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(_doc_id(batch)),
+                "seq": batch["seq"],
+                "lon_e3": pa.array(np.rint(lon * 1000.0).astype(np.int64)),
+                "lat_e3": pa.array(np.rint(lat * 1000.0).astype(np.int64)),
+            }
+        )
+
+    parent = read_output(out, columns=["url", "n_points"]).map_batches(
+        parent_fn, batch_format="pyarrow"
+    )
+    child = read_points_output(out, columns=["url", "seq", "lon", "lat"]).map_batches(
+        child_fn, batch_format="pyarrow"
+    )
+    j = hash_join(
+        child, parent,
+        left_on="doc_id", right_on="p_doc_id",
+        left_cols=["doc_id", "seq", "lon_e3", "lat_e3"],
+        right_cols=["p_doc_id", "n_points"],
+    )
+    return j.select_columns(["doc_id", "seq", "lon_e3", "lat_e3", "n_points"])
+
+
+_SQL_FLAGSHIP_POINTS_JOIN = """
+select doc_id, cast(j as bigint) as seq,
+       cast(round((((doc_id*31 + j*7) * 7919) % 360000)/1000.0 - 180.0, 3)*1000 as bigint) as lon_e3,
+       cast(round((((doc_id*31 + j*7) * 104729) % 170000)/1000.0 - 85.0, 3)*1000 as bigint) as lat_e3,
+       cast(1 + doc_id % 3 as int) as n_points
+from documents, (select unnest([0, 1, 2]) as j) t
+where j <= doc_id % 3
+"""
+
+
 def q_pages_tags(sf_dir: str):
     """M2 tag-map fold + M8 tag predicates (the reference's jsonb tags
     with containment + LIKE, changesetmd.py:223-225, README.md:218-228):
@@ -1456,6 +1522,7 @@ QUERIES = {
     "pages_points_flatten": q_pages_points_flatten,
     "pages_tags": q_pages_tags,
     "media_features": q_media_features,
+    "flagship_points_join": q_flagship_points_join,
 }
 
 ORACLE_SQL = {
@@ -1491,6 +1558,7 @@ ORACLE_SQL = {
     "pages_tags": _SQL_PAGES_TAGS,
     "geo_cell_encode": _sql_geo_cell_encode(),
     "pages_pipeline": _sql_pages_pipeline(),
+    "flagship_points_join": _SQL_FLAGSHIP_POINTS_JOIN,
     # rows-only (non-SQL-expressible): geo_cell_encode,
     # docs_minhash_neardup, docs_simhash_neardup, docs_langid,
     # docs_tokens, docs_fingerprint, ann_lsh, pages_pipeline,

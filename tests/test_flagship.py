@@ -107,6 +107,28 @@ def test_edge_rows(flagship_out):
     _ = s0
 
 
+def test_child_points_table_matches_parent(flagship_out, pages_dir):
+    """S7 child-table sink: the flattened points table must agree with
+    the parent's points lists row-for-row (count per parent, coords,
+    document order) — the reference's changesets+comments layout."""
+    from changesetmd_ray.pipelines.flagship import read_points_output
+
+    out, _ = flagship_out
+    parent = read_output(out).to_pandas()
+    child = read_points_output(out).to_pandas()
+    assert set(child.columns) >= {"url", "warc_ts", "seq", "lon", "lat", "shard_id"}
+    assert len(child) == int(parent["n_points"].sum())
+    counts = child.groupby(["url", "warc_ts"]).size()
+    for _, row in parent.iterrows():
+        got = counts.get((row["url"], row["warc_ts"]), 0)
+        assert got == row["n_points"], row["url"]
+        want = [(p["lon"], p["lat"]) for p in row["points"]]
+        sub = child[(child["url"] == row["url"]) & (child["warc_ts"] == row["warc_ts"])]
+        sub = sub.sort_values("seq")
+        assert list(sub["seq"]) == list(range(len(want)))
+        assert list(zip(sub["lon"], sub["lat"])) == want
+
+
 def test_resume_skips_done_and_repairs_missing(ray_session, pages_dir, tmp_path):
     out = str(tmp_path / "resume_out")
     files = sorted(os.path.join(pages_dir, f) for f in os.listdir(pages_dir))
@@ -135,6 +157,12 @@ def test_resume_skips_done_and_repairs_missing(ray_session, pages_dir, tmp_path)
     assert np.array_equal(
         before["s2_cell"].fillna(0).to_numpy(), after["s2_cell"].fillna(0).to_numpy()
     )
+    # the child table was rewritten with the wave and still lines up
+    from changesetmd_ray.pipelines.flagship import read_points_output
+
+    child = read_points_output(out).to_pandas()
+    assert len(child) == int(after["n_points"].sum())
+    assert set(child["shard_id"].unique()) == set(after["shard_id"].unique())
 
 
 def test_lock_prevents_concurrent_runs(tmp_path):
