@@ -1010,19 +1010,62 @@ from documents
 
 
 def q_docs_langid(sf_dir: str):
-    """Heuristic language-ID (rows-only check; deterministic)."""
+    """Heuristic language-ID. SQL-oracled: on ASCII corpora the marker
+    heuristic (token hits per language, first-max-wins over the marker
+    dict order) reproduces exactly in DuckDB list_filter SQL; Python's
+    Unicode ``\\w`` and RE2's ASCII ``\\w`` only diverge on non-ASCII
+    text, which the oracle corpus does not contain."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 8)
     )
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def _sql_docs_langid() -> str:
+    from changesetmd_ray.text.analysis import _LANG_MARKERS
+
+    hits = ",\n    ".join(
+        "len(list_filter(tk, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], x))) as h_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    # first-max-wins tie order = the marker dict's insertion order
+    case = "\n       ".join(f"when h_{lg} = {m} then '{lg}'" for lg in langs)
+    return f"""
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') as tk from documents
+), sc as (
+  select doc_id, len(tk) as n,
+    {hits}
+  from toks
+)
+select doc_id,
+  case when n = 0 then 'und'
+       when {m} = 0 then 'und'
+       {case}
+  end as lang_pred
+from sc
+"""
+
+
 def q_docs_tokens(sf_dir: str):
-    """BPE-ish token counts (rows-only; Python-regex segmentation)."""
+    """BPE-ish token counts. SQL-oracled: the GPT-2-style segmentation
+    regex is RE2-compatible, and Python/RE2 ``\\w`` semantics coincide
+    on the ASCII oracle corpus."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
         TokenCount, batch_format="pyarrow", concurrency=(1, 8)
     )
     return ds.select_columns(["doc_id", "n_tokens_bpe"])
+
+
+_SQL_DOCS_TOKENS = r"""
+select doc_id,
+  len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)\b|[^\W\d_]+|\d+|[^\w\s]+')) as n_tokens_bpe
+from documents
+"""
 
 
 def q_docs_fingerprint(sf_dir: str):
@@ -1559,8 +1602,11 @@ ORACLE_SQL = {
     "geo_cell_encode": _sql_geo_cell_encode(),
     "pages_pipeline": _sql_pages_pipeline(),
     "flagship_points_join": _SQL_FLAGSHIP_POINTS_JOIN,
-    # rows-only (non-SQL-expressible): geo_cell_encode,
-    # docs_minhash_neardup, docs_simhash_neardup, docs_langid,
-    # docs_tokens, docs_fingerprint, ann_lsh, pages_pipeline,
-    # media_features (stubbed codec)
+    "docs_langid": _sql_docs_langid(),
+    "docs_tokens": _SQL_DOCS_TOKENS,
+    # rows-only (non-SQL-expressible): docs_minhash_neardup,
+    # docs_simhash_neardup, docs_ngram_jaccard (LSH candidate sets are
+    # hash-probabilistic; the in-bucket Jaccard runs over crc32 gram
+    # hashes), docs_fingerprint (crc32 rolling hash), ann_lsh
+    # (recall < 1 by construction), media_features (stubbed codec)
 }
