@@ -166,6 +166,9 @@ def _merge_topk_final(partials, k: int, merge_buckets: int, merge_fanin: int | N
     _check_pow2(merge_buckets, "merge_buckets")
 
     def tag(batch: pa.Table) -> pa.Table:
+        # shrink FIRST (a probe can carry up to cover-cells × k rows per
+        # block; the sort shuffle's cost tracks row count), then tag
+        batch = _merge_topk_block(batch, k, final=False)
         pid = batch["probe_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = (splitmix64(pid) & np.uint64(merge_buckets - 1)).astype(np.int64)
         return batch.append_column("__mb", pa.array(b))
