@@ -319,18 +319,21 @@ def _any_wrapped(ds, cols: tuple) -> bool:
     return any(r["w"] for r in parts)
 
 
+def _add_pair_bucket(batch: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Tag each (a, b) id pair with its hash bucket — the ONE pair-hash
+    scheme shared by the wrapped-input post-passes."""
+    a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = _splitmix64(_splitmix64(a) ^ b) & np.uint64(NUM_BUCKETS - 1)
+    return batch.append_column("__pbucket", pa.array(h.astype(np.int64)))
+
+
 def _require_all_segments(pairs, a_col: str, b_col: str):
     """Wrapped coveredby/contains: a pair is real only when EVERY wrap
     segment of the covered side is covered — i.e. the per-pair emission
     count equals ``__need`` (the covered row's segment count, constant
     across its emissions). Bucketed by pair hash; one bounded shuffle of
     candidate pairs, same cost class as :func:`_distinct_pairs`."""
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = _splitmix64(_splitmix64(a) ^ b) & np.uint64(NUM_BUCKETS - 1)
-        return batch.append_column("__pbucket", pa.array(h.astype(np.int64)))
 
     def agg(group: pa.Table) -> pa.Table:
         a = group[a_col].to_numpy(zero_copy_only=False)
@@ -350,7 +353,9 @@ def _require_all_segments(pairs, a_col: str, b_col: str):
         )
 
     return (
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        pairs.map_batches(
+            lambda b: _add_pair_bucket(b, a_col, b_col), batch_format="pyarrow"
+        )
         .groupby("__pbucket")
         .map_groups(agg, batch_format="pyarrow")
     )
@@ -360,12 +365,6 @@ def _distinct_pairs(pairs, a_col: str, b_col: str):
     """Exact distinct over (a, b) id pairs: bucket by pair hash, unique
     within each bucket (only needed when wrapped boxes exist — a pair
     can then match in both lon segments)."""
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = _splitmix64(_splitmix64(a) ^ b) & np.uint64(NUM_BUCKETS - 1)
-        return batch.append_column("__pbucket", pa.array(h.astype(np.int64)))
 
     def uniq(group: pa.Table) -> pa.Table:
         a = group[a_col].to_numpy(zero_copy_only=False)
@@ -378,7 +377,9 @@ def _distinct_pairs(pairs, a_col: str, b_col: str):
         return pa.table({a_col: pa.array(a, pa.int64()), b_col: pa.array(b, pa.int64())})
 
     return (
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        pairs.map_batches(
+            lambda b: _add_pair_bucket(b, a_col, b_col), batch_format="pyarrow"
+        )
         .groupby("__pbucket")
         .map_groups(uniq, batch_format="pyarrow")
     )

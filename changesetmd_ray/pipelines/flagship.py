@@ -52,6 +52,22 @@ def _attach_shard_id(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(["path"]).append_column("shard_id", shard)
 
 
+def explode_list_column(col) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """List column → ``(parent_row_idx, seq, flat_values)`` with
+    document order preserved (``seq`` = 0-based ordinal within the
+    parent row). The ONE list-explode kernel — the flagship child sink
+    and the M3 flatten query both use it. Slice-safe: Arrow offsets are
+    absolute, so they are rebased before the repeat arithmetic."""
+    pts = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    total = int(counts.sum())
+    seq = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    return idx, seq, pts.flatten()
+
+
 def _flatten_points_child(batch: pa.Table) -> pa.Table:
     """Parent rows → child point rows (url, warc_ts, seq, lon, lat) —
     the reference's second table write (changesets + comments,
@@ -59,14 +75,8 @@ def _flatten_points_child(batch: pa.Table) -> pa.Table:
     child table keyed by the parent's natural key, ``seq`` preserving
     document order."""
     sid = pc.replace_substring_regex(batch["path"], r"^.*shard_id=([^/]+)/.*$", r"\1")
-    pts = batch["points"].combine_chunks()
-    offsets = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets = offsets - offsets[0]  # slice-safe: offsets are absolute
-    counts = np.diff(offsets)
-    idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), counts))
-    total = int(counts.sum())
-    seq = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
-    flat = pts.flatten()
+    idx_np, seq, flat = explode_list_column(batch["points"])
+    idx = pa.array(idx_np)
     return pa.table(
         {
             "url": batch["url"].take(idx),
@@ -126,139 +136,182 @@ def run_flagship(
             "(one file = one partition)"
         )
     order = sorted(by_shard)
-    pending = manifest.pending(order) if resume else order
-    skipped = len(order) - len(pending)
-
     manifest.acquire_lock()
+    try:
+        pending, skipped = _plan_pending(
+            manifest, order, resume, data_dir=data_dir, points_dir=points_dir
+        )
+        return _run_waves(
+            manifest, pending, skipped, by_shard,
+            data_dir=data_dir, points_dir=points_dir, out_dir=out_dir,
+            s2_level=s2_level, hex_res=hex_res, grid_zoom=grid_zoom,
+            batch_size=batch_size, task_cap=task_cap, wave_size=wave_size,
+            langs=langs,
+        )
+    finally:
+        manifest.release_lock()
+
+
+def _plan_pending(manifest, order, resume, *, data_dir, points_dir):
+    pending = manifest.pending(order) if resume else order
+    if resume:
+        # a "done" marker is only trusted when the rows it claims are
+        # actually on disk — BOTH tables: a crash between invalidation
+        # and rewrite, an out-of-band delete, or an out_dir produced by
+        # a build without the child points table must all repair, not
+        # silently skip
+        repair = set()
+        for pid in set(order) - set(pending):
+            try:
+                entry = manifest.read(pid)
+            except (OSError, ValueError):
+                repair.add(pid)
+                continue
+            if entry.get("rows", 0) > 0 and not os.path.isdir(
+                os.path.join(data_dir, f"shard_id={pid}")
+            ):
+                repair.add(pid)
+            elif entry.get("points", 0) > 0 and not os.path.isdir(
+                os.path.join(points_dir, f"shard_id={pid}")
+            ):
+                repair.add(pid)
+        if repair:
+            for pid in repair:
+                manifest.invalidate(pid)
+            keep = set(pending) | repair
+            pending = [p for p in order if p in keep]
+    return pending, len(order) - len(pending)
+
+
+def _run_waves(manifest, pending, skipped, by_shard, *, data_dir, points_dir,
+               out_dir, s2_level, hex_res, grid_zoom, batch_size, task_cap,
+               wave_size, langs):
     t0 = time.perf_counter()
     rows_total = 0
     points_total = 0
     wave_stats = None
-    try:
-        for w in range(0, len(pending), wave_size):
-            wave = pending[w : w + wave_size]
-            # idempotent overwrite: clear the wave's output dirs first
-            # (parent AND child — they commit together per wave)
-            for pid in wave:
-                shutil.rmtree(os.path.join(data_dir, f"shard_id={pid}"), ignore_errors=True)
-                shutil.rmtree(os.path.join(points_dir, f"shard_id={pid}"), ignore_errors=True)
+    for w in range(0, len(pending), wave_size):
+        wave = pending[w : w + wave_size]
+        # idempotent overwrite: clear the wave's output dirs first
+        # (parent AND child — they commit together per wave)
+        for pid in wave:
+            shutil.rmtree(os.path.join(data_dir, f"shard_id={pid}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(points_dir, f"shard_id={pid}"), ignore_errors=True)
 
-            ds = ray.data.read_parquet([by_shard[p] for p in wave], include_paths=True)
-            ds = ds.map_batches(_attach_shard_id, batch_format="pyarrow")
-            if langs:
-                # the reference's contributor allow-list shape
-                # (changesetmd.py:215-219): broadcast small set, vectorized is_in
-                allow = pa.array(sorted(langs), pa.string())
-                ds = ds.map_batches(
-                    lambda b, _a=allow: b.filter(pc.is_in(b["lang"], value_set=_a)),
-                    batch_format="pyarrow",
-                )
-            # task pools, not actor pools: the stage state (compiled
-            # regex / lookup tables) rebuilds in microseconds, and
-            # autoscaling actor pools ramp too slowly to saturate the
-            # node (measured in joins/pip.py; extract was capped at 8
-            # actors before this change)
-            def extract_fn(batch):
-                return GeoExtractor()(batch)
-
-            encoder = CellEncoder(
-                s2_level=s2_level, hex_res=hex_res, grid_zoom=grid_zoom
-            )
-
-            def encode_fn(batch, _enc=encoder):
-                return _enc(batch)
-
+        ds = ray.data.read_parquet([by_shard[p] for p in wave], include_paths=True)
+        ds = ds.map_batches(_attach_shard_id, batch_format="pyarrow")
+        if langs:
+            # the reference's contributor allow-list shape
+            # (changesetmd.py:215-219): broadcast small set, vectorized is_in
+            allow = pa.array(sorted(langs), pa.string())
             ds = ds.map_batches(
-                extract_fn,
+                lambda b, _a=allow: b.filter(pc.is_in(b["lang"], value_set=_a)),
                 batch_format="pyarrow",
-                batch_size=batch_size,
-                concurrency=task_cap,
             )
-            ds = ds.map_batches(
-                encode_fn,
-                batch_format="pyarrow",
-                batch_size=max(batch_size * 4, 8192),
-                concurrency=task_cap,
-            )
-            t_wave = time.perf_counter()
-            ds.write_parquet(data_dir, partition_cols=["shard_id"])
-            wave_secs = time.perf_counter() - t_wave
-            # per-stage wall breakdown for the tuning loop (the
-            # measure-don't-guess rule): first lines of ds.stats()
-            wave_stats = "\n".join(ds.stats().splitlines()[:30])
+        # task pools, not actor pools: the stage state (compiled
+        # regex / lookup tables) rebuilds in microseconds, and
+        # autoscaling actor pools ramp too slowly to saturate the
+        # node (measured in joins/pip.py; extract was capped at 8
+        # actors before this change)
+        def extract_fn(batch):
+            return GeoExtractor()(batch)
 
-            # manifest metrics from a cheap pruned read-back of the wave's
-            # output (validates the write; reference tracked rows + max
-            # timestamp the same way, changesetmd.py:255-263)
-            wave_files = [
-                f
-                for pid in wave
-                for f in glob.glob(os.path.join(data_dir, f"shard_id={pid}", "*.parquet"))
-            ]
-            if not wave_files:
-                # a wave can legitimately produce zero output (e.g. a
-                # lang filter matching nothing): mark its partitions
-                # done with zero rows instead of crashing the read-back
-                for pid in wave:
-                    manifest.mark_done(pid, {
-                        "input": by_shard[pid], "rows": 0, "points": 0,
-                        "watermark": None, "wave_secs": wave_secs,
-                        "stage_config": {
-                            "s2_level": s2_level, "hex_res": hex_res,
-                            "grid_zoom": grid_zoom, "batch_size": batch_size,
-                        },
-                        "wave_stats": wave_stats,
-                    })
-                continue
-            # child table (S7): flatten the wave's points lists from a
-            # pruned read-back of the just-written parent — the payload
-            # (text/html) is never re-read; the child commits before the
-            # manifest marks the wave done, so a crash between the two
-            # writes redoes the whole wave idempotently
-            pts = ray.data.read_parquet(
-                wave_files, columns=["url", "warc_ts", "points"], include_paths=True
-            ).map_batches(_flatten_points_child, batch_format="pyarrow")
-            pts.write_parquet(points_dir, partition_cols=["shard_id"])
+        encoder = CellEncoder(
+            s2_level=s2_level, hex_res=hex_res, grid_zoom=grid_zoom
+        )
 
-            back = ray.data.read_parquet(
-                wave_files, columns=["n_points", "warc_ts"], include_paths=True
-            )
+        def encode_fn(batch, _enc=encoder):
+            return _enc(batch)
 
-            def per_shard(batch: pa.Table) -> pa.Table:
-                sid = pc.replace_substring_regex(batch["path"], r"^.*shard_id=([^/]+)/.*$", r"\1")
-                t = batch.set_column(batch.schema.get_field_index("path"), "shard_id", sid)
-                g = t.group_by("shard_id").aggregate(
-                    [("n_points", "sum"), ("n_points", "count"), ("warc_ts", "max")]
-                )
-                return g
+        ds = ds.map_batches(
+            extract_fn,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=task_cap,
+        )
+        ds = ds.map_batches(
+            encode_fn,
+            batch_format="pyarrow",
+            batch_size=max(batch_size * 4, 8192),
+            concurrency=task_cap,
+        )
+        t_wave = time.perf_counter()
+        ds.write_parquet(data_dir, partition_cols=["shard_id"])
+        wave_secs = time.perf_counter() - t_wave
+        # per-stage wall breakdown for the tuning loop (the
+        # measure-don't-guess rule): first lines of ds.stats()
+        wave_stats = "\n".join(ds.stats().splitlines()[:30])
 
-            partials = back.map_batches(per_shard, batch_format="pyarrow").to_pandas()
-            agg = partials.groupby("shard_id").agg(
-                points=("n_points_sum", "sum"),
-                rows=("n_points_count", "sum"),
-                watermark=("warc_ts_max", "max"),
-            )
+        # manifest metrics from a cheap pruned read-back of the wave's
+        # output (validates the write; reference tracked rows + max
+        # timestamp the same way, changesetmd.py:255-263)
+        wave_files = [
+            f
+            for pid in wave
+            for f in glob.glob(os.path.join(data_dir, f"shard_id={pid}", "*.parquet"))
+        ]
+        if not wave_files:
+            # a wave can legitimately produce zero output (e.g. a
+            # lang filter matching nothing): mark its partitions
+            # done with zero rows instead of crashing the read-back
             for pid in wave:
-                row = agg.loc[pid] if pid in agg.index else None
-                entry = {
-                    "input": by_shard[pid],
-                    "rows": int(row["rows"]) if row is not None else 0,
-                    "points": int(row["points"]) if row is not None else 0,
-                    "watermark": str(row["watermark"]) if row is not None else None,
-                    "wave_secs": wave_secs,
+                manifest.mark_done(pid, {
+                    "input": by_shard[pid], "rows": 0, "points": 0,
+                    "watermark": None, "wave_secs": wave_secs,
                     "stage_config": {
-                        "s2_level": s2_level,
-                        "hex_res": hex_res,
-                        "grid_zoom": grid_zoom,
-                        "batch_size": batch_size,
+                        "s2_level": s2_level, "hex_res": hex_res,
+                        "grid_zoom": grid_zoom, "batch_size": batch_size,
                     },
                     "wave_stats": wave_stats,
-                }
-                manifest.mark_done(pid, entry)
-                rows_total += entry["rows"]
-                points_total += entry["points"]
-    finally:
-        manifest.release_lock()
+                })
+            continue
+        # child table (S7): flatten the wave's points lists from a
+        # pruned read-back of the just-written parent — the payload
+        # (text/html) is never re-read; the child commits before the
+        # manifest marks the wave done, so a crash between the two
+        # writes redoes the whole wave idempotently
+        pts = ray.data.read_parquet(
+            wave_files, columns=["url", "warc_ts", "points"], include_paths=True
+        ).map_batches(_flatten_points_child, batch_format="pyarrow")
+        pts.write_parquet(points_dir, partition_cols=["shard_id"])
+
+        back = ray.data.read_parquet(
+            wave_files, columns=["n_points", "warc_ts"], include_paths=True
+        )
+
+        def per_shard(batch: pa.Table) -> pa.Table:
+            sid = pc.replace_substring_regex(batch["path"], r"^.*shard_id=([^/]+)/.*$", r"\1")
+            t = batch.set_column(batch.schema.get_field_index("path"), "shard_id", sid)
+            g = t.group_by("shard_id").aggregate(
+                [("n_points", "sum"), ("n_points", "count"), ("warc_ts", "max")]
+            )
+            return g
+
+        partials = back.map_batches(per_shard, batch_format="pyarrow").to_pandas()
+        agg = partials.groupby("shard_id").agg(
+            points=("n_points_sum", "sum"),
+            rows=("n_points_count", "sum"),
+            watermark=("warc_ts_max", "max"),
+        )
+        for pid in wave:
+            row = agg.loc[pid] if pid in agg.index else None
+            entry = {
+                "input": by_shard[pid],
+                "rows": int(row["rows"]) if row is not None else 0,
+                "points": int(row["points"]) if row is not None else 0,
+                "watermark": str(row["watermark"]) if row is not None else None,
+                "wave_secs": wave_secs,
+                "stage_config": {
+                    "s2_level": s2_level,
+                    "hex_res": hex_res,
+                    "grid_zoom": grid_zoom,
+                    "batch_size": batch_size,
+                },
+                "wave_stats": wave_stats,
+            }
+            manifest.mark_done(pid, entry)
+            rows_total += entry["rows"]
+            points_total += entry["points"]
 
     secs = time.perf_counter() - t0
     return {

@@ -1225,22 +1225,16 @@ def q_pages_points_flatten(sf_dir: str):
     ds = ds.map_batches(GeoExtractor2Cols, batch_format="pyarrow", concurrency=(1, 4))
 
     def flatten(batch: pa.Table) -> pa.Table:
-        pts = batch["points"].combine_chunks()
-        offsets = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offsets = offsets - offsets[0]  # slice-safe: offsets are absolute
-        counts = np.diff(offsets)
+        from changesetmd_ray.pipelines.flagship import explode_list_column
+
+        idx, j, flat = explode_list_column(batch["points"])
         url = batch["url"].to_pylist()
         did = np.array([int(u.rsplit("/d", 1)[1]) for u in url], dtype=np.int64)
-        parent = np.repeat(did, counts)
-        total = int(counts.sum())
-        starts = offsets[:-1]
-        j = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-        flat = pts.flatten()
         lon = flat.field("lon").to_numpy(zero_copy_only=False)
         lat = flat.field("lat").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(parent),
+                "doc_id": pa.array(did[idx]),
                 "j": pa.array(j),
                 "lon_e3": pa.array(np.rint(lon * 1000.0).astype(np.int64)),
                 "lat_e3": pa.array(np.rint(lat * 1000.0).astype(np.int64)),

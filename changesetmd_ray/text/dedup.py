@@ -35,6 +35,7 @@ from changesetmd_ray.text.hashing import (
     band_keys,
     band_keys_matrix,
     char_ngram_hashes,
+    check_pow2,
     eq_count_pairs,
     hamming64,
 
@@ -133,6 +134,7 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
         raise ValueError(keep)
     if keep == "latest" and ts_col is None:
         raise ValueError("keep='latest' needs ts_col")
+    check_pow2(num_buckets)
     if not unique_ids:
         return _dedup_rows_shuffle(ds, key_col=key_col, id_col=id_col, keep=keep, ts_col=ts_col)
     int_key = pa.types.is_integer(ds.schema().base_schema.field(key_col).type)
@@ -168,6 +170,13 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
 
     def losers_of(group: pa.Table) -> pa.Table:
         ids = group["__id"].to_numpy(zero_copy_only=False)
+        if len(np.unique(ids)) != len(ids):
+            raise ValueError(
+                "exact_dedup: duplicate id_col values in a key group — the "
+                "id-based loser filter would drop every copy INCLUDING the "
+                "winner (silent data loss). For replayed/duplicated inputs "
+                "pass unique_ids=False (the full-row groupby path)."
+            )
         h2 = group["__h2"].to_numpy(zero_copy_only=False)
         order = group["__ord"].to_numpy(zero_copy_only=False)
         # sort by (h2, order, id): the first row of each h2 run wins
@@ -344,6 +353,7 @@ def minhash_lsh_candidates(
     (m·(m-1)/2 × n_bands) vectorized comparison, not m² interpreter
     iterations.
     """
+    check_pow2(num_fold_buckets, "num_fold_buckets")
     stage = dict(
         n_perm=n_perm, n_bands=n_bands, shingle_w=shingle_w, text_col=text_col,
         id_col=id_col, carry_text=carry_text, char_ngrams=char_ngrams,
@@ -388,6 +398,8 @@ def minhash_lsh_candidates(
         # regroup by (routing band, exact band slice): only rows whose
         # slice at their routing band is IDENTICAL can collide there
         bk = band_keys_matrix(sig, n_bands)  # (m, n_bands) uint64
+        sigT = np.ascontiguousarray(sig.T)  # transposed ONCE per bucket
+        bkT = np.ascontiguousarray(bk.T)
         mi = np.argmax(bk == band_own[:, None], axis=1).astype(np.int64)
         slice_idx = mi[:, None] * n_rows_band + np.arange(n_rows_band, dtype=np.int64)[None, :]
         slices = np.take_along_axis(sig, slice_idx, axis=1)
@@ -424,11 +436,11 @@ def minhash_lsh_candidates(
                 # emit-once: the pair collides at band bi by group
                 # construction; emit here iff NO earlier band collides
                 if bi > 0:
-                    early = any_eq_pairs(bk, gx, gy, bi)
+                    early = any_eq_pairs(bkT, gx, gy, bi)
                     gx, gy = gx[~early], gy[~early]
                     if len(gx) == 0:
                         continue
-                est = eq_count_pairs(sig, gx, gy) / np.float64(n_perm)
+                est = eq_count_pairs(sigT, gx, gy) / np.float64(n_perm)
                 if threshold is not None and not carry_text:
                     k2 = est >= threshold
                     gx, gy, est = gx[k2], gy[k2], est[k2]
@@ -525,6 +537,7 @@ def simhash_candidates(
     ``num_fold_buckets`` coarse groups; inside a group, rows regroup by
     exact chunk value with ``np.unique`` and pairs are enumerated with
     blocked index arithmetic (popcount Hamming, argmax emit-once)."""
+    check_pow2(num_fold_buckets, "num_fold_buckets")
     n_bands = max_hamming + 1
     lo, masks = _simhash_chunk_params(n_bands)
     bidx = np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(58)
@@ -541,6 +554,7 @@ def simhash_candidates(
         fps = group["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
         band_own = group["band"].to_numpy(zero_copy_only=False).view(np.uint64)
         chunks = (fps[:, None] >> lo[None, :]) & masks[None, :]  # (m, n_bands)
+        chunksT = np.ascontiguousarray(chunks.T)  # transposed ONCE per bucket
         ckeys = splitmix64(chunks ^ bidx)
         mi = np.argmax(ckeys == band_own[:, None], axis=1)
         cval = np.take_along_axis(chunks, mi[:, None], axis=1)[:, 0]
@@ -569,7 +583,7 @@ def simhash_candidates(
                 # emit-once: the pair agrees at chunk bi by group
                 # construction; emit here iff NO earlier chunk agrees
                 if bi > 0:
-                    early = any_eq_pairs(chunks, gx, gy, bi)
+                    early = any_eq_pairs(chunksT, gx, gy, bi)
                     gx, gy, d = gx[~early], gy[~early], d[~early]
                     if len(gx) == 0:
                         continue

@@ -172,28 +172,33 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
-def eq_count_pairs(mat: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-    """Per-pair count of equal columns between rows ``mat[px]`` and
-    ``mat[py]`` — column-at-a-time so temporaries stay at
-    ``len(px) × 8`` bytes (a single 2-D row-gather allocates
-    ``len(px) × n_cols × 8``, which page-faults ~30× slower than
-    column chunks at multi-GB sizes)."""
-    matT = np.ascontiguousarray(mat.T)
+def check_pow2(n: int, name: str = "num_buckets") -> None:
+    """Guard for ``& (n-1)`` bucket masks: a non-power-of-two silently
+    collapses part of the bucket space (correct results, skewed groups)."""
+    if n <= 0 or n & (n - 1):
+        raise ValueError(f"{name} must be a power of two (got {n}): the bucket "
+                         f"mask `& ({name}-1)` silently collapses other values")
+
+
+def eq_count_pairs(matT: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Per-pair count of equal columns between rows ``px`` and ``py`` of
+    the matrix whose TRANSPOSE is ``matT`` (shape ``(n_cols, m)``,
+    C-contiguous — transpose ONCE per bucket, not per pair block).
+    Column-at-a-time so temporaries stay at ``len(px) × 8`` bytes (a
+    single 2-D row-gather allocates ``len(px) × n_cols × 8``, which
+    page-faults ~30× slower at multi-GB sizes)."""
     cnt = np.zeros(len(px), dtype=np.uint16)
-    for c in range(mat.shape[1]):
-        col = matT[c]
+    for col in matT:
         cnt += col[px] == col[py]
     return cnt
 
 
-def any_eq_pairs(mat: np.ndarray, px: np.ndarray, py: np.ndarray, n_cols: int) -> np.ndarray:
-    """Per-pair OR of column equality over ``mat``'s first ``n_cols``
-    columns (same column-at-a-time rationale as
-    :func:`eq_count_pairs`)."""
-    matT = np.ascontiguousarray(mat[:, :n_cols].T)
+def any_eq_pairs(matT: np.ndarray, px: np.ndarray, py: np.ndarray, n_cols: int) -> np.ndarray:
+    """Per-pair OR of column equality over the first ``n_cols`` columns
+    of the matrix whose transpose is ``matT`` (same transpose-once and
+    column-at-a-time rationale as :func:`eq_count_pairs`)."""
     out = np.zeros(len(px), dtype=bool)
-    for c in range(n_cols):
-        col = matT[c]
+    for col in matT[:n_cols]:
         out |= col[px] == col[py]
     return out
 

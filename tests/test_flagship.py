@@ -164,6 +164,15 @@ def test_resume_skips_done_and_repairs_missing(ray_session, pages_dir, tmp_path)
     assert len(child) == int(after["n_points"].sum())
     assert set(child["shard_id"].unique()) == set(after["shard_id"].unique())
 
+    # a missing CHILD dir alone (manifest still says done, parent
+    # intact) must also repair on resume — e.g. an out_dir written by a
+    # build without the child sink
+    shutil.rmtree(os.path.join(out, "points", "shard_id=part-00001"))
+    s4 = run_flagship(files, out, batch_size=64, concurrency=2, wave_size=2)
+    assert s4["partitions"] == 1 and s4["skipped"] == 3
+    child2 = read_points_output(out).to_pandas()
+    assert len(child2) == len(child)
+
 
 def test_lock_prevents_concurrent_runs(tmp_path):
     m = Manifest(str(tmp_path / "m"))

@@ -55,6 +55,20 @@ def test_exact_dedup_keep_first():
     assert kept == [1, 3, 4, 5, 6, 7, 8]  # 2 and 9 are dups of 1 and 8
 
 
+def test_exact_dedup_duplicate_ids_raise_loudly():
+    """The loser-filter path must REFUSE duplicated ids (dropping by id
+    would delete the winner too — silent data loss); unique_ids=False is
+    the documented escape hatch and must still dedup correctly."""
+    docs = _docs()
+    doubled = ray.data.from_arrow(docs).union(ray.data.from_arrow(docs))
+    with pytest.raises(Exception, match="unique_ids=False"):
+        exact_dedup(doubled, key_col="text", id_col="doc_id").take_all()
+    out = exact_dedup(
+        doubled, key_col="text", id_col="doc_id", unique_ids=False
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 3, 4, 5, 6, 7, 8]
+
+
 def test_exact_dedup_keep_latest():
     t = pa.table(
         {
