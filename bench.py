@@ -32,6 +32,17 @@ sys.path.insert(0, HERE)
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# This host demand-pages fresh memory at ~10-30 MB/s (measured: first
+# touch of a 32 MB numpy buffer = 2-6 s, subsequent reuse = 5-20 ms).
+# glibc's default M_MMAP_THRESHOLD makes every >128 KB allocation an
+# mmap that is returned to the kernel on free — so EVERY large kernel
+# temporary re-faults. Forcing large allocations into the main arena
+# (and never trimming it) keeps pages resident: each worker pays first
+# touch once, then runs at memory speed. Must be set before ray.init so
+# raylet's worker processes inherit it.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
 # Benchmarked subset of the query registry: the heavy / representative
 # pipelines (full registry correctness is tools/check_correctness.py's
 # job, not bench's).
@@ -100,6 +111,22 @@ def _warmup(num_cpus: int) -> None:
     ).count()
     ray.data.range(num_cpus * 2, override_num_blocks=num_cpus).map_batches(
         _Noop, batch_format="pyarrow", concurrency=(1, max(num_cpus, 2)), batch_size=1
+    ).count()
+    # grow + touch each worker's malloc arena once (with the
+    # MALLOC_*_THRESHOLD_ settings above the pages then stay resident),
+    # so timed kernels never pay this host's ~10-30 MB/s first-touch
+    # page-fault rate
+    def _warm_heap(batch):
+        import numpy as np
+
+        for _ in range(2):
+            buf = np.empty((48, 1 << 20), dtype=np.uint8)  # 48 MB
+            buf[:, ::4096] = 1
+            del buf
+        return batch
+
+    ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        _warm_heap, batch_format="pyarrow", batch_size=1
     ).count()
 
 

@@ -4,12 +4,15 @@ Two shapes:
 
 - :func:`knn_join` — broadcast probes: the (small) probe set ships once
   via ``ray.put``; the corpus streams through task-pool ``map_batches``
-  computing per-batch partial top-k; a repartition-tree merge produces
-  the exact global top-k with the oracle's tie order (distance asc,
-  neighbor id asc).
+  computing per-batch partial top-k; the final exact merge (oracle tie
+  order: distance asc, neighbor id asc) is a one-task consolidation by
+  default (P is broadcast-bounded) and probe-hash bucketed on request.
 - :func:`knn_radius_join` — the scale path: BOTH sides are Datasets.
   Corpus rows go to their grid cell, probes replicate to the
-  conservative radius cover, a bucketed groupby co-locates them.
+  conservative radius cover, a bucketed groupby co-locates them; the
+  final merge is probe-hash bucketed by default (no single-task
+  funnel), with a per-block pre-shrink so the merge shuffle carries
+  ≤ k rows per (probe, block).
 
 The candidate metric everywhere is the 3-D chord ``hav_a = (1-p·c)/2``
 over unit vectors — one BLAS matmul instead of a 9-pass trig matrix
