@@ -1414,15 +1414,11 @@ def q_media_features(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
-def q_docs_dup_clusters(sf_dir: str):
-    """Duplicate-cluster assignment (union-find over verified dup pairs,
-    text/dedup.py::duplicate_clusters): documents sharing a (lang,
-    length-bucket) fingerprint form a cluster → (doc_id, rep_id = min id
-    of the component). The testdata has no exact-text dups, so the
-    cluster key is the coarse fingerprint — the machinery (distributed
-    pair generation, key-verified, driver union-find over the small
-    pair list) is the same."""
-    from changesetmd_ray.text.dedup import duplicate_clusters
+def _dup_pairs_ds(sf_dir: str):
+    """Verified dup-pair Dataset shared by both cluster queries:
+    documents sharing a (lang, length-bucket) fingerprint pair up
+    star-shaped within their key group (collision-guarded by the actual
+    key)."""
     from changesetmd_ray.text.hashing import hash_bytes64
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -1458,14 +1454,36 @@ def q_docs_dup_clusters(sf_dir: str):
                 by_key[t] = int(ids[i])
         return pa.table({"id_a": pa.array(out_a, pa.int64()), "id_b": pa.array(out_b, pa.int64())})
 
-    pairs_ds = ds.map_batches(add_hash, batch_format="pyarrow").groupby("__h").map_groups(
+    return ds.map_batches(add_hash, batch_format="pyarrow").groupby("__h").map_groups(
         group_pairs, batch_format="pyarrow"
     )
-    rows = pairs_ds.take_all()  # ONE execution (count() would re-run the DAG)
+
+
+def q_docs_dup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment (union-find over verified dup pairs,
+    text/dedup.py::duplicate_clusters): documents sharing a (lang,
+    length-bucket) fingerprint form a cluster → (doc_id, rep_id = min id
+    of the component). The testdata has no exact-text dups, so the
+    cluster key is the coarse fingerprint — the machinery (distributed
+    pair generation, key-verified, driver union-find over the small
+    pair list) is the same."""
+    from changesetmd_ray.text.dedup import duplicate_clusters
+
+    rows = _dup_pairs_ds(sf_dir).take_all()  # ONE execution
     pairs = pa.Table.from_pylist(rows) if rows else pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
     return duplicate_clusters(pairs)
+
+
+def q_docs_dup_clusters_dist(sf_dir: str):
+    """Same clusters via the LARGE-pair-list path: distributed min-label
+    propagation (text/dedup.py::duplicate_clusters_dataset) — the pair
+    list never reaches the driver. Identical output and SQL oracle as
+    ``docs_dup_clusters``."""
+    from changesetmd_ray.text.dedup import duplicate_clusters_dataset
+
+    return duplicate_clusters_dataset(_dup_pairs_ds(sf_dir))
 
 
 _SQL_DOCS_DUP_CLUSTERS = """
@@ -1503,6 +1521,23 @@ from embeddings a, embeddings b
 where a.vec_id < b.vec_id
   and list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF cluster-pruned cosine top-k in its oracle-checkable
+    configuration (``nprobe=None`` = probe every cell → bit-exact vs
+    brute force while still exercising the quantizer training,
+    per-cell assignment/rerank and merge; the pruned configuration's
+    recall is unit-tested)."""
+    from changesetmd_ray.text.ann import ann_ivf_topk
+
+    emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(pc.less(emb["vec_id"], 8))
+    res = ann_ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), queries, 5,
+        n_clusters=16, nprobe=None,
+    )
+    return res.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 def q_ann_lsh(sf_dir: str):
@@ -1551,9 +1586,11 @@ QUERIES = {
     "docs_tokens": q_docs_tokens,
     "docs_fingerprint": q_docs_fingerprint,
     "ann_cosine": q_ann_cosine,
+    "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "pages_pipeline": q_pages_pipeline,
     "docs_dup_clusters": q_docs_dup_clusters,
+    "docs_dup_clusters_dist": q_docs_dup_clusters_dist,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "pages_points_flatten": q_pages_points_flatten,
@@ -1589,7 +1626,9 @@ ORACLE_SQL = {
     "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
     "docs_quality": _SQL_DOCS_QUALITY,
     "ann_cosine": _SQL_ANN_COSINE,
+    "ann_ivf": _SQL_ANN_COSINE,  # nprobe=None IVF is exact — same ground truth
     "docs_dup_clusters": _SQL_DOCS_DUP_CLUSTERS,
+    "docs_dup_clusters_dist": _SQL_DOCS_DUP_CLUSTERS,
     "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
     "pages_points_flatten": _SQL_PAGES_POINTS_FLATTEN,
     "pages_tags": _SQL_PAGES_TAGS,

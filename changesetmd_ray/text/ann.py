@@ -12,6 +12,11 @@
   ``max_mismatch`` bits are pruned *before* the matmul; the rest rerank
   exactly. Recall < 1 by construction — it's the candidate-pruning
   variant for when the corpus×query matmul is too expensive.
+- :func:`ann_ivf_topk` — IVF scale path: spherical-k-means coarse
+  quantizer (trained on a bounded sample, broadcast once); each corpus
+  batch assigns to cells in one matmul and reranks only against the
+  queries probing its cell. ``nprobe=None`` disables pruning and is
+  bit-exact vs :func:`ann_cosine_topk`.
 """
 
 from __future__ import annotations
@@ -115,6 +120,133 @@ def ann_cosine_topk(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+    return partials.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pyarrow"
+    )
+
+
+def _kmeans_cosine(mat: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd's, fixed iterations) over
+    L2-normalized vectors — the IVF coarse quantizer. Empty clusters
+    keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(mat))
+    cent = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_ivf_topk(
+    corpus,
+    queries: pa.Table,
+    k: int,
+    *,
+    n_clusters: int = 16,
+    nprobe: int | None = 4,
+    train_size: int = 10_000,
+    kmeans_iters: int = 10,
+    seed: int = 7,
+    corpus_id: str = "vec_id",
+    corpus_emb: str = "embedding",
+    query_id: str = "vec_id",
+    query_emb: str = "embedding",
+    batch_size: int = 4096,
+    concurrency=(1, 8),
+):
+    """IVF (inverted-file) approximate cosine top-k — the classic
+    cluster-pruned scale path next to :func:`ann_lsh_topk`'s bit-pruned
+    one.
+
+    Index: a spherical k-means coarse quantizer trained on a bounded
+    ``train_size`` corpus sample (driver-side, deterministic); centroids
+    + the per-query probe sets broadcast once via ``ray.put``. Search:
+    the corpus STREAMS — each batch assigns its vectors to their nearest
+    centroid (one matmul), then reranks each cluster segment only
+    against the queries probing that cell, so per-vector compute drops
+    by ~``nprobe / n_clusters`` vs brute force. No corpus shuffle; the
+    final per-query merge is the same bounded groupby as
+    :func:`ann_cosine_topk`.
+
+    ``nprobe=None`` (or ≥ n_clusters) probes every cell — pruning
+    disabled, output EXACTLY equals :func:`ann_cosine_topk` (this is
+    the oracle-checkable configuration; approximate recall is
+    unit-tested against the exact result). Same output schema.
+    """
+    qid = queries[query_id].to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = _norm_rows(_emb_matrix(queries, query_emb))
+
+    train = corpus.select_columns([corpus_emb]).limit(train_size).take_all()
+    tmat = _norm_rows(
+        np.stack([np.asarray(r[corpus_emb], dtype=np.float64) for r in train])
+    )
+    cent = _kmeans_cosine(tmat, n_clusters, kmeans_iters, seed)
+    kc = len(cent)
+    np_eff = kc if nprobe is None else min(nprobe, kc)
+    qc = qmat @ cent.T  # (Q × K)
+    if np_eff < kc:
+        probe_idx = np.argpartition(-qc, np_eff - 1, axis=1)[:, :np_eff]
+    else:
+        probe_idx = np.broadcast_to(np.arange(kc), (len(qid), kc))
+    probes = np.zeros((kc, len(qid)), dtype=bool)  # (K × Q): cell → probing queries
+    probes[probe_idx.ravel(), np.repeat(np.arange(len(qid)), probe_idx.shape[1])] = True
+    ref = ray.put((qid, qmat, np.ascontiguousarray(cent), probes))
+
+    class Probe:
+        def __init__(self):
+            self.qid, self.qmat, self.cent, self.probes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"query_id": pa.array([], pa.int64()),
+                              "neighbor_id": pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            cid = batch[corpus_id].to_numpy(zero_copy_only=False)
+            if len(cid) == 0:
+                return empty
+            emb = _norm_rows(_emb_matrix(batch, corpus_emb))
+            assign = np.argmax(emb @ self.cent.T, axis=1)
+            order = np.argsort(assign, kind="stable")
+            a_s = assign[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(a_s[1:] != a_s[:-1])[0] + 1, [len(a_s)]]
+            )
+            out_q, out_n, out_s = [], [], []
+            for g in range(len(starts) - 1):
+                rows = order[starts[g] : starts[g + 1]]
+                qs = np.nonzero(self.probes[a_s[starts[g]]])[0]
+                if len(qs) == 0:
+                    continue
+                sims = self.qmat[qs] @ emb[rows].T  # (q × m)
+                kk = min(k, sims.shape[1])
+                if kk < sims.shape[1]:
+                    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(np.arange(sims.shape[1]), sims.shape).copy()
+                ri = np.repeat(np.arange(len(qs)), part.shape[1])
+                ci = part.ravel()
+                out_q.append(self.qid[qs[ri]])
+                out_n.append(cid[rows[ci]])
+                out_s.append(sims[ri, ci])
+            if not out_q:
+                return empty
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partials = corpus.select_columns([corpus_id, corpus_emb]).map_batches(
+        Probe, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
     return partials.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pyarrow"

@@ -610,6 +610,121 @@ def simhash_candidates(
     return exploded.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
 
+def duplicate_clusters_dataset(
+    pairs,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_buckets: int = 64,
+    max_rounds: int = 64,
+):
+    """Distributed connected components over a near-dup pair DATASET —
+    the large-pair-list path. :func:`duplicate_clusters` union-finds on
+    the driver, which assumes the pair list fits one process; a
+    dup-heavy crawl's does not.
+
+    Iterative min-label propagation, co-partitioned by vertex hash: the
+    working set holds (vertex, other, kind) rows — static adjacency
+    (kind 1), propagated label candidates (kind 0) and each vertex's
+    current label (kind 2, which doubles as its self-candidate next
+    round). One ``groupby(bucket)`` per round takes every vertex's min
+    candidate and sends it to its neighbors; the global label sum is
+    strictly monotone, so convergence = two equal consecutive sums.
+    Rounds ≈ component diameter (near-dup clusters from the bucket
+    emitters are stars/cliques → 2-3 rounds); per-round volume is
+    O(E + V) rows, never the corpus. Returns a Dataset ``(doc_id,
+    rep_id)``, rep = component min — identical to the driver version.
+    """
+    check_pow2(num_buckets)
+
+    def init_rows(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        return pa.table(
+            {"v": pa.array(v), "other": pa.array(other),
+             "kind": pa.array(np.ones(len(v), dtype=np.int8))}
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (splitmix64(v) & np.uint64(num_buckets - 1)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(bk))
+
+    def step(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy(zero_copy_only=False)
+        other = group["other"].to_numpy(zero_copy_only=False)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v_s, o_s, k_s = v[order], other[order], kind[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(v_s[1:] != v_s[:-1])[0] + 1, [len(v_s)]]
+        )
+        # per-vertex min over self + every candidate (all kinds carry
+        # candidate labels: adjacency = neighbor ids = initial labels)
+        m = np.minimum(v_s, o_s)
+        out_v, out_o, out_k = [], [], []
+        for g in range(len(starts) - 1):
+            s, e = starts[g], starts[g + 1]
+            lab = int(m[s:e].min())
+            nbrs = o_s[s:e][k_s[s:e] == 1]
+            # adjacency passes through; send the label to every
+            # neighbor; keep the label row (self-candidate next round)
+            out_v.append(v_s[s:e][k_s[s:e] == 1])
+            out_o.append(nbrs)
+            out_k.append(np.ones(len(nbrs), dtype=np.int8))
+            out_v.append(nbrs)
+            out_o.append(np.full(len(nbrs), lab, dtype=np.int64))
+            out_k.append(np.zeros(len(nbrs), dtype=np.int8))
+            out_v.append(np.array([v_s[s]], dtype=np.int64))
+            out_o.append(np.array([lab], dtype=np.int64))
+            out_k.append(np.array([2], dtype=np.int8))
+        return pa.table(
+            {"v": pa.array(np.concatenate(out_v)),
+             "other": pa.array(np.concatenate(out_o)),
+             "kind": pa.array(np.concatenate(out_k))}
+        )
+
+    def label_sum(state) -> int:
+        def partial(batch: pa.Table) -> pa.Table:
+            k = batch["kind"].to_numpy(zero_copy_only=False)
+            o = batch["other"].to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array([int(o[k == 2].sum())], pa.int64())})
+
+        return sum(r["s"] for r in state.map_batches(
+            partial, batch_format="pyarrow").take_all())
+
+    state = pairs.map_batches(init_rows, batch_format="pyarrow").materialize()
+    prev = None
+    for _ in range(max_rounds):
+        state = (
+            state.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(step, batch_format="pyarrow")
+            .materialize()
+        )
+        s = label_sum(state)
+        if s == prev:
+            break
+        prev = s
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_dataset: no convergence in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds — raise it)"
+        )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        k = batch["kind"].to_numpy(zero_copy_only=False)
+        keep = k == 2
+        return pa.table(
+            {"doc_id": batch["v"].filter(pa.array(keep)),
+             "rep_id": batch["other"].filter(pa.array(keep))}
+        )
+
+    return state.map_batches(emit, batch_format="pyarrow")
+
+
 def duplicate_clusters(pairs: pa.Table, *, id_a: str = "id_a", id_b: str = "id_b") -> pa.Table:
     """Union-find over a verified near-dup pair list → ``(doc_id,
     rep_id)`` with rep = min id of the component. Driver-side: assumes

@@ -220,6 +220,37 @@ def test_simhash_vectorized_matches_bruteforce():
     assert got == exp
 
 
+def test_duplicate_clusters_dataset_matches_union_find():
+    """Distributed min-label propagation must produce exactly the
+    driver union-find's (doc_id, rep_id) map — including on a long path
+    (diameter >> 1, the worst case for propagation rounds)."""
+    from changesetmd_ray.text.dedup import duplicate_clusters_dataset
+
+    rng = np.random.default_rng(11)
+    edges = []
+    # random clusters: stars and cliques
+    base = 0
+    for size in [2, 3, 5, 8, 4]:
+        ids = base + rng.permutation(100)[:size]
+        for i in range(1, size):
+            edges.append((int(ids[0]), int(ids[i])))
+        base += 100
+    # a 12-vertex path: 1000-1011
+    for i in range(1000, 1011):
+        edges.append((i + 1, i))  # reversed order on purpose
+    pairs = pa.table(
+        {"id_a": pa.array([a for a, b in edges], pa.int64()),
+         "id_b": pa.array([b for a, b in edges], pa.int64())}
+    )
+    exp = {r["doc_id"]: r["rep_id"] for r in duplicate_clusters(pairs).to_pylist()}
+    got_rows = duplicate_clusters_dataset(
+        ray.data.from_arrow(pairs).repartition(4), num_buckets=8
+    ).take_all()
+    got = {r["doc_id"]: r["rep_id"] for r in got_rows}
+    assert len(got_rows) == len(got)  # one label row per vertex
+    assert got == exp
+
+
 def test_duplicate_clusters_union_find():
     pairs = pa.table(
         {"id_a": pa.array([1, 2, 8], pa.int64()), "id_b": pa.array([2, 3, 9], pa.int64())}
@@ -314,6 +345,45 @@ def test_ann_lsh_subset_of_exact_candidates():
     # self signature always matches itself → self found at rank 1
     r1 = [r for r in got if r["query_id"] == r["neighbor_id"]]
     assert all(r["rank"] == 1 for r in r1) and len(r1) == 3
+
+
+def test_ann_ivf_exact_config_matches_bruteforce():
+    """nprobe=None probes every cell: the IVF machinery (assignment,
+    per-cell rerank, merge) must reproduce the exact top-k bit-for-bit."""
+    from changesetmd_ray.text.ann import ann_ivf_topk
+
+    tbl, _ = _vectors()
+    queries = tbl.slice(0, 5)
+    exact = ann_cosine_topk(ray.data.from_arrow(tbl), queries, 4).take_all()
+    ivf = ann_ivf_topk(
+        ray.data.from_arrow(tbl).repartition(4), queries, 4,
+        n_clusters=8, nprobe=None, train_size=100,
+    ).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact}
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf}
+    assert g == e
+
+
+def test_ann_ivf_pruned_recall():
+    """Pruned IVF: results are a (query, neighbor)-subset consistent
+    with exact cosines, self is always found (its own cell is the
+    nearest centroid), and recall vs exact stays useful."""
+    from changesetmd_ray.text.ann import ann_ivf_topk
+
+    tbl, _ = _vectors()
+    queries = tbl.slice(0, 10)
+    exact = ann_cosine_topk(ray.data.from_arrow(tbl), queries, 4).take_all()
+    ivf = ann_ivf_topk(
+        ray.data.from_arrow(tbl).repartition(4), queries, 4,
+        n_clusters=8, nprobe=3, train_size=200,
+    ).take_all()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    self_rows = [r for r in ivf if r["query_id"] == r["neighbor_id"]]
+    assert len(self_rows) == 10 and all(r["rank"] == 1 for r in self_rows)
+    recall = len(ivf_set & exact_set) / len(exact_set)
+    assert recall >= 0.5, recall
 
 
 def test_media_decode_stub():
