@@ -1493,6 +1493,100 @@ qualify count(*) over (partition by lang, length(text)//100) > 1
 """
 
 
+def q_docs_keep_best(sf_dir: str):
+    """The end-to-end near-dup REDUCTION a training-data pipeline runs:
+    cluster near-duplicates (distributed label propagation), then keep
+    ONE document per cluster — the best by quality (longest text, ties
+    → smallest doc_id); unclustered docs pass through as their own
+    cluster. Composition of the dedup-cluster, J1-attach and grouped
+    argmax operators, each stage a bounded bucketed shuffle (the text
+    column never shuffles — only (doc_id, n_chars) and labels)."""
+    from changesetmd_ray.text.dedup import duplicate_clusters_dataset
+    from changesetmd_ray.text.hashing import splitmix64
+
+    NB = 64
+    clusters = duplicate_clusters_dataset(_dup_pairs_ds(sf_dir))
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        b = (splitmix64(did.astype(np.uint64)) & np.uint64(NB - 1)).astype(np.int64)
+        return pa.table(
+            {"__b": pa.array(b), "doc_id": pa.array(did), "n_chars": n_chars,
+             "rep": pa.nulls(len(batch), pa.int64())}
+        )
+
+    def cluster_rows(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (splitmix64(did.astype(np.uint64)) & np.uint64(NB - 1)).astype(np.int64)
+        return pa.table(
+            {"__b": pa.array(b), "doc_id": pa.array(did),
+             "n_chars": pa.nulls(len(batch), pa.int64()), "rep": batch["rep_id"]}
+        )
+
+    def attach_rep(group: pa.Table) -> pa.Table:
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        rep = group["rep"].to_numpy(zero_copy_only=False)
+        nch = group["n_chars"].to_numpy(zero_copy_only=False)
+        is_doc = ~np.asarray(group["rep"].is_valid())
+        order = np.argsort(did, kind="stable")
+        d_s, r_s, n_s, m_s = did[order], rep[order], nch[order], is_doc[order]
+        starts = np.concatenate([[0], np.nonzero(d_s[1:] != d_s[:-1])[0] + 1, [len(d_s)]])
+        out_r, out_d, out_n = [], [], []
+        for g in range(len(starts) - 1):
+            s, e = starts[g], starts[g + 1]
+            doc_rows_here = np.nonzero(m_s[s:e])[0]
+            if len(doc_rows_here) == 0:
+                continue  # cluster label for a doc outside the corpus slice
+            n_val = int(n_s[s:e][doc_rows_here[0]])
+            lab = r_s[s:e][~m_s[s:e]]
+            out_r.append(int(lab[0]) if len(lab) else int(d_s[s]))
+            out_d.append(int(d_s[s]))
+            out_n.append(n_val)
+        rep_arr = np.asarray(out_r, dtype=np.int64)
+        b2 = (splitmix64(rep_arr.astype(np.uint64)) & np.uint64(NB - 1)).astype(np.int64)
+        return pa.table(
+            {"__b2": pa.array(b2), "rep_id": pa.array(rep_arr),
+             "doc_id": pa.array(np.asarray(out_d, dtype=np.int64)),
+             "n_chars": pa.array(np.asarray(out_n, dtype=np.int64))}
+        )
+
+    def best_per_rep(group: pa.Table) -> pa.Table:
+        rep = group["rep_id"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        nch = group["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nch, rep))
+        r_s = rep[order]
+        first = np.concatenate([[True], r_s[1:] != r_s[:-1]])
+        sel = order[first]
+        return pa.table(
+            {"rep_id": pa.array(rep[sel]), "doc_id": pa.array(did[sel]),
+             "n_chars": pa.array(nch[sel])}
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+    both = docs.union(clusters.map_batches(cluster_rows, batch_format="pyarrow"))
+    labeled = both.groupby("__b").map_groups(attach_rep, batch_format="pyarrow")
+    return labeled.groupby("__b2").map_groups(best_per_rep, batch_format="pyarrow")
+
+
+_SQL_DOCS_KEEP_BEST = """
+with lab as (
+  select doc_id, length(text) as n_chars,
+    case when count(*) over (partition by lang, length(text)//100) > 1
+         then min(doc_id) over (partition by lang, length(text)//100)
+         else doc_id end as rep_id
+  from documents
+)
+select rep_id, doc_id, n_chars from (
+  select rep_id, doc_id, n_chars,
+    row_number() over (partition by rep_id order by n_chars desc, doc_id asc) rn
+  from lab) where rn = 1
+"""
+
+
 def q_docs_ngram_jaccard(sf_dir: str):
     """Character-n-gram Jaccard near-dup (the 4th dedup mode): MinHash
     LSH over 5-gram hashes, exact n-gram Jaccard verified ≥ 0.5 inside
@@ -1591,6 +1685,7 @@ QUERIES = {
     "pages_pipeline": q_pages_pipeline,
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_dup_clusters_dist": q_docs_dup_clusters_dist,
+    "docs_keep_best": q_docs_keep_best,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "pages_points_flatten": q_pages_points_flatten,
@@ -1629,6 +1724,7 @@ ORACLE_SQL = {
     "ann_ivf": _SQL_ANN_COSINE,  # nprobe=None IVF is exact — same ground truth
     "docs_dup_clusters": _SQL_DOCS_DUP_CLUSTERS,
     "docs_dup_clusters_dist": _SQL_DOCS_DUP_CLUSTERS,
+    "docs_keep_best": _SQL_DOCS_KEEP_BEST,
     "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
     "pages_points_flatten": _SQL_PAGES_POINTS_FLATTEN,
     "pages_tags": _SQL_PAGES_TAGS,
