@@ -503,6 +503,35 @@ where (cast(event_id as hugeint) * 2654435761) % 4294967296 < 214748365
 # hugeint form matches the uint64 wrap exactly at any scale factor
 
 
+def q_events_stratified(sf_dir: str):
+    """O3 stratified sampling — per-stratum deterministic rates (keep
+    ALL rare purchases, thin the noise classes), the class-balancing
+    step of a training-data pipeline. Same exact-integer hash as
+    ``events_sample``, thresholds resolved per group value
+    (stages/sample.py::stratified_sample)."""
+    from changesetmd_ray.stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    out = stratified_sample(
+        ds, key_col="event_id", group_col="event_type",
+        rates={"purchase": 1.0, "click": 0.1, "view": 0.02}, default_rate=0.05,
+    )
+    return out.select_columns(["event_id", "event_type"])
+
+
+_SQL_EVENTS_STRATIFIED = """
+select event_id, event_type from events
+where (cast(event_id as hugeint) * 2654435761) % 4294967296 <
+  case event_type
+    when 'purchase' then 4294967296
+    when 'click' then 429496729
+    when 'view' then 85899345
+    else 214748364 end
+"""
+# thresholds are int(rate * 2^32) with Python truncation — the literals
+# above must match that truncation exactly
+
+
 def q_union_dedup(sf_dir: str):
     """O4 idempotency: union the events table with itself, exact-dedup by
     event_id (keep first), count per type — re-applying a partition twice
@@ -1658,6 +1687,7 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "events_watermark": q_events_watermark,
     "events_sample": q_events_sample,
+    "events_stratified": q_events_stratified,
     "union_dedup": q_union_dedup,
     "promo_parts_by_brand": q_promo_parts_by_brand,
     "nations_per_region": q_nations_per_region,
@@ -1705,6 +1735,7 @@ ORACLE_SQL = {
     "events_by_type": _SQL_EVENTS_BY_TYPE,
     "events_watermark": _SQL_EVENTS_WATERMARK,
     "events_sample": _SQL_EVENTS_SAMPLE,
+    "events_stratified": _SQL_EVENTS_STRATIFIED,
     "union_dedup": _SQL_UNION_DEDUP,
     "promo_parts_by_brand": _SQL_PROMO_PARTS,
     "nations_per_region": _SQL_NATIONS_PER_REGION,

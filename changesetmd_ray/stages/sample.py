@@ -1,0 +1,80 @@
+"""Deterministic sampling stages (O3 family).
+
+Systematic multiplicative-hash sampling — reproducible across engines,
+runs and partitionings, unlike ``Dataset.random_sample``: a row's fate
+depends only on its key. The hash is Knuth's multiplicative scheme in
+exact integer arithmetic (``(key · 2654435761) mod 2³²``), chosen
+because the identical expression evaluates bit-equal in ANSI SQL
+(hugeint product — see the oracle strings in ``pipelines/queries.py``).
+
+:func:`stratified_sample` extends it per-stratum: each group value gets
+its own keep-rate, so a pipeline can e.g. keep 100 % of rare
+``purchase`` events while thinning ``view`` noise — the standard
+class-balancing step of a training-data pipeline. Map-only: no shuffle,
+no state, the streaming executor fuses it into adjacent stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(4294967296)
+
+
+def _hash32(keys: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (keys.astype(np.uint64) * _KNUTH) % _MOD32
+
+
+def _threshold(rate: float) -> np.uint64:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return np.uint64(int(rate * float(_MOD32)))
+
+
+def systematic_sample(ds, *, key_col: str, rate: float):
+    """Keep a row iff ``hash32(key) < rate · 2³²`` — the ~``rate``
+    fraction, deterministically."""
+    thr = _threshold(rate)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_hash32(k) < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    *,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+):
+    """Per-stratum deterministic sampling: a row whose ``group_col``
+    value is ``g`` is kept iff ``hash32(key) < rates.get(g,
+    default_rate) · 2³²``. Unknown groups (and null) take
+    ``default_rate``. Vectorized via dictionary-encoding the group
+    column per batch — the Python loop touches distinct values only."""
+    thr_map = {g: _threshold(r) for g, r in rates.items()}
+    default_thr = _threshold(default_rate)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(batch[group_col]).combine_chunks()
+        valid = np.asarray(enc.indices.is_valid())
+        codes = enc.indices.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_vals = enc.dictionary.to_pylist()
+        thr_by_code = np.fromiter(
+            (thr_map.get(v, default_thr) for v in dict_vals), np.uint64,
+            len(dict_vals),
+        )
+        thr = np.where(valid, thr_by_code[codes] if len(dict_vals) else default_thr,
+                       default_thr)
+        return batch.filter(pa.array(_hash32(k) < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

@@ -386,6 +386,38 @@ def test_ann_ivf_pruned_recall():
     assert recall >= 0.5, recall
 
 
+def test_stratified_sample_rates_and_edge_groups():
+    from changesetmd_ray.stages.sample import stratified_sample, systematic_sample
+
+    n = 20_000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "g": pa.array(
+                ["a" if i % 4 == 0 else ("b" if i % 4 == 1 else ("zzz" if i % 4 == 2 else None))
+                 for i in range(n)]
+            ),
+        }
+    )
+    out = stratified_sample(
+        ray.data.from_arrow(t).repartition(4), key_col="k", group_col="g",
+        rates={"a": 1.0, "b": 0.1}, default_rate=0.0,
+    ).take_all()
+    got_a = [r["k"] for r in out if r["g"] == "a"]
+    got_b = [r["k"] for r in out if r["g"] == "b"]
+    assert len(got_a) == n // 4  # rate 1.0 keeps everything
+    assert 0 < len(got_b) < n // 4 * 0.2  # ~10%
+    assert all(r["g"] in ("a", "b") for r in out)  # unknown + null dropped
+    # per-row determinism: the same key kept under systematic at the
+    # same rate — stratification only swaps the threshold
+    sys_b = {r["k"] for r in systematic_sample(
+        ray.data.from_arrow(t), key_col="k", rate=0.1).take_all()}
+    assert set(got_b) == {k for k in sys_b if k % 4 == 1}
+    with pytest.raises(ValueError):
+        stratified_sample(ray.data.from_arrow(t), key_col="k", group_col="g",
+                          rates={"a": 1.5})
+
+
 def test_media_decode_stub():
     media = pa.table(
         {
