@@ -60,6 +60,7 @@ def _compact(cells: np.ndarray, zoom: int) -> np.ndarray:
 
 # deterministic 64-bit mix for salt/bucket assignment — the ONE shared
 # kernel (stable across processes, unlike Python ``hash``)
+from changesetmd_ray.text.hashing import segment_starts as _segment_starts  # noqa: E402
 from changesetmd_ray.text.hashing import splitmix64 as _splitmix64  # noqa: E402
 
 
@@ -276,7 +277,7 @@ class _PairTest:
         order = np.lexsort((side, jk))
         jk, side, rid, nseg = jk[order], side[order], rid[order], nseg[order]
         cols = [c[order] for c in cols]
-        starts = np.concatenate([[0], np.nonzero(jk[1:] != jk[:-1])[0] + 1, [len(jk)]])
+        starts = _segment_starts(jk)
         nx, ny = grid_dims(self.zoom)
 
         out_l: list[np.ndarray] = []

@@ -322,7 +322,7 @@ def knn_radius_join(
     so a cell is about the radius size: the probe cover is then O(9)
     cells."""
     from changesetmd_ray.geo.grid import point_cell
-    from changesetmd_ray.text.hashing import splitmix64
+    from changesetmd_ray.text.hashing import segment_starts, splitmix64
 
     _check_pow2(num_buckets)
 
@@ -372,7 +372,7 @@ def knn_radius_join(
         lat = group["lat"].to_numpy(zero_copy_only=False)
         order = np.lexsort((side, cell))
         cell, side, rid, lon, lat = cell[order], side[order], rid[order], lon[order], lat[order]
-        starts = np.concatenate([[0], np.nonzero(cell[1:] != cell[:-1])[0] + 1, [len(cell)]])
+        starts = segment_starts(cell)
         out_p, out_n, out_d = [], [], []
         for g in range(len(starts) - 1):
             s, e = starts[g], starts[g + 1]

@@ -298,7 +298,7 @@ def q_orders_per_segment(sf_dir: str):
             return t.group_by("c_mktsegment").aggregate([("price", "sum"), ("price", "count")])
 
     partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        AttachSegment, batch_format="pyarrow", concurrency=(1, 4)
+        lambda b: AttachSegment()(b), batch_format="pyarrow"
     )
 
     def final(group: pa.Table) -> pa.Table:
@@ -375,7 +375,7 @@ def q_anti_join_customers(sf_dir: str):
             return batch.filter(pa.array(~hit))
 
     return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        AntiFilter, batch_format="pyarrow", concurrency=(1, 4)
+        lambda b: AntiFilter()(b), batch_format="pyarrow"
     )
 
 
@@ -609,7 +609,7 @@ def q_nations_per_region(sf_dir: str):
             return t.group_by("r_name").aggregate([("r_name", "count")])
 
     partials = _read(sf_dir, "nation", ["n_regionkey"]).map_batches(
-        Attach, batch_format="pyarrow", concurrency=(1, 2)
+        lambda b: Attach()(b), batch_format="pyarrow"
     )
 
     def final(group: pa.Table) -> pa.Table:
@@ -966,10 +966,8 @@ def q_geo_cell_encode(sf_dir: str):
         batch_format="pyarrow",
     )
     enc = pts.map_batches(
-        CellEncoder,
-        fn_constructor_kwargs={"s2_level": 12, "hex_res": 8, "grid_zoom": 7},
+        lambda b: CellEncoder(s2_level=12, hex_res=8, grid_zoom=7)(b),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     return enc.select_columns(["event_id", "s2_cell", "hex_cell", "grid_cell"])
 
@@ -1045,7 +1043,7 @@ def q_docs_langid(sf_dir: str):
     Unicode ``\\w`` and RE2's ASCII ``\\w`` only diverge on non-ASCII
     text, which the oracle corpus does not contain."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 8)
+        lambda b: LangId()(b), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "lang_pred"])
 
@@ -1085,7 +1083,7 @@ def q_docs_tokens(sf_dir: str):
     regex is RE2-compatible, and Python/RE2 ``\\w`` semantics coincide
     on the ASCII oracle corpus."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
-        TokenCount, batch_format="pyarrow", concurrency=(1, 8)
+        lambda b: TokenCount()(b), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "n_tokens_bpe"])
 
@@ -1100,7 +1098,7 @@ from documents
 def q_docs_fingerprint(sf_dir: str):
     """Winnowing fingerprints (rows-only; whitespace-invariant)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
-        Fingerprint, batch_format="pyarrow", concurrency=(1, 8)
+        lambda b: Fingerprint()(b), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "fingerprint"])
 
@@ -1192,12 +1190,10 @@ def q_pages_pipeline(sf_dir: str):
     tag = os.path.basename(os.path.normpath(sf_dir))
     paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
     ds = ray.data.read_parquet(paths)
-    ds = ds.map_batches(GeoExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(lambda b: GeoExtractor()(b), batch_format="pyarrow")
     ds = ds.map_batches(
-        CellEncoder,
-        fn_constructor_kwargs={"s2_level": 12, "hex_res": 8, "grid_zoom": 7},
+        lambda b: CellEncoder(s2_level=12, hex_res=8, grid_zoom=7)(b),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     return ds.select_columns(
         ["url", "n_points", "min_lon", "min_lat", "max_lon", "max_lat", "s2_cell", "hex_cell"]
@@ -1251,7 +1247,7 @@ def q_pages_points_flatten(sf_dir: str):
     tag = os.path.basename(os.path.normpath(sf_dir))
     paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
     ds = ray.data.read_parquet(paths, columns=["url", "html"])
-    ds = ds.map_batches(GeoExtractor2Cols, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(lambda b: GeoExtractor2Cols()(b), batch_format="pyarrow")
 
     def flatten(batch: pa.Table) -> pa.Table:
         from changesetmd_ray.pipelines.flagship import explode_list_column
@@ -1538,7 +1534,9 @@ def q_docs_keep_best(sf_dir: str):
 
     def doc_rows(batch: pa.Table) -> pa.Table:
         did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        # null text → n_chars sentinel -1: loses to any real length
+        # (the oracle's NULLS LAST), never poisons an int column with NaN
+        n_chars = pc.fill_null(pc.cast(pc.utf8_length(batch["text"]), pa.int64()), -1)
         b = (splitmix64(did.astype(np.uint64)) & np.uint64(NB - 1)).astype(np.int64)
         return pa.table(
             {"__b": pa.array(b), "doc_id": pa.array(did), "n_chars": n_chars,
@@ -1550,34 +1548,33 @@ def q_docs_keep_best(sf_dir: str):
         b = (splitmix64(did.astype(np.uint64)) & np.uint64(NB - 1)).astype(np.int64)
         return pa.table(
             {"__b": pa.array(b), "doc_id": pa.array(did),
-             "n_chars": pa.nulls(len(batch), pa.int64()), "rep": batch["rep_id"]}
+             "n_chars": pa.array(np.full(len(batch), -1, dtype=np.int64)),
+             "rep": batch["rep_id"]}
         )
 
     def attach_rep(group: pa.Table) -> pa.Table:
-        did = group["doc_id"].to_numpy(zero_copy_only=False)
-        rep = group["rep"].to_numpy(zero_copy_only=False)
-        nch = group["n_chars"].to_numpy(zero_copy_only=False)
+        # nullable int columns must never round-trip through float64
+        # (ids ≥ 2^53 would silently corrupt): track validity separately
         is_doc = ~np.asarray(group["rep"].is_valid())
-        order = np.argsort(did, kind="stable")
-        d_s, r_s, n_s, m_s = did[order], rep[order], nch[order], is_doc[order]
-        starts = np.concatenate([[0], np.nonzero(d_s[1:] != d_s[:-1])[0] + 1, [len(d_s)]])
-        out_r, out_d, out_n = [], [], []
-        for g in range(len(starts) - 1):
-            s, e = starts[g], starts[g + 1]
-            doc_rows_here = np.nonzero(m_s[s:e])[0]
-            if len(doc_rows_here) == 0:
-                continue  # cluster label for a doc outside the corpus slice
-            n_val = int(n_s[s:e][doc_rows_here[0]])
-            lab = r_s[s:e][~m_s[s:e]]
-            out_r.append(int(lab[0]) if len(lab) else int(d_s[s]))
-            out_d.append(int(d_s[s]))
-            out_n.append(n_val)
-        rep_arr = np.asarray(out_r, dtype=np.int64)
+        did = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = group["rep"].fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = group["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_doc, n_doc = did[is_doc], nch[is_doc]
+        lab_v, lab_r = did[~is_doc], rep[~is_doc]
+        order = np.argsort(lab_v, kind="stable")
+        lab_v, lab_r = lab_v[order], lab_r[order]
+        # one label row per vertex → vectorized lookup by searchsorted;
+        # docs without a label rep themselves (singletons)
+        pos = np.searchsorted(lab_v, d_doc)
+        pos_c = np.minimum(pos, max(len(lab_v) - 1, 0))
+        has = (len(lab_v) > 0) & (lab_v[pos_c] == d_doc) if len(lab_v) else np.zeros(
+            len(d_doc), dtype=bool
+        )
+        rep_arr = np.where(has, lab_r[pos_c] if len(lab_v) else 0, d_doc)
         b2 = (splitmix64(rep_arr.astype(np.uint64)) & np.uint64(NB - 1)).astype(np.int64)
         return pa.table(
             {"__b2": pa.array(b2), "rep_id": pa.array(rep_arr),
-             "doc_id": pa.array(np.asarray(out_d, dtype=np.int64)),
-             "n_chars": pa.array(np.asarray(out_n, dtype=np.int64))}
+             "doc_id": pa.array(d_doc), "n_chars": pa.array(n_doc)}
         )
 
     def best_per_rep(group: pa.Table) -> pa.Table:

@@ -24,9 +24,22 @@ _KNUTH = np.uint64(2654435761)
 _MOD32 = np.uint64(4294967296)
 
 
-def _hash32(keys: np.ndarray) -> np.ndarray:
+def _key_hash32(batch: pa.Table, key_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(hash32, valid) for the key column. Null keys are NEVER sampled
+    (the SQL oracle's NULL comparison is false); negative keys are
+    rejected — DuckDB's hugeint ``%`` returns a negative remainder
+    (always kept) while the uint64 wrap hashes uniformly, so the two
+    engines would silently diverge."""
+    col = batch[key_col]
+    valid = ~np.asarray(pc.is_null(col).combine_chunks())
+    k = col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    if (k < 0).any():
+        raise ValueError(
+            f"{key_col}: negative sampling keys are not supported (SQL-oracle "
+            "modulo semantics diverge from the uint64 wrap)"
+        )
     with np.errstate(over="ignore"):
-        return (keys.astype(np.uint64) * _KNUTH) % _MOD32
+        return (k.astype(np.uint64) * _KNUTH) % _MOD32, valid
 
 
 def _threshold(rate: float) -> np.uint64:
@@ -41,8 +54,8 @@ def systematic_sample(ds, *, key_col: str, rate: float):
     thr = _threshold(rate)
 
     def pick(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(_hash32(k) < thr))
+        h, valid = _key_hash32(batch, key_col)
+        return batch.filter(pa.array(valid & (h < thr)))
 
     return ds.map_batches(pick, batch_format="pyarrow")
 
@@ -64,17 +77,17 @@ def stratified_sample(
     default_thr = _threshold(default_rate)
 
     def pick(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False)
+        h, kvalid = _key_hash32(batch, key_col)
         enc = pc.dictionary_encode(batch[group_col]).combine_chunks()
-        valid = np.asarray(enc.indices.is_valid())
+        gvalid = np.asarray(enc.indices.is_valid())
         codes = enc.indices.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         dict_vals = enc.dictionary.to_pylist()
         thr_by_code = np.fromiter(
             (thr_map.get(v, default_thr) for v in dict_vals), np.uint64,
             len(dict_vals),
         )
-        thr = np.where(valid, thr_by_code[codes] if len(dict_vals) else default_thr,
+        thr = np.where(gvalid, thr_by_code[codes] if len(dict_vals) else default_thr,
                        default_thr)
-        return batch.filter(pa.array(_hash32(k) < thr))
+        return batch.filter(pa.array(kvalid & (h < thr)))
 
     return ds.map_batches(pick, batch_format="pyarrow")

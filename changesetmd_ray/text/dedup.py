@@ -43,6 +43,7 @@ from changesetmd_ray.text.hashing import (
     jaccard,
     minhash_params,
     minhash_signature,
+    segment_starts,
     shingle_hashes,
     simhash64,
     splitmix64,
@@ -598,14 +599,17 @@ def simhash_candidates(
              "hamming": pa.array(np.concatenate(out_h), pa.int64())}
         )
 
+    _ = concurrency  # task pool: stage state rebuilds in microseconds,
+    # and fresh actor processes pay cold-start + first-touch paging
+
+    def simhash_fn(batch):
+        return _SimHashStage(
+            max_hamming=max_hamming, text_col=text_col, id_col=id_col,
+            num_fold_buckets=num_fold_buckets,
+        )(batch)
+
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        _SimHashStage,
-        fn_constructor_kwargs={
-            "max_hamming": max_hamming, "text_col": text_col, "id_col": id_col,
-            "num_fold_buckets": num_fold_buckets,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        simhash_fn, batch_format="pyarrow"
     )
     return exploded.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
@@ -658,32 +662,28 @@ def duplicate_clusters_dataset(
         kind = group["kind"].to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
         v_s, o_s, k_s = v[order], other[order], kind[order]
-        starts = np.concatenate(
-            [[0], np.nonzero(v_s[1:] != v_s[:-1])[0] + 1, [len(v_s)]]
-        )
+        starts = segment_starts(v_s)
         # per-vertex min over self + every candidate (all kinds carry
         # candidate labels: adjacency = neighbor ids = initial labels)
-        m = np.minimum(v_s, o_s)
-        out_v, out_o, out_k = [], [], []
-        for g in range(len(starts) - 1):
-            s, e = starts[g], starts[g + 1]
-            lab = int(m[s:e].min())
-            nbrs = o_s[s:e][k_s[s:e] == 1]
-            # adjacency passes through; send the label to every
-            # neighbor; keep the label row (self-candidate next round)
-            out_v.append(v_s[s:e][k_s[s:e] == 1])
-            out_o.append(nbrs)
-            out_k.append(np.ones(len(nbrs), dtype=np.int8))
-            out_v.append(nbrs)
-            out_o.append(np.full(len(nbrs), lab, dtype=np.int64))
-            out_k.append(np.zeros(len(nbrs), dtype=np.int8))
-            out_v.append(np.array([v_s[s]], dtype=np.int64))
-            out_o.append(np.array([lab], dtype=np.int64))
-            out_k.append(np.array([2], dtype=np.int8))
+        # — fully segment-vectorized, no per-vertex Python
+        lab_seg = np.minimum.reduceat(np.minimum(v_s, o_s), starts[:-1])
+        counts = np.diff(starts)
+        lab_row = np.repeat(lab_seg, counts)
+        is_adj = k_s == 1
+        adj_v, adj_nbr, adj_lab = v_s[is_adj], o_s[is_adj], lab_row[is_adj]
         return pa.table(
-            {"v": pa.array(np.concatenate(out_v)),
-             "other": pa.array(np.concatenate(out_o)),
-             "kind": pa.array(np.concatenate(out_k))}
+            {
+                # adjacency passes through; each vertex sends its label
+                # to every neighbor; keeps its label row (the
+                # self-candidate next round)
+                "v": pa.array(np.concatenate([adj_v, adj_nbr, v_s[starts[:-1]]])),
+                "other": pa.array(np.concatenate([adj_nbr, adj_lab, lab_seg])),
+                "kind": pa.array(np.concatenate([
+                    np.ones(len(adj_v), dtype=np.int8),
+                    np.zeros(len(adj_nbr), dtype=np.int8),
+                    np.full(len(lab_seg), 2, dtype=np.int8),
+                ])),
+            }
         )
 
     def label_sum(state) -> int:

@@ -172,6 +172,18 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
+def segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Boundary indices of equal-key runs in a SORTED key array:
+    ``[0, …run starts…, len]`` — segment ``g`` is
+    ``sorted_keys[out[g]:out[g+1]]``. The ONE segment-boundary idiom
+    (five hand-rolled copies before this helper)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(1, dtype=np.int64)
+    return np.concatenate(
+        [[0], np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1, [len(sorted_keys)]]
+    ).astype(np.int64)
+
+
 def check_pow2(n: int, name: str = "num_buckets") -> None:
     """Guard for ``& (n-1)`` bucket masks: a non-power-of-two silently
     collapses part of the bucket space (correct results, skewed groups)."""
