@@ -119,10 +119,12 @@ def _warmup(num_cpus: int) -> None:
     def _warm_heap(batch):
         import numpy as np
 
-        for _ in range(2):
-            buf = np.empty((48, 1 << 20), dtype=np.uint8)  # 48 MB
+        # ~192 MB arena per worker ≈ the peak working set of the largest
+        # per-task kernels (kNN chord matrix + partition copy + masks)
+        bufs = [np.empty((48, 1 << 20), dtype=np.uint8) for _ in range(4)]
+        for buf in bufs:
             buf[:, ::4096] = 1
-            del buf
+        del bufs
         return batch
 
     ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
