@@ -15,7 +15,10 @@
   found by the band-partition trick (split 64 bits into t+1 bands; any
   pair within distance t agrees exactly on ≥1 band — pigeonhole).
 - :func:`duplicate_clusters` — connected components over a (small)
-  verified pair list, driver-side union-find → (doc_id, rep_id) map.
+  verified pair list, driver-side union-find → (doc_id, rep_id) map;
+  :func:`duplicate_clusters_dataset` is the distributed form (min-label
+  propagation, one bucketed groupby per diameter hop) for pair lists
+  too large for one process.
 
 Scale notes: the corpus always streams; shuffles move (key, id) or
 (band, id, signature) rows, not raw text, except the LSH verify path
