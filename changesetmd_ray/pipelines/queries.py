@@ -532,6 +532,137 @@ where (cast(event_id as hugeint) * 2654435761) % 4294967296 <
 # above must match that truncation exactly
 
 
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (the classic log/training-data windowed
+    operator): a user's events sorted by (ts, event_id) split into
+    sessions wherever the gap exceeds 30 minutes; one output row per
+    session with its ordinal, event count and start/end. Distributed as
+    ONE bucketed groupby by user hash — inside a bucket every user's
+    segment is pure vectorized arithmetic (sort, diff, cumsum), no SQL
+    window engine needed."""
+    from changesetmd_ray.text.hashing import segment_starts, splitmix64
+
+    NB = 64
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(u) & np.uint64(NB - 1)).astype(np.int64)
+        return batch.append_column("__b", pa.array(b))
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            group["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        starts = segment_starts(u_s)
+        # new-session flag: first event per user, or gap > threshold
+        new = np.ones(len(u_s), dtype=np.int64)
+        if len(u_s) > 1:
+            gap_ok = (t_s[1:] - t_s[:-1]) <= GAP_US
+            same_user = u_s[1:] == u_s[:-1]
+            new[1:] = (~(gap_ok & same_user)).astype(np.int64)
+        sess = np.cumsum(new)
+        # renumber within user: subtract the user's first session - 1
+        sess = sess - np.repeat(sess[starts[:-1]], np.diff(starts)) + 1
+        # per (user, session) aggregation via the combined sorted key
+        key_change = np.ones(len(u_s), dtype=bool)
+        key_change[1:] = (u_s[1:] != u_s[:-1]) | (sess[1:] != sess[:-1])
+        ks = np.flatnonzero(key_change)
+        ke = np.append(ks[1:], len(u_s))
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[ks]),
+                "session_n": pa.array(sess[ks]),
+                "n_events": pa.array(ke - ks),
+                "session_start": pa.array(
+                    t_s[ks].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "session_end": pa.array(
+                    t_s[ke - 1].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__b").map_groups(
+        sessions, batch_format="pyarrow"
+    )
+
+
+_SQL_EVENTS_SESSIONS = """
+with e as (
+  select user_id, event_id, ts,
+    case when lag(ts) over w is null
+         or ts - lag(ts) over w > interval 30 minute then 1 else 0 end as new_s
+  from events
+  window w as (partition by user_id order by ts, event_id)
+), s as (
+  select user_id, ts,
+    sum(new_s) over (partition by user_id order by ts, event_id
+                     rows unbounded preceding) as session_n
+  from e
+)
+select user_id, cast(session_n as bigint) as session_n,
+       count(*) as n_events, min(ts) as session_start, max(ts) as session_end
+from s group by user_id, session_n
+"""
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """Per-key top-k (top-3 orders by value per customer, ties → lowest
+    order key): bucketed by customer hash, ranked with one vectorized
+    lexsort + segment arithmetic per bucket — the grouped form of O2.
+    Rank-only output (the float price stays internal, ulp-robust)."""
+    from changesetmd_ray.text.hashing import segment_starts, splitmix64
+
+    NB = 64
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (splitmix64(c) & np.uint64(NB - 1)).astype(np.int64)
+        return batch.append_column("__b", pa.array(b))
+
+    def topk(group: pa.Table) -> pa.Table:
+        cust = group["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = group["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = group["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price, cust))
+        c_s = cust[order]
+        starts = segment_starts(c_s)
+        rank = (
+            np.arange(len(c_s), dtype=np.int64)
+            - np.repeat(starts[:-1], np.diff(starts)) + 1
+        )
+        keep = rank <= 3
+        return pa.table(
+            {
+                "o_custkey": pa.array(c_s[keep]),
+                "o_orderkey": pa.array(okey[order][keep]),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__b").map_groups(
+        topk, batch_format="pyarrow"
+    )
+
+
+_SQL_TOP_ORDERS_PER_CUST = """
+select o_custkey, o_orderkey, rank from (
+  select o_custkey, o_orderkey,
+    row_number() over (partition by o_custkey
+                       order by o_totalprice desc, o_orderkey asc) as rank
+  from orders) where rank <= 3
+"""
+
+
 def q_union_dedup(sf_dir: str):
     """O4 idempotency: union the events table with itself, exact-dedup by
     event_id (keep first), count per type — re-applying a partition twice
@@ -1685,6 +1816,8 @@ QUERIES = {
     "events_watermark": q_events_watermark,
     "events_sample": q_events_sample,
     "events_stratified": q_events_stratified,
+    "events_sessions": q_events_sessions,
+    "top_orders_per_cust": q_top_orders_per_cust,
     "union_dedup": q_union_dedup,
     "promo_parts_by_brand": q_promo_parts_by_brand,
     "nations_per_region": q_nations_per_region,
@@ -1733,6 +1866,8 @@ ORACLE_SQL = {
     "events_watermark": _SQL_EVENTS_WATERMARK,
     "events_sample": _SQL_EVENTS_SAMPLE,
     "events_stratified": _SQL_EVENTS_STRATIFIED,
+    "events_sessions": _SQL_EVENTS_SESSIONS,
+    "top_orders_per_cust": _SQL_TOP_ORDERS_PER_CUST,
     "union_dedup": _SQL_UNION_DEDUP,
     "promo_parts_by_brand": _SQL_PROMO_PARTS,
     "nations_per_region": _SQL_NATIONS_PER_REGION,
