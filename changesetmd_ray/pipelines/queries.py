@@ -534,64 +534,14 @@ where (cast(event_id as hugeint) * 2654435761) % 4294967296 <
 
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (the classic log/training-data windowed
-    operator): a user's events sorted by (ts, event_id) split into
-    sessions wherever the gap exceeds 30 minutes; one output row per
-    session with its ordinal, event count and start/end. Distributed as
-    ONE bucketed groupby by user hash — inside a bucket every user's
-    segment is pure vectorized arithmetic (sort, diff, cumsum), no SQL
-    window engine needed."""
-    from changesetmd_ray.text.hashing import segment_starts, splitmix64
+    operator) — see :func:`changesetmd_ray.stages.sessionize.sessionize`
+    for the distributed shape and null-timestamp oracle parity."""
+    from changesetmd_ray.stages.sessionize import sessionize
 
-    NB = 64
-    GAP_US = 30 * 60 * 1_000_000
-
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def tag(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (splitmix64(u) & np.uint64(NB - 1)).astype(np.int64)
-        return batch.append_column("__b", pa.array(b))
-
-    def sessions(group: pa.Table) -> pa.Table:
-        uid = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = (
-            group["ts"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]").astype(np.int64)
-        )
-        order = np.lexsort((eid, ts, uid))
-        u_s, t_s = uid[order], ts[order]
-        starts = segment_starts(u_s)
-        # new-session flag: first event per user, or gap > threshold
-        new = np.ones(len(u_s), dtype=np.int64)
-        if len(u_s) > 1:
-            gap_ok = (t_s[1:] - t_s[:-1]) <= GAP_US
-            same_user = u_s[1:] == u_s[:-1]
-            new[1:] = (~(gap_ok & same_user)).astype(np.int64)
-        sess = np.cumsum(new)
-        # renumber within user: subtract the user's first session - 1
-        sess = sess - np.repeat(sess[starts[:-1]], np.diff(starts)) + 1
-        # per (user, session) aggregation via the combined sorted key
-        key_change = np.ones(len(u_s), dtype=bool)
-        key_change[1:] = (u_s[1:] != u_s[:-1]) | (sess[1:] != sess[:-1])
-        ks = np.flatnonzero(key_change)
-        ke = np.append(ks[1:], len(u_s))
-        return pa.table(
-            {
-                "user_id": pa.array(u_s[ks]),
-                "session_n": pa.array(sess[ks]),
-                "n_events": pa.array(ke - ks),
-                "session_start": pa.array(
-                    t_s[ks].astype("datetime64[us]"), pa.timestamp("us")
-                ),
-                "session_end": pa.array(
-                    t_s[ke - 1].astype("datetime64[us]"), pa.timestamp("us")
-                ),
-            }
-        )
-
-    return ds.map_batches(tag, batch_format="pyarrow").groupby("__b").map_groups(
-        sessions, batch_format="pyarrow"
+    return sessionize(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        user_col="user_id", id_col="event_id", ts_col="ts",
+        gap_us=30 * 60 * 1_000_000,
     )
 
 
@@ -619,15 +569,14 @@ def q_top_orders_per_cust(sf_dir: str):
     order key): bucketed by customer hash, ranked with one vectorized
     lexsort + segment arithmetic per bucket — the grouped form of O2.
     Rank-only output (the float price stays internal, ulp-robust)."""
-    from changesetmd_ray.text.hashing import segment_starts, splitmix64
+    from changesetmd_ray.text.hashing import hash_bucket, segment_starts
 
     NB = 64
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def tag(batch: pa.Table) -> pa.Table:
-        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (splitmix64(c) & np.uint64(NB - 1)).astype(np.int64)
-        return batch.append_column("__b", pa.array(b))
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column("__b", pa.array(hash_bucket(c, NB)))
 
     def topk(group: pa.Table) -> pa.Table:
         cust = group["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -644,7 +593,7 @@ def q_top_orders_per_cust(sf_dir: str):
         return pa.table(
             {
                 "o_custkey": pa.array(c_s[keep]),
-                "o_orderkey": pa.array(okey[order][keep]),
+                "o_orderkey": pa.array(okey[order[keep]]),
                 "rank": pa.array(rank[keep]),
             }
         )

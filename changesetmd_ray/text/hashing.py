@@ -184,6 +184,15 @@ def segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
+def hash_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """int64 bucket id in ``[0, num_buckets)`` for integer keys — the
+    ONE splitmix-mask bucket-tag idiom (``num_buckets`` must be a power
+    of two; validate once with :func:`check_pow2` at operator entry)."""
+    return (
+        splitmix64(np.asarray(keys).astype(np.uint64)) & np.uint64(num_buckets - 1)
+    ).astype(np.int64)
+
+
 def check_pow2(n: int, name: str = "num_buckets") -> None:
     """Guard for ``& (n-1)`` bucket masks: a non-power-of-two silently
     collapses part of the bucket space (correct results, skewed groups)."""
