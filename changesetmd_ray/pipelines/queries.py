@@ -1598,6 +1598,58 @@ qualify count(*) over (partition by lang, length(text)//100) > 1
 """
 
 
+def q_docs_top_tokens(sf_dir: str):
+    """Corpus vocabulary building — the wide exploded-token aggregation
+    every tokenizer-training / frequency-filter pipeline runs: tokenize
+    each doc, count per token with per-batch COMBINING before the one
+    bucketed shuffle (the all-to-all carries one partial count row per
+    distinct (batch, token), never per occurrence), then take the
+    top-100 by count (ties → token asc). Token definition matches the
+    SQL oracle on the ASCII corpus ([0-9a-z_]+ over lower())."""
+    from changesetmd_ray.text.hashing import hash_bytes64, tokenize
+
+    NB = 64
+    ds = _read(sf_dir, "documents", ["text"], blocks=32)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for tok in tokenize(t or ""):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts)
+        h = np.fromiter(
+            (hash_bytes64(t.encode()) for t in toks), np.uint64, len(toks)
+        )
+        return pa.table(
+            {
+                "__b": pa.array((h & np.uint64(NB - 1)).astype(np.int64)),
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([counts[t] for t in toks], pa.int64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        return group.group_by("token").aggregate([("n", "sum")]).rename_columns(
+            ["token", "n"]
+        )
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow").groupby(
+        "__b"
+    ).map_groups(combine, batch_format="pyarrow")
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(100)
+    return top.select_columns(["token", "n"])
+
+
+_SQL_DOCS_TOP_TOKENS = r"""
+select token, count(*) as n from (
+  select unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) as token
+  from documents)
+group by token
+order by n desc, token asc
+limit 100
+"""
+
+
 def q_docs_keep_best(sf_dir: str):
     """The end-to-end near-dup REDUCTION a training-data pipeline runs:
     cluster near-duplicates (distributed label propagation), then keep
@@ -1795,6 +1847,7 @@ QUERIES = {
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_dup_clusters_dist": q_docs_dup_clusters_dist,
     "docs_keep_best": q_docs_keep_best,
+    "docs_top_tokens": q_docs_top_tokens,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "pages_points_flatten": q_pages_points_flatten,
@@ -1837,6 +1890,7 @@ ORACLE_SQL = {
     "docs_dup_clusters": _SQL_DOCS_DUP_CLUSTERS,
     "docs_dup_clusters_dist": _SQL_DOCS_DUP_CLUSTERS,
     "docs_keep_best": _SQL_DOCS_KEEP_BEST,
+    "docs_top_tokens": _SQL_DOCS_TOP_TOKENS,
     "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
     "pages_points_flatten": _SQL_PAGES_POINTS_FLATTEN,
     "pages_tags": _SQL_PAGES_TAGS,
