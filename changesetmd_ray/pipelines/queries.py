@@ -1480,6 +1480,36 @@ from documents where doc_id % 7 = 3
 """
 
 
+def q_media_frames(sf_dir: str):
+    """Multimodal 1→N frame sampling (stages/multimodal.py): documents'
+    text bytes stand in as opaque video payloads; the (stubbed,
+    deterministic) sampler emits every 2nd frame with resize applied to
+    nothing (no image rows) — exercising the resize passthrough too.
+    Rows-only check (the codec is a marked stub)."""
+    from changesetmd_ray.stages.multimodal import resize_media, sample_frames
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payload = pa.array(
+            [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()], pa.binary()
+        )
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "media_type": pa.array(["video"] * len(batch), pa.string()),
+                "payload": payload,
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    frames = sample_frames(
+        resize_media(ds, width=64, height=48, batch_size=256),
+        stride=2, batch_size=256,
+    )
+    return frames.select_columns(["media_id", "frame_idx", "ts_ms"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing (stages/multimodal.py): documents' text bytes
     stand in as opaque media payloads; metadata + the (stubbed,
@@ -1853,6 +1883,7 @@ QUERIES = {
     "pages_points_flatten": q_pages_points_flatten,
     "pages_tags": q_pages_tags,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "flagship_points_join": q_flagship_points_join,
 }
 

@@ -98,3 +98,138 @@ def decode_media(ds, *, feat_dim: int = 16, codec: str = "fake", batch_size: int
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResizeStub:
+    """Actor-pool image resize: payload in → payload out with updated
+    ``meta_width``/``meta_height``. The pixel transform is the stubbed
+    codec boundary (``strict`` raises where PIL.Image.resize would run;
+    ``fake`` emits a deterministic content-derived payload so byte-level
+    downstream tests are real). Non-image rows pass through untouched —
+    a resize stage must never disturb audio/video payloads."""
+
+    def __init__(self, width: int, height: int, codec: str = "fake"):
+        self.width = width
+        self.height = height
+        self.codec = codec
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.codec == "strict":
+            # real implementation: PIL.Image.open(payload).resize((w, h))
+            raise NotImplementedError(
+                "image codecs are not available in this environment; "
+                "install PIL and replace MediaResizeStub._resize"
+            )
+        import zlib
+
+        h = int(splitmix64(np.uint64(zlib.crc32(payload or b"")))[()])
+        return (
+            b"RSZ1"
+            + self.width.to_bytes(4, "little")
+            + self.height.to_bytes(4, "little")
+            + h.to_bytes(8, "little")
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mtype = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_payload = [
+            self._resize(p) if t == "image" else p for t, p in zip(mtype, payloads)
+        ]
+        n = len(batch)
+        w = pa.array(
+            [self.width if t == "image" else None for t in mtype], pa.int32()
+        )
+        h = pa.array(
+            [self.height if t == "image" else None for t in mtype], pa.int32()
+        )
+        cols = {c: batch[c] for c in batch.column_names}
+        cols["payload"] = pa.array(out_payload, pa.binary())
+        for name, arr in (("meta_width", w), ("meta_height", h)):
+            if name in cols:
+                # non-image rows keep their original metadata
+                keep = pa.array([t != "image" for t in mtype])
+                cols[name] = pc.if_else(keep, batch[name], arr)
+            else:
+                cols[name] = arr
+        _ = n
+        return pa.table(cols)
+
+
+def resize_media(ds, *, width: int, height: int, codec: str = "fake",
+                 batch_size: int = 32, concurrency=(1, 8)):
+    """Image rows resized to ``width × height`` (stubbed codec, real
+    payload/metadata plumbing); other media types pass through."""
+    return ds.map_batches(
+        MediaResizeStub,
+        fn_constructor_kwargs={"width": width, "height": height, "codec": codec},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampleStub:
+    """Actor-pool video frame sampler: one video row → N frame rows
+    ``(media_id, frame_idx, ts_ms, payload)``, every ``stride``-th frame
+    — the 1→N flatten shape of video preprocessing with the decoder
+    stubbed (``strict`` raises where pyav would demux; ``fake`` derives
+    a deterministic frame count and per-frame payloads from the bytes).
+    Non-video rows produce no frames."""
+
+    def __init__(self, stride: int = 2, fps: int = 30, codec: str = "fake"):
+        if stride < 1:
+            raise ValueError(f"stride must be ≥ 1, got {stride}")
+        self.stride = stride
+        self.fps = fps
+        self.codec = codec
+
+    def _frame_count(self, payload: bytes) -> int:
+        if self.codec == "strict":
+            # real implementation: av.open(BytesIO(payload)) demux/decode
+            raise NotImplementedError(
+                "video codecs are not available in this environment; "
+                "install pyav and replace FrameSampleStub"
+            )
+        import zlib
+
+        return 1 + int(
+            splitmix64(np.uint64(zlib.crc32(payload or b"")))[()] % 64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids = batch["media_id"].to_pylist()
+        mtype = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_idx, out_ts, out_pl = [], [], [], []
+        for mid, t, p in zip(mids, mtype, payloads):
+            if t != "video":
+                continue
+            n = self._frame_count(p)
+            for f in range(0, n, self.stride):
+                out_id.append(mid)
+                out_idx.append(f)
+                out_ts.append(int(f * 1000 / self.fps))
+                out_pl.append(b"FRM1" + int(f).to_bytes(4, "little") + (p or b"")[:8])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "ts_ms": pa.array(out_ts, pa.int64()),
+                "payload": pa.array(out_pl, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, *, stride: int = 2, fps: int = 30, codec: str = "fake",
+                  batch_size: int = 16, concurrency=(1, 8)):
+    """Video Dataset → sampled frame rows (1→N flatten; stubbed codec,
+    real plumbing). Small batches: video payloads are the largest media
+    rows (SURVEY.md §4.3.3)."""
+    return ds.map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs={"stride": stride, "fps": fps, "codec": codec},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -441,6 +441,52 @@ def test_media_decode_stub():
     assert f1 == f2
 
 
+def test_media_resize_plumbing():
+    from changesetmd_ray.stages.multimodal import resize_media
+
+    media = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "media_type": pa.array(["image", "audio"]),
+            "payload": pa.array([b"\x89PNGfakebytes", b"RIFFfakeaudio"], pa.binary()),
+            "meta_width": pa.array([640, None], pa.int32()),
+            "meta_height": pa.array([480, None], pa.int32()),
+        }
+    )
+    out = {r["media_id"]: r for r in resize_media(
+        ray.data.from_arrow(media), width=64, height=48).take_all()}
+    assert out[1]["meta_width"] == 64 and out[1]["meta_height"] == 48
+    assert out[1]["payload"].startswith(b"RSZ1")
+    # deterministic: same payload → same resized bytes
+    out2 = {r["media_id"]: r for r in resize_media(
+        ray.data.from_arrow(media), width=64, height=48).take_all()}
+    assert out2[1]["payload"] == out[1]["payload"]
+    # non-image rows untouched (payload AND metadata)
+    assert out[2]["payload"] == b"RIFFfakeaudio"
+    assert out[2]["meta_width"] is None
+
+
+def test_media_frame_sampling():
+    from changesetmd_ray.stages.multimodal import FrameSampleStub, sample_frames
+
+    media = pa.table(
+        {
+            "media_id": pa.array([7, 8], pa.int64()),
+            "media_type": pa.array(["video", "image"]),
+            "payload": pa.array([b"FAKEVIDEObytes", b"img"], pa.binary()),
+        }
+    )
+    rows = sample_frames(ray.data.from_arrow(media), stride=3, fps=30).take_all()
+    assert rows and all(r["media_id"] == 7 for r in rows)  # image row: no frames
+    idx = sorted(r["frame_idx"] for r in rows)
+    assert idx[0] == 0 and all(i % 3 == 0 for i in idx)  # stride sampling
+    n = FrameSampleStub(stride=3)._frame_count(b"FAKEVIDEObytes")
+    assert len(rows) == len(range(0, n, 3))
+    for r in rows:
+        assert r["ts_ms"] == r["frame_idx"] * 1000 // 30
+        assert r["payload"].startswith(b"FRM1")
+
+
 def test_media_decode_strict_raises():
     media = pa.table(
         {
