@@ -90,3 +90,86 @@ def test_tile_parenting_consistent_across_zooms(zoom, lon, lat):
     x1, y1 = tile_xyz(np.array([lon]), np.array([lat]), zoom)
     x2, y2 = tile_xyz(np.array([lon]), np.array([lat]), zoom + 1)
     assert x2[0] // 2 == x1[0] and y2[0] // 2 == y1[0]
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=200)
+)
+@settings(max_examples=50, deadline=None)
+def test_segment_starts_partitions_sorted_array(keys):
+    from changesetmd_ray.text.hashing import segment_starts
+
+    arr = np.sort(np.asarray(keys, dtype=np.int64))
+    starts = segment_starts(arr)
+    assert starts[0] == 0 and starts[-1] == len(arr)
+    # segments exactly cover the array with constant values per segment
+    for s, e in zip(starts[:-1], starts[1:]):
+        assert s < e
+        assert (arr[s:e] == arr[s]).all()
+    # adjacent segments have different values
+    for i in range(1, len(starts) - 1):
+        assert arr[starts[i]] != arr[starts[i] - 1]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=300),
+    st.sampled_from([2, 8, 64, 256]),
+)
+@settings(max_examples=50, deadline=None)
+def test_hash_bucket_range_and_determinism(keys, nb):
+    from changesetmd_ray.text.hashing import hash_bucket
+
+    a = np.asarray(keys, dtype=np.int64)
+    b1 = hash_bucket(a, nb)
+    b2 = hash_bucket(a, nb)
+    assert (b1 == b2).all()
+    assert b1.min() >= 0 and b1.max() < nb
+    # equal keys always land in the same bucket
+    assert len({(k, v) for k, v in zip(keys, b1.tolist())}) == len(set(keys))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),      # user
+            st.integers(min_value=0, max_value=10_000), # ts seconds
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_sessionize_invariants(ray_session, rows):
+    """Structural invariants on arbitrary event sets: session event
+    counts sum to the input size; session ordinals are 1..n per user;
+    session windows don't overlap and gaps between consecutive sessions
+    of a user exceed the threshold."""
+    import pyarrow as pa
+    import ray.data
+
+    from changesetmd_ray.stages.sessionize import sessionize
+
+    base = np.datetime64("2023-01-01", "us")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + np.timedelta64(r[1], "s") for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    gap_us = 600 * 1_000_000  # 10 minutes
+    out = sessionize(
+        ray.data.from_arrow(tbl), gap_us=gap_us, num_buckets=8
+    ).to_pandas().sort_values(["user_id", "session_n"])
+    assert int(out["n_events"].sum()) == len(rows)
+    for uid, grp in out.groupby("user_id"):
+        assert list(grp["session_n"]) == list(range(1, len(grp) + 1))
+        assert (grp["session_start"] <= grp["session_end"]).all()
+        prev_end = None
+        for _, r in grp.iterrows():
+            if prev_end is not None:
+                gap = (r["session_start"] - prev_end).value // 1000  # ns → us
+                assert gap > gap_us
+            prev_end = r["session_end"]
