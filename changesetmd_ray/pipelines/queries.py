@@ -612,6 +612,29 @@ select o_custkey, o_orderkey, rank from (
 """
 
 
+_QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_order_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles of order value WITHOUT a global sort
+    (stages/stats.py::exact_quantiles: histogram refinement, three
+    streaming passes, shuffled volume ≈ num_bins ints per block).
+    Values are selected, never averaged — bit-exact vs percentile_disc."""
+    from changesetmd_ray.stages.stats import exact_quantiles
+
+    return exact_quantiles(
+        _read(sf_dir, "orders", ["o_totalprice"]), col="o_totalprice", qs=_QUANTILE_QS
+    )
+
+
+_SQL_ORDER_PRICE_QUANTILES = f"""
+with agg as (
+  select quantile_disc(o_totalprice, {_QUANTILE_QS}) as v from orders
+)
+select unnest({_QUANTILE_QS}) as q, unnest(v) as value from agg
+"""
+
+
 def q_union_dedup(sf_dir: str):
     """O4 idempotency: union the events table with itself, exact-dedup by
     event_id (keep first), count per type — re-applying a partition twice
@@ -1849,6 +1872,7 @@ QUERIES = {
     "events_stratified": q_events_stratified,
     "events_sessions": q_events_sessions,
     "top_orders_per_cust": q_top_orders_per_cust,
+    "order_price_quantiles": q_order_price_quantiles,
     "union_dedup": q_union_dedup,
     "promo_parts_by_brand": q_promo_parts_by_brand,
     "nations_per_region": q_nations_per_region,
@@ -1901,6 +1925,7 @@ ORACLE_SQL = {
     "events_stratified": _SQL_EVENTS_STRATIFIED,
     "events_sessions": _SQL_EVENTS_SESSIONS,
     "top_orders_per_cust": _SQL_TOP_ORDERS_PER_CUST,
+    "order_price_quantiles": _SQL_ORDER_PRICE_QUANTILES,
     "union_dedup": _SQL_UNION_DEDUP,
     "promo_parts_by_brand": _SQL_PROMO_PARTS,
     "nations_per_region": _SQL_NATIONS_PER_REGION,

@@ -1,0 +1,128 @@
+"""Distributed order statistics (north_rule addition).
+
+:func:`exact_quantiles` — EXACT quantiles of a numeric column without a
+global sort: the all-to-all a ``ds.sort`` would pay is replaced by three
+streaming passes whose shuffled volume is tiny,
+
+1. count + min/max (nulls/NaN excluded — SQL aggregate parity),
+2. a fixed-bin histogram over [min, max] (one vectorized ``bincount``
+   per batch, partials are ``num_bins`` ints per block),
+3. ``(value, count)`` partials restricted to the few bins that contain
+   target ranks, combined distributed, resolved driver-side by
+   cumulative count.
+
+Rank semantics = SQL ``percentile_disc`` / DuckDB ``quantile_disc``:
+0-based index ``max(0, ceil(q·n) − 1)`` into the sorted non-null
+values (verified against DuckDB). Values are SELECTED, never averaged,
+so doubles match the SQL oracle bit-exactly.
+
+Scale notes: pass-3 volume is bounded by the distinct values inside the
+target bins (ties collapse to one ``(value, count)`` row per batch);
+a pathological single-bin value mass therefore costs one row, not the
+mass. Skewed-range data (one outlier stretching [min, max]) degrades
+bin resolution, not correctness — the target-bin collection simply
+grows; raise ``num_bins`` if pass 3 ever dominates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _clean(batch: pa.Table, col: str) -> np.ndarray:
+    x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return x[~np.isnan(x)]
+
+
+def exact_quantiles(
+    ds,
+    *,
+    col: str,
+    qs: list[float],
+    num_bins: int = 4096,
+    combine_parts: int = 16,
+) -> pa.Table:
+    """→ pyarrow Table ``(q, value)``, one row per requested quantile
+    (``value`` null when the column has no non-null rows)."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+    pruned = ds.select_columns([col])
+
+    def p1(batch: pa.Table) -> pa.Table:
+        x = _clean(batch, col)
+        if len(x) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([None], pa.float64()),
+                             "hi": pa.array([None], pa.float64())})
+        return pa.table({"n": pa.array([len(x)], pa.int64()),
+                         "lo": pa.array([float(x.min())], pa.float64()),
+                         "hi": pa.array([float(x.max())], pa.float64())})
+
+    parts = pruned.map_batches(p1, batch_format="pyarrow", batch_size=None).take_all()
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.nulls(len(qs), pa.float64())})
+    lo = min(r["lo"] for r in parts if r["lo"] is not None)
+    hi = max(r["hi"] for r in parts if r["hi"] is not None)
+    ranks = [max(0, math.ceil(q * n) - 1) for q in qs]
+    if lo == hi:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([lo] * len(qs), pa.float64())})
+
+    width = (hi - lo) / num_bins
+
+    def bin_of(x: np.ndarray) -> np.ndarray:
+        return np.clip(((x - lo) / width).astype(np.int64), 0, num_bins - 1)
+
+    def p2(batch: pa.Table) -> pa.Table:
+        x = _clean(batch, col)
+        counts = np.bincount(bin_of(x), minlength=num_bins)
+        return pa.table({"h": pa.array([counts.tolist()], pa.list_(pa.int64()))})
+
+    hist = np.zeros(num_bins, dtype=np.int64)
+    for r in pruned.map_batches(p2, batch_format="pyarrow", batch_size=None).take_all():
+        hist += np.asarray(r["h"], dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(hist)])  # cum[b] = count below bin b
+    target_bins = sorted({int(np.searchsorted(cum, r, "right") - 1) for r in ranks})
+    tb = np.asarray(target_bins, dtype=np.int64)
+
+    def p3(batch: pa.Table) -> pa.Table:
+        x = _clean(batch, col)
+        b = bin_of(x)
+        mask = np.isin(b, tb)
+        u, c = np.unique(x[mask], return_counts=True)
+        return pa.table({"value": pa.array(u, pa.float64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("value").aggregate([("cnt", "sum")])
+        return g.rename_columns(["value", "cnt"])
+
+    rows = (
+        pruned.map_batches(p3, batch_format="pyarrow", batch_size=None)
+        .repartition(combine_parts)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    vals = np.asarray([r["value"] for r in rows], dtype=np.float64)
+    cnts = np.asarray([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    # merge duplicates across combine partitions
+    u, inv = np.unique(vals, return_inverse=True)
+    csum = np.zeros(len(u), dtype=np.int64)
+    np.add.at(csum, inv, cnts)
+    ub = bin_of(u)
+    out = []
+    for r in ranks:
+        b = int(np.searchsorted(cum, r, "right") - 1)
+        within = r - cum[b]  # 0-based rank inside bin b
+        m = ub == b
+        cc = np.cumsum(csum[m])
+        out.append(float(u[m][int(np.searchsorted(cc, within, "right"))]))
+    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out, pa.float64())})
