@@ -635,6 +635,17 @@ select unnest({_QUANTILE_QS}) as q, unnest(v) as value from agg
 """
 
 
+def q_events_distinct_users_hll(sf_dir: str):
+    """Approximate distinct-user count via a mergeable HyperLogLog
+    sketch (stages/stats.py::hll_distinct) — blocks reduce to 2^p-byte
+    registers, merged by element-wise max; rows-only check (the
+    estimator is approximate by construction; its error bound is
+    unit-tested against exact counts)."""
+    from changesetmd_ray.stages.stats import hll_distinct
+
+    return hll_distinct(_read(sf_dir, "events", ["user_id"]), col="user_id")
+
+
 def q_union_dedup(sf_dir: str):
     """O4 idempotency: union the events table with itself, exact-dedup by
     event_id (keep first), count per type — re-applying a partition twice
@@ -1873,6 +1884,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "top_orders_per_cust": q_top_orders_per_cust,
     "order_price_quantiles": q_order_price_quantiles,
+    "events_distinct_users_hll": q_events_distinct_users_hll,
     "union_dedup": q_union_dedup,
     "promo_parts_by_brand": q_promo_parts_by_brand,
     "nations_per_region": q_nations_per_region,

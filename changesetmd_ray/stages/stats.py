@@ -31,6 +31,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from changesetmd_ray.text.hashing import splitmix64
+
 
 def _clean(batch: pa.Table, col: str) -> np.ndarray:
     x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -126,3 +128,68 @@ def exact_quantiles(
         cc = np.cumsum(csum[m])
         out.append(float(u[m][int(np.searchsorted(cc, within, "right"))]))
     return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out, pa.float64())})
+
+
+# --------------------------------------------------------- HLL sketch
+
+def _hll_registers(keys: np.ndarray, p: int) -> np.ndarray:
+    """HyperLogLog register array (2^p uint8) for a batch of int keys —
+    fully vectorized: bucket = top p hash bits, rank = leading-zero
+    count of the rest + 1 (computed with log2 on the remaining bits)."""
+    h = splitmix64(keys.astype(np.uint64))
+    m = 1 << p
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h & np.uint64((1 << (64 - p)) - 1)
+    # rank = (64-p) - floor(log2(rest)) for rest>0, else 64-p+1
+    nz = rest > 0
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    if nz.any():
+        # float64 log2 is exact for position extraction up to 2^53;
+        # top bits beyond that are found via a 32-bit split
+        hi = (rest >> np.uint64(32)).astype(np.uint64)
+        top = np.where(hi > 0, hi, rest).astype(np.float64)
+        shift = np.where(hi > 0, 32, 0)
+        pos = np.zeros(len(h), dtype=np.int64)
+        pos[nz] = np.floor(np.log2(top[nz])).astype(np.int64) + shift[nz]
+        rank[nz] = ((64 - p) - pos[nz]).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting)
+    correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds, *, col: str, p: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT col) via a mergeable HyperLogLog
+    sketch — the canonical combiner-first pattern for cardinality at
+    100 TB: each block reduces to a 2^p-byte register array, the merge
+    is an element-wise max (associative/commutative/idempotent), and
+    only ``blocks × 2^p`` bytes ever move. Standard error ≈
+    1.04/√(2^p) (~1.6 % at the default p=12). Returns one row
+    ``(n_distinct_est,)`` (int64, rounded estimate)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_arr = batch[col]
+        valid = ~np.asarray(pa.compute.is_null(col_arr).combine_chunks())
+        k = col_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        regs = _hll_registers(k, p)
+        return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.uint8))
+    return pa.table({"n_distinct_est": pa.array([round(_hll_estimate(merged))], pa.int64())})

@@ -51,3 +51,28 @@ def test_quantiles_constant_and_empty(ray_session):
         col="x", qs=QS,
     )
     assert out["value"].null_count == len(QS)
+
+
+def test_hll_distinct_error_bounds(ray_session):
+    """HLL estimate within ~4 standard errors of exact distinct count
+    across cardinalities spanning the linear-counting and raw-estimate
+    regimes; deterministic (hash-based, no RNG)."""
+    from changesetmd_ray.stages.stats import hll_distinct
+
+    rng = np.random.default_rng(9)
+    for true_n in [50, 3_000, 80_000]:
+        keys = rng.choice(np.arange(true_n, dtype=np.int64) * 7 + 3, size=true_n * 3)
+        exact = len(np.unique(keys))
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array(keys, pa.int64())})
+        ).repartition(8)
+        est = hll_distinct(ds, col="k", p=12)["n_distinct_est"][0].as_py()
+        rel_err = abs(est - exact) / exact
+        assert rel_err < 4 * 1.04 / np.sqrt(4096), (exact, est, rel_err)
+        # determinism + merge-order independence: same input, different
+        # partitioning → identical registers → identical estimate
+        est2 = hll_distinct(
+            ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())})).repartition(3),
+            col="k", p=12,
+        )["n_distinct_est"][0].as_py()
+        assert est2 == est
