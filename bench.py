@@ -33,15 +33,13 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # This host demand-pages fresh memory at ~10-30 MB/s (measured: first
-# touch of a 32 MB numpy buffer = 2-6 s, subsequent reuse = 5-20 ms).
-# glibc's default M_MMAP_THRESHOLD makes every >128 KB allocation an
-# mmap that is returned to the kernel on free — so EVERY large kernel
-# temporary re-faults. Forcing large allocations into the main arena
-# (and never trimming it) keeps pages resident: each worker pays first
-# touch once, then runs at memory speed. Must be set before ray.init so
-# raylet's worker processes inherit it.
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+# touch of a 32 MB numpy buffer = 2-6 s, subsequent reuse = 5-20 ms);
+# see changesetmd_ray/malloc_tuning.py. Must run before ray.init so
+# raylet's worker processes inherit the env; mallopt covers this
+# driver process itself.
+from changesetmd_ray.malloc_tuning import tune_malloc  # noqa: E402
+
+tune_malloc()
 
 # Benchmarked subset of the query registry: the heavy / representative
 # pipelines (full registry correctness is tools/check_correctness.py's

@@ -80,13 +80,13 @@ def main(argv: list[str] | None = None) -> int:
         hi = args.to_part if args.to_part is not None else float("inf")
         files = [p for p in files if (i := part_id(p)) is not None and lo <= i <= hi]
 
-    import os as _os
-
     # large allocations must stay in the malloc arena on this host —
-    # fresh pages fault at ~10-30 MB/s (see BASELINE.md); must be set
-    # before ray.init so worker processes inherit it
-    _os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-    _os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    # fresh pages fault at ~10-30 MB/s (see changesetmd_ray/
+    # malloc_tuning.py); env covers workers spawned by ray.init below,
+    # mallopt covers this driver process
+    from changesetmd_ray.malloc_tuning import tune_malloc
+
+    tune_malloc()
 
     import ray
 

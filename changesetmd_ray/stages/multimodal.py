@@ -109,6 +109,8 @@ class MediaResizeStub:
     a resize stage must never disturb audio/video payloads."""
 
     def __init__(self, width: int, height: int, codec: str = "fake"):
+        if width < 1 or height < 1:
+            raise ValueError(f"target dims must be >= 1, got {width}x{height}")
         self.width = width
         self.height = height
         self.codec = codec
@@ -136,23 +138,18 @@ class MediaResizeStub:
         out_payload = [
             self._resize(p) if t == "image" else p for t, p in zip(mtype, payloads)
         ]
-        n = len(batch)
         w = pa.array(
             [self.width if t == "image" else None for t in mtype], pa.int32()
         )
         h = pa.array(
             [self.height if t == "image" else None for t in mtype], pa.int32()
         )
+        not_image = pc.invert(pc.equal(batch["media_type"], "image"))
         cols = {c: batch[c] for c in batch.column_names}
         cols["payload"] = pa.array(out_payload, pa.binary())
         for name, arr in (("meta_width", w), ("meta_height", h)):
-            if name in cols:
-                # non-image rows keep their original metadata
-                keep = pa.array([t != "image" for t in mtype])
-                cols[name] = pc.if_else(keep, batch[name], arr)
-            else:
-                cols[name] = arr
-        _ = n
+            # non-image rows keep their original metadata
+            cols[name] = pc.if_else(not_image, batch[name], arr) if name in cols else arr
         return pa.table(cols)
 
 
@@ -180,6 +177,8 @@ class FrameSampleStub:
     def __init__(self, stride: int = 2, fps: int = 30, codec: str = "fake"):
         if stride < 1:
             raise ValueError(f"stride must be ≥ 1, got {stride}")
+        if fps < 1:
+            raise ValueError(f"fps must be ≥ 1, got {fps}")
         self.stride = stride
         self.fps = fps
         self.codec = codec

@@ -30,13 +30,22 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from changesetmd_ray.text.hashing import splitmix64
 
 
 def _clean(batch: pa.Table, col: str) -> np.ndarray:
-    x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-    return x[~np.isnan(x)]
+    """Non-null (and non-NaN) values in the column's NATIVE dtype —
+    int64 columns must not round-trip through float64, which silently
+    corrupts values above 2^53 and would break the module's exactness
+    guarantee."""
+    arr = batch[col]
+    valid = ~np.asarray(pc.is_null(arr).combine_chunks())
+    x = arr.fill_null(0).to_numpy(zero_copy_only=False)
+    if np.issubdtype(x.dtype, np.floating):
+        valid &= ~np.isnan(x)
+    return x[valid]
 
 
 def exact_quantiles(
@@ -48,38 +57,47 @@ def exact_quantiles(
     combine_parts: int = 16,
 ) -> pa.Table:
     """→ pyarrow Table ``(q, value)``, one row per requested quantile
-    (``value`` null when the column has no non-null rows)."""
+    (``value`` null when the column has no non-null rows; ``value``
+    keeps the column's arrow type — values are selected, never
+    averaged)."""
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile out of range: {q}")
     pruned = ds.select_columns([col])
+    out_type = ds.schema().base_schema.field(col).type
 
     def p1(batch: pa.Table) -> pa.Table:
         x = _clean(batch, col)
         if len(x) == 0:
             return pa.table({"n": pa.array([0], pa.int64()),
-                             "lo": pa.array([None], pa.float64()),
-                             "hi": pa.array([None], pa.float64())})
+                             "lo": pa.nulls(1, out_type),
+                             "hi": pa.nulls(1, out_type)})
         return pa.table({"n": pa.array([len(x)], pa.int64()),
-                         "lo": pa.array([float(x.min())], pa.float64()),
-                         "hi": pa.array([float(x.max())], pa.float64())})
+                         "lo": pa.array([x.min()], out_type),
+                         "hi": pa.array([x.max()], out_type)})
 
     parts = pruned.map_batches(p1, batch_format="pyarrow", batch_size=None).take_all()
     n = sum(r["n"] for r in parts)
     if n == 0:
         return pa.table({"q": pa.array(qs, pa.float64()),
-                         "value": pa.nulls(len(qs), pa.float64())})
+                         "value": pa.nulls(len(qs), out_type)})
     lo = min(r["lo"] for r in parts if r["lo"] is not None)
     hi = max(r["hi"] for r in parts if r["hi"] is not None)
     ranks = [max(0, math.ceil(q * n) - 1) for q in qs]
     if lo == hi:
         return pa.table({"q": pa.array(qs, pa.float64()),
-                         "value": pa.array([lo] * len(qs), pa.float64())})
+                         "value": pa.array([lo] * len(qs), out_type)})
 
-    width = (hi - lo) / num_bins
+    # binning happens in float64 — only bin ASSIGNMENT, applied with
+    # the identical arithmetic in every pass, so precision loss cannot
+    # break correctness; the collected VALUES stay in the native dtype
+    flo = float(lo)
+    width = (float(hi) - flo) / num_bins
 
     def bin_of(x: np.ndarray) -> np.ndarray:
-        return np.clip(((x - lo) / width).astype(np.int64), 0, num_bins - 1)
+        return np.clip(
+            ((x.astype(np.float64) - flo) / width).astype(np.int64), 0, num_bins - 1
+        )
 
     def p2(batch: pa.Table) -> pa.Table:
         x = _clean(batch, col)
@@ -98,7 +116,7 @@ def exact_quantiles(
         b = bin_of(x)
         mask = np.isin(b, tb)
         u, c = np.unique(x[mask], return_counts=True)
-        return pa.table({"value": pa.array(u, pa.float64()),
+        return pa.table({"value": pa.array(u, out_type),
                          "cnt": pa.array(c, pa.int64())})
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -111,11 +129,9 @@ def exact_quantiles(
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
-    vals = np.asarray([r["value"] for r in rows], dtype=np.float64)
+    vals = np.asarray([r["value"] for r in rows])
     cnts = np.asarray([r["cnt"] for r in rows], dtype=np.int64)
-    order = np.argsort(vals, kind="stable")
-    vals, cnts = vals[order], cnts[order]
-    # merge duplicates across combine partitions
+    # merge duplicates across combine partitions (np.unique sorts)
     u, inv = np.unique(vals, return_inverse=True)
     csum = np.zeros(len(u), dtype=np.int64)
     np.add.at(csum, inv, cnts)
@@ -126,8 +142,8 @@ def exact_quantiles(
         within = r - cum[b]  # 0-based rank inside bin b
         m = ub == b
         cc = np.cumsum(csum[m])
-        out.append(float(u[m][int(np.searchsorted(cc, within, "right"))]))
-    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out, pa.float64())})
+        out.append(u[m][int(np.searchsorted(cc, within, "right"))])
+    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out, out_type)})
 
 
 # --------------------------------------------------------- HLL sketch
@@ -161,7 +177,8 @@ def _hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimator with small-range (linear counting)
     correction."""
     m = len(regs)
-    alpha = 0.7213 / (1 + 1.079 / m)
+    # HLL paper constants for small m; asymptotic formula above m=64
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros > 0:

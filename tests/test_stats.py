@@ -76,3 +76,15 @@ def test_hll_distinct_error_bounds(ray_session):
             col="k", p=12,
         )["n_distinct_est"][0].as_py()
         assert est2 == est
+
+
+def test_quantiles_int64_above_2_53_stay_exact(ray_session):
+    """int64 columns must not round-trip through float64 — values above
+    2^53 would silently corrupt."""
+    base = 2**62
+    vals = [base + i for i in range(101)]  # consecutive → float64 collapses them
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})).repartition(4)
+    out = exact_quantiles(ds, col="x", qs=[0.0, 0.5, 1.0])
+    got = out["value"].to_pylist()
+    assert out["value"].type == pa.int64()
+    assert got == [base, base + 50, base + 100]
