@@ -635,6 +635,38 @@ select unnest({_QUANTILE_QS}) as q, unnest(v) as value from agg
 """
 
 
+def q_orders_asof_events(sf_dir: str):
+    """As-of join (joins/asof.py): for every order of a customer who is
+    also an events user, the customer's most recent event at or before
+    the order date (null when none) — one bucketed shuffle, vectorized
+    merge inside the bucket. Ties at equal timestamps: max event_id
+    (the SQL ORDER BY ts DESC, event_id DESC LIMIT 1 rule)."""
+    from changesetmd_ray.joins.asof import asof_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def low_cust(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_custkey"], 150))
+
+    return asof_join(
+        orders.map_batches(low_cust, batch_format="pyarrow"),
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        left_cols=["o_orderkey", "o_custkey"],
+        right_val="event_id",
+    )
+
+
+_SQL_ORDERS_ASOF_EVENTS = """
+select o.o_orderkey, o.o_custkey,
+  (select e.event_id from events e
+    where e.user_id = o.o_custkey and e.ts <= o.o_orderdate
+    order by e.ts desc, e.event_id desc limit 1) as event_id
+from orders o where o.o_custkey < 150
+"""
+
+
 def q_events_distinct_users_hll(sf_dir: str):
     """Approximate distinct-user count via a mergeable HyperLogLog
     sketch (stages/stats.py::hll_distinct) — blocks reduce to 2^p-byte
@@ -1885,6 +1917,7 @@ QUERIES = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "order_price_quantiles": q_order_price_quantiles,
     "events_distinct_users_hll": q_events_distinct_users_hll,
+    "orders_asof_events": q_orders_asof_events,
     "union_dedup": q_union_dedup,
     "promo_parts_by_brand": q_promo_parts_by_brand,
     "nations_per_region": q_nations_per_region,
@@ -1938,6 +1971,7 @@ ORACLE_SQL = {
     "events_sessions": _SQL_EVENTS_SESSIONS,
     "top_orders_per_cust": _SQL_TOP_ORDERS_PER_CUST,
     "order_price_quantiles": _SQL_ORDER_PRICE_QUANTILES,
+    "orders_asof_events": _SQL_ORDERS_ASOF_EVENTS,
     "union_dedup": _SQL_UNION_DEDUP,
     "promo_parts_by_brand": _SQL_PROMO_PARTS,
     "nations_per_region": _SQL_NATIONS_PER_REGION,
