@@ -40,8 +40,11 @@ def asof_join(
 ):
     """→ Dataset with ``left_cols`` + ``out_val`` (the matched right
     row's ``right_val``, null when the key has no right row at or
-    before the left timestamp). Null timestamps never match (SQL
-    comparison semantics); left rows with null ts emit null."""
+    before the left timestamp). SQL parity on nulls: null KEYS never
+    match (null-key left rows pass through with a null value, null-key
+    right rows are dropped — same invariant as joins/equi.py); null
+    TIMESTAMPS never match either side; a null right_val LOSES
+    equal-timestamp ties to any non-null value (DESC NULLS LAST)."""
     check_pow2(num_buckets)
     out_val = out_val or right_val
     if out_val in left_cols:
@@ -51,15 +54,25 @@ def asof_join(
     l_schema = left.schema().base_schema
     l_types = {c: l_schema.field(c).type for c in lcols}
 
+    import pyarrow.compute as pc
+
     def tag_left(batch: pa.Table) -> pa.Table:
         batch = batch.select(lcols)
-        k = batch[left_key].to_numpy(zero_copy_only=False)
+        knull = np.asarray(pc.is_null(batch[left_key]).combine_chunks())
+        k = batch[left_key].fill_null(0).to_numpy(zero_copy_only=False)
         t = pa.table({c: batch[c] for c in lcols})
         t = t.append_column("__b", pa.array(hash_bucket(k, num_buckets)))
-        t = t.append_column("__side", pa.array(np.ones(len(batch), dtype=np.int8)))
+        # side 2 = null-key left row: kept (left-join) but can't match
+        side = np.where(knull, np.int8(2), np.int8(1))
+        t = t.append_column("__side", pa.array(side))
         return t.append_column("__rv", pa.nulls(len(batch), val_type))
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        # null keys or null timestamps never match anything: drop early
+        ok = pc.and_(
+            pc.is_valid(batch[right_key]), pc.is_valid(batch[right_ts])
+        )
+        batch = batch.filter(ok)
         k = batch[right_key].to_numpy(zero_copy_only=False)
         t = pa.table({left_key: batch[right_key], left_ts: batch[right_ts]})
         for c in lcols:
@@ -70,12 +83,9 @@ def asof_join(
         t = t.append_column("__side", pa.array(np.zeros(len(batch), dtype=np.int8)))
         return t.append_column("__rv", batch[right_val])
 
-    order_cols = [*lcols, "__b", "__side", "__rv"]
-    both = left.map_batches(
-        lambda b: tag_left(b).select(order_cols), batch_format="pyarrow"
-    ).union(
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.select_columns([right_key, right_ts, right_val]).map_batches(
-            lambda b: tag_right(b).select(order_cols), batch_format="pyarrow"
+            tag_right, batch_format="pyarrow"
         )
     )
 
@@ -85,33 +95,39 @@ def asof_join(
         import pyarrow.compute as pc
 
         side = group["__side"].to_numpy(zero_copy_only=False)
-        keys = group[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = group[left_key].fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         ts_arr = group[left_ts].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         nat = np.isnat(ts_arr)
         ts_i = np.where(nat, I64MAX, ts_arr.astype(np.int64))
-        # right rows with null ts can never match: exclude them up front
-        usable = ~((side == 0) & nat)
-        iu = np.flatnonzero(usable)
-        # type-generic value rank for the tie rule (max right_val wins
-        # among equal right timestamps); left rows' ranks are irrelevant
-        rv_rank = np.empty(len(group), dtype=np.int64)
-        rv_rank[np.asarray(pc.sort_indices(group["__rv"].combine_chunks()))] = np.arange(
-            len(group)
-        )
-        # key-major, then ts, then side (right 0 BEFORE left 1 on equal
+        # type-generic value rank for the tie rule, RIGHT rows only
+        # (left rows' ranks are irrelevant); nulls rank FIRST so a null
+        # right_val LOSES equal-ts ties (SQL DESC NULLS LAST)
+        r_idx = np.flatnonzero(side == 0)
+        rv_rank = np.zeros(len(group), dtype=np.int64)
+        if len(r_idx):
+            rv_right = group["__rv"].take(pa.array(r_idx)).combine_chunks()
+            order_r = np.asarray(
+                pc.sort_indices(rv_right, null_placement="at_start")
+            )
+            rv_rank[r_idx[order_r]] = np.arange(len(r_idx))
+        # key-major, then ts, then side (right 0 BEFORE left on equal
         # ts → "at or before" is inclusive), then value rank ascending
         # (cummax therefore picks the max-value right row)
-        order = np.lexsort((rv_rank[iu], side[iu], ts_i[iu], keys[iu]))
-        s_s, k_s = side[iu][order], keys[iu][order]
-        r_pos = iu[order]  # original group indices in sorted order
+        order = np.lexsort((rv_rank, side, ts_i, keys))
+        s_s, k_s = side[order], keys[order]
         is_r = s_s == 0
         last_r = np.maximum.accumulate(np.where(is_r, np.arange(len(s_s)), -1))
         l_slots = np.flatnonzero(~is_r)
         cand = last_r[l_slots]
-        l_rows = r_pos[l_slots]
+        l_rows = order[l_slots]  # original group indices of left rows
         cand_c = np.maximum(cand, 0)
-        valid = (cand >= 0) & (k_s[cand_c] == k_s[l_slots]) & ~nat[l_rows]
-        matched = np.where(valid, r_pos[cand_c], 0)
+        valid = (
+            (cand >= 0)
+            & (k_s[cand_c] == k_s[l_slots])
+            & ~nat[l_rows]
+            & (s_s[l_slots] == 1)  # side 2 = null-key left: never match
+        )
+        matched = np.where(valid, order[cand_c], 0)
         out = {c: group[c].take(pa.array(l_rows)) for c in left_cols}
         out[out_val] = group["__rv"].take(pa.array(matched, mask=~valid))
         return pa.table(out)

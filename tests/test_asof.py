@@ -72,3 +72,24 @@ def test_asof_edges(ray_session):
                       "ts": _ts([100, 100, 40, None, None]),
                       "v": pa.array([7, 9, 3, 999, 888], pa.int64())})
     _compare(left, right)
+
+
+def test_asof_null_keys_and_null_values(ray_session):
+    """SQL parity: null KEYS never match (null-key left rows pass
+    through with null value, null-key right rows are dropped), and a
+    null right_val LOSES an equal-ts tie to a non-null value."""
+    left = pa.table({"lid": pa.array([1, 2, 3], pa.int64()),
+                     "k": pa.array([None, 0, 10], pa.int64()),
+                     "ts": _ts([100, 100, 100])})
+    right = pa.table({"k": pa.array([None, 0, 10, 10], pa.int64()),
+                      "ts": _ts([50, 60, 100, 100]),
+                      "v": pa.array([111, 222, None, 5], pa.int64())})
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_key="k", right_key="k", left_ts="ts", right_ts="ts",
+            left_cols=["lid"], right_val="v", num_buckets=8,
+        ).take_all()
+    }
+    assert got == {1: None, 2: 222, 3: 5}
