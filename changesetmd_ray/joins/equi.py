@@ -1,4 +1,5 @@
-"""J1 — distributed hash equi-join (SURVEY.md §2.4 J1).
+"""J1 — distributed hash equi-join with optional skew salting
+(SURVEY.md §2.4 J1, §4.3.2).
 
 The reference's parent↔child link (``osm_changeset`` ⋈
 ``osm_changeset_comment`` on the changeset id, reference
@@ -7,17 +8,30 @@ hash join. Ray-native shape for two LARGE sides (when neither fits a
 broadcast — otherwise use the ``ray.put`` + ``searchsorted`` lookup
 pattern, e.g. ``q_orders_per_segment``):
 
-1. both sides are column-pruned, tagged with ``__side`` and a
-   ``__bucket = splitmix64(key) & (B-1)`` hash bucket,
+1. both sides are column-pruned, tagged with ``__side``, a 64-bit join
+   key ``__jk`` and ``__bucket = __jk & (B-1)``,
 2. one union + one ``groupby(__bucket)`` shuffle co-partitions matching
    keys (B is a knob ≈ 4× cluster cores — the per-group Python dispatch
-   stays O(B) while keys spread evenly, a hot KEY is still bounded by
-   its own row count),
+   stays O(B) while keys spread evenly),
 3. inside each bucket the match is fully vectorized: sort the right
-   side's keys once, ``searchsorted`` every left key against it, expand
-   the hit ranges with ``repeat``/cumsum arithmetic, and gather payload
-   columns with Arrow ``take`` (works for any column type, zero row
-   loops).
+   side's join keys once, ``searchsorted`` every left key against it,
+   expand the hit ranges with ``repeat``/cumsum arithmetic, and gather
+   payload columns with Arrow ``take`` (works for any column type, zero
+   row loops), then drop the (negligible) 64-bit-hash collision pairs
+   with an exact key recheck.
+
+**Skew salting** (``pair_budget``): a catastrophically hot key would
+otherwise put its entire L×R output into ONE group/block. With a budget
+set, a heavy-hitter pre-pass (per-block top keys, combined
+distributed) finds keys whose pairwise work exceeds it; each such key
+hash-splits its LARGER side into ``k`` salt shards (round-robin within
+a block) and replicates the smaller side ``k`` ways — the salt feeds
+``__jk``, so the shards land in different buckets and no group's output
+exceeds ≈ budget rows. Shards partition the split side disjointly, so
+the output needs no dedup. The pre-pass tracks only each block's top
+keys: a key hot enough to matter appears many times per block, so
+undercounting spread-thin moderate keys is safe (they fit the budget
+anyway).
 
 Inner join semantics; null keys never match (SQL parity).
 """
@@ -27,21 +41,109 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
-from changesetmd_ray.text.hashing import splitmix64
+from changesetmd_ray.text.hashing import check_pow2, splitmix64
 
 
-def _tag(ds, key: str, cols: list[str], side: int, num_buckets: int):
-    """Project + tag one side with ``__side`` and ``__bucket``."""
+def _clean_keys(batch: pa.Table, key: str, cols: list[str]) -> tuple[pa.Table, np.ndarray]:
+    batch = batch.select(cols)
+    valid = ~np.asarray(pc.is_null(batch[key]).combine_chunks())
+    batch = batch.filter(pa.array(valid))
+    return batch, batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _hot_key_counts(ds, key: str, hot_track: int) -> dict[int, int]:
+    """Approximate per-key counts for heavy-hitter detection: each block
+    reports its ``hot_track`` most frequent keys (count ≥ 2); partials
+    combine distributed before a bounded driver collect."""
+    from changesetmd_ray.stages.reduce import _combine_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, k = _clean_keys(batch, key, [key])
+        u, c = np.unique(k, return_counts=True)
+        keep = c >= 2
+        u, c = u[keep], c[keep]
+        if len(u) > hot_track:
+            top = np.argpartition(-c, hot_track - 1)[:hot_track]
+            u, c = u[top], c[top]
+        return pa.table({"key": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    combined = (
+        ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(16)
+        .map_batches(lambda b: _combine_table(b, "key", "n"),
+                     batch_format="pyarrow", batch_size=None)
+    )
+    out: dict[int, int] = {}
+    for row in combined.take_all():
+        out[row["key"]] = out.get(row["key"], 0) + row["n"]
+    return out
+
+
+def _salt_plan(cl: dict[int, int], cr: dict[int, int], pair_budget: int,
+               salt_max: int) -> dict:
+    keys, ks, splits = [], [], []
+    for k, nl in cl.items():
+        nr = cr.get(k, 0)
+        if nl * nr > pair_budget:
+            keys.append(k)
+            ks.append(int(min(salt_max, max(2, -(-(nl * nr) // pair_budget)))))
+            splits.append(0 if nl >= nr else 1)
+    order = np.argsort(np.asarray(keys, dtype=np.int64)) if keys else []
+    return {
+        "keys": np.asarray(keys, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
+        "k": np.asarray(ks, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
+        "split": np.asarray(splits, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
+    }
+
+
+def _jk(keys: np.ndarray, salt: np.ndarray) -> np.ndarray:
+    return splitmix64(splitmix64(keys.astype(np.uint64)) ^ salt.astype(np.uint64)).astype(
+        np.int64
+    )
+
+
+def _tag(ds, key: str, cols: list[str], side: int, num_buckets: int, plan_ref):
+    """Project + tag one side with ``__side``, ``__jk`` and
+    ``__bucket``; hot keys salt-split or replicate per the plan."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        batch = batch.select(cols)
-        valid = ~np.asarray(pc.is_null(batch[key]).combine_chunks())
-        batch = batch.filter(pa.array(valid))
-        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (splitmix64(k.astype(np.uint64)) & np.uint64(num_buckets - 1)).astype(np.int64)
-        return batch.append_column("__bucket", pa.array(b)).append_column(
-            "__side", pa.array(np.full(len(batch), side, dtype=np.int8))
+        batch, k = _clean_keys(batch, key, cols)
+        salt = np.zeros(len(k), dtype=np.int64)
+        if plan_ref is not None:
+            plan = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
+            hk = plan["keys"]
+            if len(hk):
+                pos = np.clip(np.searchsorted(hk, k), 0, len(hk) - 1)
+                is_hot = hk[pos] == k
+                if is_hot.any():
+                    kk = np.ones(len(k), dtype=np.int64)
+                    kk[is_hot] = plan["k"][pos[is_hot]]
+                    split_here = is_hot & (plan["split"][pos] == side)
+                    # split side: round-robin shard within the block
+                    idx_split = np.flatnonzero(split_here)
+                    salt[idx_split] = np.arange(len(idx_split)) % kk[idx_split]
+                    # replicate side of hot keys: k copies, salts 0..k-1
+                    rep = np.ones(len(k), dtype=np.int64)
+                    rep_mask = is_hot & ~split_here
+                    rep[rep_mask] = kk[rep_mask]
+                    if (rep > 1).any():
+                        idx = np.repeat(np.arange(len(k)), rep)
+                        starts = np.concatenate([[0], np.cumsum(rep)[:-1]])
+                        local = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, rep)
+                        new_salt = salt[idx]
+                        from_rep = np.repeat(rep > 1, rep)
+                        new_salt[from_rep] = local[from_rep]
+                        batch = batch.take(pa.array(idx))
+                        k, salt = k[idx], new_salt
+        jk = _jk(k, salt)
+        b = (jk.view(np.uint64) & np.uint64(num_buckets - 1)).astype(np.int64)
+        return (
+            batch.append_column("__jk", pa.array(jk))
+            .append_column("__bucket", pa.array(b))
+            .append_column("__side", pa.array(np.full(len(batch), side, dtype=np.int8)))
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -56,14 +158,16 @@ def hash_join(
     left_cols: list[str],
     right_cols: list[str],
     num_buckets: int = 128,
+    pair_budget: int | None = None,
+    salt_max: int = 64,
+    hot_track: int = 64,
 ):
     """Inner equi-join of two Datasets on integer keys → Dataset with
     ``left_cols + right_cols`` (caller avoids name collisions; the join
     keys may appear in either list). Both sides shuffle once, co-
-    partitioned by key hash; no side is broadcast or materialized."""
-    if num_buckets <= 0 or num_buckets & (num_buckets - 1):
-        raise ValueError(f"num_buckets must be a power of two (got {num_buckets}): "
-                         "the bucket mask silently collapses other values")
+    partitioned by key hash; no side is broadcast or materialized.
+    ``pair_budget`` enables hot-key salting (see module docstring)."""
+    check_pow2(num_buckets)
     if left_on not in left_cols:
         left_cols = [left_on, *left_cols]
     if right_on not in right_cols:
@@ -71,6 +175,13 @@ def hash_join(
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"column name collision across sides: {sorted(overlap)}")
+
+    plan_ref = None
+    if pair_budget is not None:
+        cl = _hot_key_counts(left, left_on, hot_track)
+        cr = _hot_key_counts(right, right_on, hot_track)
+        plan = _salt_plan(cl, cr, pair_budget, salt_max)
+        plan_ref = ray.put(plan)
 
     # union of differently-shaped sides: pad each side with the other's
     # columns as nulls so the schemas line up
@@ -81,27 +192,27 @@ def hash_join(
 
     l_types = {f: left.schema().base_schema.field(f).type for f in left_cols}
     r_types = {f: right.schema().base_schema.field(f).type for f in right_cols}
-    order = [*left_cols, *right_cols, "__bucket", "__side"]
+    order = [*left_cols, *right_cols, "__jk", "__bucket", "__side"]
 
-    lt = _tag(left, left_on, left_cols, 0, num_buckets).map_batches(
+    lt = _tag(left, left_on, left_cols, 0, num_buckets, plan_ref).map_batches(
         lambda b: pad(b, right_cols, r_types).select(order), batch_format="pyarrow"
     )
-    rt = _tag(right, right_on, right_cols, 1, num_buckets).map_batches(
+    rt = _tag(right, right_on, right_cols, 1, num_buckets, plan_ref).map_batches(
         lambda b: pad(b, left_cols, l_types).select(order), batch_format="pyarrow"
     )
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"].to_numpy(zero_copy_only=False)
         lmask = side == 0
-        l_tbl = group.filter(pa.array(lmask)).select(left_cols)
-        r_tbl = group.filter(pa.array(~lmask)).select(right_cols)
+        l_tbl = group.filter(pa.array(lmask))
+        r_tbl = group.filter(pa.array(~lmask))
         empty = pa.table(
             {c: pa.nulls(0, (l_types | r_types)[c]) for c in [*left_cols, *right_cols]}
         )
         if len(l_tbl) == 0 or len(r_tbl) == 0:
             return empty
-        lk = l_tbl[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
-        rk = r_tbl[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        lk = l_tbl["__jk"].to_numpy(zero_copy_only=False)
+        rk = r_tbl["__jk"].to_numpy(zero_copy_only=False)
         order_r = np.argsort(rk, kind="stable")
         rk_s = rk[order_r]
         lo = np.searchsorted(rk_s, lk, "left")
@@ -114,8 +225,17 @@ def hash_join(
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
         ri = order_r[np.repeat(lo, counts) + within]
-        out_l = l_tbl.take(pa.array(li))
-        out_r = r_tbl.take(pa.array(ri))
+        out_l = l_tbl.select(left_cols).take(pa.array(li))
+        out_r = r_tbl.select(right_cols).take(pa.array(ri))
+        # exact-key recheck: a 64-bit __jk collision (or two hot shards
+        # colliding) could pair different raw keys — drop such pairs
+        keq = (
+            out_l[left_on].to_numpy(zero_copy_only=False)
+            == out_r[right_on].to_numpy(zero_copy_only=False)
+        )
+        if not keq.all():
+            m = pa.array(keq)
+            out_l, out_r = out_l.filter(m), out_r.filter(m)
         cols = {c: out_l[c] for c in left_cols}
         cols.update({c: out_r[c] for c in right_cols})
         return pa.table(cols)

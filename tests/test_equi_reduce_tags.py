@@ -170,3 +170,43 @@ def test_num_buckets_must_be_power_of_two(ray_session):
     with pytest.raises(ValueError, match="power of two"):
         hash_join(ds, ds, left_on="k", right_on="k", left_cols=["k"], right_cols=["v"],
                   num_buckets=100)
+
+
+def test_hash_join_hot_key_salting(ray_session):
+    """A catastrophically hot key must (a) produce identical output
+    with salting on, and (b) actually spread its pairwise work across
+    several buckets instead of one group."""
+    import numpy as np
+
+    from changesetmd_ray.joins.equi import _hot_key_counts, _salt_plan, hash_join
+
+    rng = np.random.RandomState(8)
+    # left: hot key 7 appears 2000x, 200 other keys once each
+    lk = np.concatenate([np.full(2000, 7), np.arange(100, 300)])
+    rk = np.concatenate([np.full(500, 7), np.arange(200, 400)])
+    left = pa.table({"lid": pa.array(np.arange(len(lk)), pa.int64()),
+                     "k": pa.array(lk, pa.int64())})
+    right = pa.table({"rid": pa.array(np.arange(len(rk)), pa.int64()),
+                      "kk": pa.array(rk, pa.int64())})
+    rng.shuffle(lk)  # unused; keep deterministic table above
+
+    def run(**kw):
+        out = hash_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(4),
+            left_on="k", right_on="kk",
+            left_cols=["lid", "k"], right_cols=["rid", "kk"], **kw,
+        ).to_pandas()
+        return set(zip(out["lid"], out["rid"]))
+
+    plain = run()
+    salted = run(pair_budget=10_000)
+    assert salted == plain
+    assert len(plain) == 2000 * 500 + 100  # hot cross product + 100 overlap keys
+
+    # the plan actually split the hot key
+    cl = _hot_key_counts(ray.data.from_arrow(left), "k", 64)
+    cr = _hot_key_counts(ray.data.from_arrow(right), "kk", 64)
+    plan = _salt_plan(cl, cr, 10_000, 64)
+    assert 7 in plan["keys"].tolist()
+    assert plan["k"][plan["keys"].tolist().index(7)] >= 2
