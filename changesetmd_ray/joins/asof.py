@@ -61,7 +61,13 @@ def asof_join(
         knull = np.asarray(pc.is_null(batch[left_key]).combine_chunks())
         k = batch[left_key].fill_null(0).to_numpy(zero_copy_only=False)
         t = pa.table({c: batch[c] for c in lcols})
-        t = t.append_column("__b", pa.array(hash_bucket(k, num_buckets)))
+        b = hash_bucket(k, num_buckets)
+        # null-key rows can never match, so they need no co-location —
+        # spread them round-robin instead of piling them onto key 0's
+        # bucket
+        if knull.any():
+            b[knull] = np.arange(int(knull.sum())) % num_buckets
+        t = t.append_column("__b", pa.array(b))
         # side 2 = null-key left row: kept (left-join) but can't match
         side = np.where(knull, np.int8(2), np.int8(1))
         t = t.append_column("__side", pa.array(side))

@@ -85,8 +85,12 @@ def _hot_key_counts(ds, key: str, hot_track: int) -> dict[int, int]:
 def _salt_plan(cl: dict[int, int], cr: dict[int, int], pair_budget: int,
                salt_max: int) -> dict:
     keys, ks, splits = [], [], []
-    for k, nl in cl.items():
-        nr = cr.get(k, 0)
+    # union of both sides' heavy hitters; a missing count means the
+    # tracker saw no repeats there — treat as 1, NOT 0: the motivating
+    # parent-child case has unique parent keys, and a key with one
+    # parent row and 10M child rows must still salt
+    for k in set(cl) | set(cr):
+        nl, nr = cl.get(k, 1), cr.get(k, 1)
         if nl * nr > pair_budget:
             keys.append(k)
             ks.append(int(min(salt_max, max(2, -(-(nl * nr) // pair_budget)))))
@@ -122,9 +126,22 @@ def _tag(ds, key: str, cols: list[str], side: int, num_buckets: int, plan_ref):
                     kk = np.ones(len(k), dtype=np.int64)
                     kk[is_hot] = plan["k"][pos[is_hot]]
                     split_here = is_hot & (plan["split"][pos] == side)
-                    # split side: round-robin shard within the block
+                    # split side: PER-KEY round-robin shard within the
+                    # block (a combined counter would let interleaved
+                    # hot keys collapse onto one shard each)
                     idx_split = np.flatnonzero(split_here)
-                    salt[idx_split] = np.arange(len(idx_split)) % kk[idx_split]
+                    if len(idx_split):
+                        from changesetmd_ray.text.hashing import segment_starts
+
+                        ks_sub = k[idx_split]
+                        o = np.argsort(ks_sub, kind="stable")
+                        ss = segment_starts(ks_sub[o])
+                        within = np.arange(len(o), dtype=np.int64) - np.repeat(
+                            ss[:-1], np.diff(ss)
+                        )
+                        cum = np.empty(len(o), dtype=np.int64)
+                        cum[o] = within
+                        salt[idx_split] = cum % kk[idx_split]
                     # replicate side of hot keys: k copies, salts 0..k-1
                     rep = np.ones(len(k), dtype=np.int64)
                     rep_mask = is_hot & ~split_here
@@ -166,7 +183,11 @@ def hash_join(
     ``left_cols + right_cols`` (caller avoids name collisions; the join
     keys may appear in either list). Both sides shuffle once, co-
     partitioned by key hash; no side is broadcast or materialized.
-    ``pair_budget`` enables hot-key salting (see module docstring)."""
+    ``pair_budget`` enables hot-key salting (see module docstring) —
+    note the pre-pass executes both inputs' lineage once before the
+    join re-executes it, the right trade when inputs are reads (a
+    column-pruned extra scan) but worth a ``materialize()`` upstream
+    when the inputs are expensive computed pipelines."""
     check_pow2(num_buckets)
     if left_on not in left_cols:
         left_cols = [left_on, *left_cols]

@@ -180,7 +180,6 @@ def test_hash_join_hot_key_salting(ray_session):
 
     from changesetmd_ray.joins.equi import _hot_key_counts, _salt_plan, hash_join
 
-    rng = np.random.RandomState(8)
     # left: hot key 7 appears 2000x, 200 other keys once each
     lk = np.concatenate([np.full(2000, 7), np.arange(100, 300)])
     rk = np.concatenate([np.full(500, 7), np.arange(200, 400)])
@@ -188,7 +187,6 @@ def test_hash_join_hot_key_salting(ray_session):
                      "k": pa.array(lk, pa.int64())})
     right = pa.table({"rid": pa.array(np.arange(len(rk)), pa.int64()),
                       "kk": pa.array(rk, pa.int64())})
-    rng.shuffle(lk)  # unused; keep deterministic table above
 
     def run(**kw):
         out = hash_join(
@@ -197,7 +195,11 @@ def test_hash_join_hot_key_salting(ray_session):
             left_on="k", right_on="kk",
             left_cols=["lid", "k"], right_cols=["rid", "kk"], **kw,
         ).to_pandas()
-        return set(zip(out["lid"], out["rid"]))
+        # ROW COUNT must match the pair set size: a shard landing in
+        # two buckets would duplicate pairs, which set() would hide
+        pairs = set(zip(out["lid"], out["rid"]))
+        assert len(out) == len(pairs), "duplicate output pairs"
+        return pairs
 
     plain = run()
     salted = run(pair_budget=10_000)
