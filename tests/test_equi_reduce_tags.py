@@ -212,3 +212,31 @@ def test_hash_join_hot_key_salting(ray_session):
     plan = _salt_plan(cl, cr, 10_000, 64)
     assert 7 in plan["keys"].tolist()
     assert plan["k"][plan["keys"].tolist().index(7)] >= 2
+
+
+def test_broadcast_join_operators(ray_session):
+    """broadcast_lookup / semi / anti: SQL-parity incl. null keys
+    (inner+semi drop them, anti keeps them), verified vs pandas."""
+    import numpy as np
+
+    from changesetmd_ray.joins.broadcast import (
+        anti_join_keys,
+        broadcast_lookup,
+        semi_join_keys,
+    )
+
+    big = pa.table({"id": pa.array(np.arange(10, dtype=np.int64)),
+                    "k": pa.array([1, 2, 3, None, 5, 1, 99, 2, None, 7], pa.int64())})
+    small = pa.table({"sk": pa.array([1, 2, 5, 7], pa.int64()),
+                      "name": pa.array(["a", "b", "e", "g"])})
+    ds = ray.data.from_arrow(big).repartition(3)
+
+    j = broadcast_lookup(ds, small, big_on="k", small_on="sk", small_val="name").to_pandas()
+    assert sorted(zip(j["id"], j["name"])) == [
+        (0, "a"), (1, "b"), (4, "e"), (5, "a"), (7, "b"), (9, "g")]
+
+    s = semi_join_keys(ds, small, big_on="k", small_on="sk").to_pandas()
+    assert sorted(s["id"]) == [0, 1, 4, 5, 7, 9]
+
+    a = anti_join_keys(ds, small, big_on="k", small_on="sk").to_pandas()
+    assert sorted(a["id"]) == [2, 3, 6, 8]  # null keys kept (NOT EXISTS)
