@@ -1,4 +1,7 @@
-"""Broadcast-side join operators (J1/J6 small-side forms).
+"""Broadcast-side join operators (J1/J6 small-side forms; the
+reference's parent↔child link and membership filters, reference
+``queries.py:21-27``, ``changesetmd.py:215-219`` — executed by Postgres
+as hash joins/EXISTS, here as one broadcast and a map-only stream).
 
 When one side fits a worker's heap, the shuffle join is the wrong
 shape: ship the small side ONCE via ``ray.put`` (zero-copy ``ray.get``

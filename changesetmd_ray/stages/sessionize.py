@@ -1,6 +1,9 @@
 """Gap-based sessionization — the classic log/training-data windowed
 operator (sessions = runs of a user's events where consecutive gaps stay
-within a threshold).
+within a threshold). North_rule addition: the reference has no windowed
+operator (its closest concept is the changeset created_at/closed_at
+lifetime, reference ``changesetmd.py:239-254``); the SQL analogue is the
+lag/cumulative-sum window formulation the oracle uses.
 
 Distributed shape: ONE bucketed groupby by user hash; inside a bucket
 every user's segment is pure vectorized arithmetic (sort, diff, cumsum,
