@@ -167,32 +167,64 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
             order = np.where(np.isnat(ts_arr), np.iinfo(np.int64).max, -ts_i)
         else:
             order = np.zeros(len(ids), dtype=np.int64)
+        # LIST-PACK the shuffle: Ray's sort-based groupby cost tracks
+        # ROW COUNT far more than bytes (measured in stages/reduce.py) —
+        # shuffling one (h, h2, id, ord) row per input row made the
+        # loser election minutes at 50M rows. Pack each block's rows
+        # into ≤ num_buckets list-rows keyed by h's low bits; a key's
+        # rows still co-locate (same h → same bucket), so winner
+        # election inside the bucket sees every copy.
+        bucket = (h1.view(np.uint64) & np.uint64(num_buckets - 1)).astype(np.int64)
+        order_b = np.argsort(bucket, kind="stable")
+        b_s = bucket[order_b]
+        starts = np.flatnonzero(
+            np.concatenate([[True], b_s[1:] != b_s[:-1]])
+        )
+        offs = np.concatenate([starts, [len(b_s)]]).astype(np.int32)
+        def packed(col):
+            return pa.ListArray.from_arrays(
+                pa.array(offs - offs[0], pa.int32()), pa.array(col[order_b])
+            )
         return pa.table(
-            {"__h": pa.array(h1), "__h2": pa.array(h2),
-             "__id": pa.array(ids), "__ord": pa.array(order)}
+            {"__b": pa.array(b_s[starts]),
+             "hs": packed(h1), "h2s": packed(h2),
+             "ids": packed(ids), "ords": packed(order)}
         )
 
     def losers_of(group: pa.Table) -> pa.Table:
-        ids = group["__id"].to_numpy(zero_copy_only=False)
-        if len(np.unique(ids)) != len(ids):
-            raise ValueError(
-                "exact_dedup: duplicate id_col values in a key group — the "
-                "id-based loser filter would drop every copy INCLUDING the "
-                "winner (silent data loss). For replayed/duplicated inputs "
-                "pass unique_ids=False (the full-row groupby path)."
-            )
-        h2 = group["__h2"].to_numpy(zero_copy_only=False)
-        order = group["__ord"].to_numpy(zero_copy_only=False)
-        # sort by (h2, order, id): the first row of each h2 run wins
-        perm = np.lexsort((ids, order, h2))
-        h2s = h2[perm]
-        first = np.concatenate([[True], h2s[1:] != h2s[:-1]])
-        return pa.table({"__loser": pa.array(ids[perm][~first])})
+        h1 = np.asarray(group["hs"].combine_chunks().flatten())
+        h2 = np.asarray(group["h2s"].combine_chunks().flatten())
+        ids = np.asarray(group["ids"].combine_chunks().flatten())
+        order = np.asarray(group["ords"].combine_chunks().flatten())
+        # sort by (h1, h2, order, id): the first row of each (h1, h2)
+        # run wins, the rest are losers
+        perm = np.lexsort((ids, order, h2, h1))
+        h1s, h2s, ids_s = h1[perm], h2[perm], ids[perm]
+        first = np.concatenate(
+            [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        )
+        # duplicate-id guard within a key run (see exact_dedup
+        # docstring); Python touches only multi-row runs (= dup groups)
+        key_run = np.flatnonzero(first)
+        run_len = np.diff(np.append(key_run, len(ids_s)))
+        multi = run_len > 1
+        for s, ln in zip(key_run[multi], run_len[multi]):
+            if len(np.unique(ids_s[s : s + ln])) != ln:
+                raise ValueError(
+                    "exact_dedup: duplicate id_col values in a key group — "
+                    "the id-based loser filter would drop every copy "
+                    "INCLUDING the winner (silent data loss). For replayed/"
+                    "duplicated inputs pass unique_ids=False."
+                )
+        return pa.table({"__loser": pa.array(ids_s[~first])})
 
     losers = (
         ds.select_columns(narrow_cols)
-        .map_batches(extract, batch_format="pyarrow")
-        .groupby("__h")
+        # whole-block batches: the pack emits ≤ num_buckets list-rows
+        # PER CALL — row-sized batches would emit one packed row per
+        # few input rows and defeat the row-count reduction
+        .map_batches(extract, batch_format="pyarrow", batch_size=None)
+        .groupby("__b")
         .map_groups(losers_of, batch_format="pyarrow")
         .materialize()  # narrow (ids only), bounded by the duplicate count
     )
@@ -212,7 +244,7 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
             is_loser = la[pos] == ids
             return batch.filter(pa.array(~is_loser))
 
-        return ds.map_batches(drop, batch_format="pyarrow")
+        return ds.map_batches(drop, batch_format="pyarrow", batch_size=None)
 
     # fallback: distributed anti-join by id (bucket co-partition)
     schema = ds.schema().base_schema
