@@ -107,7 +107,7 @@ def _dedup_rows_shuffle(ds, *, key_col: str, id_col: str, keep: str, ts_col: str
 
 
 def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str = "first",
-                ts_col: str | None = None, loser_broadcast_limit: int = 4_000_000,
+                ts_col: str | None = None, loser_broadcast_limit: int = 16_000_000,
                 num_buckets: int = 256, unique_ids: bool = True):
     """One row per distinct ``key_col`` value. ``keep='first'`` keeps the
     smallest ``id_col``; ``keep='latest'`` keeps max ``ts_col`` (ties →
@@ -145,6 +145,9 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
 
     narrow_cols = [key_col, id_col] + ([ts_col] if keep == "latest" else [])
     narrow_cols = list(dict.fromkeys(narrow_cols))  # key_col may equal id_col
+
+    need_h2 = not int_key
+    need_ord = keep == "latest"
 
     def extract(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -185,17 +188,26 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
             return pa.ListArray.from_arrays(
                 pa.array(offs - offs[0], pa.int32()), pa.array(col[order_b])
             )
-        return pa.table(
-            {"__b": pa.array(b_s[starts]),
-             "hs": packed(h1), "h2s": packed(h2),
-             "ids": packed(ids), "ords": packed(order)}
-        )
+        cols = {"__b": pa.array(b_s[starts]), "hs": packed(h1), "ids": packed(ids)}
+        # int keys: h1 is a bijection, h2 is all-zero; keep='first':
+        # order is all-zero — omitting them halves the shuffled bytes
+        if need_h2:
+            cols["h2s"] = packed(h2)
+        if need_ord:
+            cols["ords"] = packed(order)
+        return pa.table(cols)
 
     def losers_of(group: pa.Table) -> pa.Table:
         h1 = np.asarray(group["hs"].combine_chunks().flatten())
-        h2 = np.asarray(group["h2s"].combine_chunks().flatten())
         ids = np.asarray(group["ids"].combine_chunks().flatten())
-        order = np.asarray(group["ords"].combine_chunks().flatten())
+        h2 = (
+            np.asarray(group["h2s"].combine_chunks().flatten())
+            if need_h2 else np.zeros(len(h1), dtype=np.int64)
+        )
+        order = (
+            np.asarray(group["ords"].combine_chunks().flatten())
+            if need_ord else np.zeros(len(h1), dtype=np.int64)
+        )
         # sort by (h1, h2, order, id): the first row of each (h1, h2)
         # run wins, the rest are losers
         perm = np.lexsort((ids, order, h2, h1))
