@@ -6,11 +6,11 @@
   hash-group by a 64-bit content/key hash, keep one row per group with a
   deterministic winner rule, guard against hash collisions by comparing
   the actual key within the group.
-- :func:`minhash_lsh_candidates` — shingle → MinHash → banded LSH →
-  bucket groupby → candidate near-dup pairs, optionally verified with
-  exact Jaccard of the two docs' shingle sets *inside the group stage*
-  (signatures travel with the rows; verification re-hashes only the
-  candidate bucket's texts, never the corpus).
+- :func:`minhash_lsh_candidates` — shingle → MinHash → banded LSH,
+  TWO-PHASE: packed 16-byte (band, id) pairs shuffle and pair up, then
+  candidate-only signatures (and shingle sets under ``carry_text``)
+  broadcast once for a streaming vectorized verify — the signatures
+  never ride the all-to-all.
 - :func:`simhash_candidates` — 64-bit SimHash; near-dup = Hamming ≤ t
   found by the band-partition trick (split 64 bits into t+1 bands; any
   pair within distance t agrees exactly on ≥1 band — pigeonhole).
@@ -20,11 +20,10 @@
   propagation, one bucketed groupby per diameter hop) for pair lists
   too large for one process.
 
-Scale notes: the corpus always streams; shuffles move (key, id) or
-(band, id, signature) rows, not raw text, except the LSH verify path
-which carries text into the bucket stage — disable ``carry_text`` to
-shuffle signatures only. Candidate-pair outputs are assumed ≪ corpus
-(the usual regime); `duplicate_clusters` documents that assumption.
+Scale notes: the corpus always streams; shuffles move packed (key,
+id) or (band, id) rows — never raw text, never signatures.
+Candidate-pair outputs are assumed ≪ corpus (the usual regime);
+`duplicate_clusters` documents that assumption.
 """
 
 from __future__ import annotations
@@ -35,13 +34,11 @@ import ray
 
 from changesetmd_ray.text.hashing import (
     any_eq_pairs,
-    band_keys,
     band_keys_matrix,
     char_ngram_hashes,
     check_pow2,
     eq_count_pairs,
     hamming64,
-
     hash_bytes128,
     jaccard,
     minhash_params,
@@ -325,46 +322,63 @@ def _pair_index_blocks(n: int, max_pairs: int = 1 << 21):
         yield px, py
 
 
-class _MinHashStage:
-    """Actor stage: text → (band_key, id [, signature, text]) rows.
-    MinHash permutation params are built once per actor."""
+def _pair_distinct_ds(pairs, num_buckets: int = 256):
+    """Exact distinct over an (id_a, id_b) pair Dataset: bucket by pair
+    hash, unique within each bucket — one bounded shuffle of candidate
+    pairs (a pair colliding in several LSH bands appears once per
+    band). Rows are LIST-PACKED per block (and locally pre-deduped)
+    before the shuffle: Ray's sort shuffle is row-count-bound, and a
+    hot near-dup cluster emits each pair once per band."""
 
-    def __init__(self, n_perm: int, n_bands: int, shingle_w: int, text_col: str, id_col: str,
-                 carry_text: bool, char_ngrams: int | None = None):
-        self.a, self.b = minhash_params(n_perm)
-        self.n_bands = n_bands
-        self.w = shingle_w
-        self.text_col = text_col
-        self.id_col = id_col
-        self.carry_text = carry_text
-        self.char_ngrams = char_ngrams
+    def pack(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) == 0:
+            return pa.table(
+                {"__pb": pa.array([], pa.int64()),
+                 "pa_": pa.array([], pa.list_(pa.int64())),
+                 "pb_": pa.array([], pa.list_(pa.int64()))}
+            )
+        # local pre-dedup: same-band duplicates within this block vanish
+        # before any bytes move
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            a, b = a[first], b[first]
+        h = (
+            splitmix64(splitmix64(a.view(np.uint64)) ^ b.view(np.uint64))
+            & np.uint64(num_buckets - 1)
+        ).astype(np.int64)
+        order_h = np.argsort(h, kind="stable")
+        h_s = h[order_h]
+        starts = np.flatnonzero(np.concatenate([[True], h_s[1:] != h_s[:-1]]))
+        offs = np.concatenate([starts, [len(h_s)]]).astype(np.int32)
 
-    def _doc_hashes(self, text: str) -> np.ndarray:
-        if self.char_ngrams:
-            return char_ngram_hashes(text, self.char_ngrams)
-        return shingle_hashes(token_hashes(tokenize(text)), self.w)
+        def packed(col):
+            return pa.ListArray.from_arrays(
+                pa.array(offs - offs[0], pa.int32()), pa.array(col[order_h])
+            )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        n = len(texts)
-        out_band = np.empty(n * self.n_bands, dtype=np.int64)
-        out_id = np.repeat(ids, self.n_bands)
-        sigs = np.empty((n, len(self.a)), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sig = minhash_signature(self._doc_hashes(t or ""), self.a, self.b)
-            sigs[i] = sig
-            out_band[i * self.n_bands : (i + 1) * self.n_bands] = band_keys(
-                sig, self.n_bands
-            ).astype(np.int64)
-        cols = {"band": pa.array(out_band), self.id_col: pa.array(out_id)}
-        sig_rep = np.repeat(sigs, self.n_bands, axis=0)
-        cols["sig"] = pa.FixedSizeListArray.from_arrays(
-            pa.array(sig_rep.reshape(-1).astype(np.int64)), len(self.a)
+        return pa.table(
+            {"__pb": pa.array(h_s[starts]), "pa_": packed(a), "pb_": packed(b)}
         )
-        if self.carry_text:
-            cols["__text"] = pa.array(np.repeat(np.asarray(texts, dtype=object), self.n_bands))
-        return pa.table(cols)
+
+    def uniq(group: pa.Table) -> pa.Table:
+        a = np.asarray(group["pa_"].combine_chunks().flatten())
+        b = np.asarray(group["pb_"].combine_chunks().flatten())
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            a, b = a[first], b[first]
+        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+    return (
+        pairs.map_batches(pack, batch_format="pyarrow", batch_size=None)
+        .groupby("__pb")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
 
 
 def minhash_lsh_candidates(
@@ -382,144 +396,211 @@ def minhash_lsh_candidates(
     batch_size: int = 1024,
     num_fold_buckets: int = 256,
 ):
-    """Near-duplicate candidate pairs via MinHash + banded LSH.
+    """Near-duplicate candidate pairs via MinHash + banded LSH — the
+    TWO-PHASE shape.
 
     Returns a Dataset ``(id_a, id_b, est_jaccard[, jaccard])`` with
-    ``id_a < id_b``, each pair emitted once (dedup inside the bucket
-    stage via the "first band where the pair collides" rule — a pair
-    colliding in several bands is only emitted by the lowest such band,
-    no global distinct needed). With ``threshold`` set, pairs below it
-    (signature estimate; exact Jaccard when ``carry_text``) are dropped.
+    ``id_a < id_b``, each pair once. With ``threshold`` set, pairs
+    below it (signature estimate; exact Jaccard when ``carry_text``)
+    are dropped.
 
-    Scale shape: band keys are FOLDED into ``num_fold_buckets`` coarse
-    groups before the shuffle (``map_groups`` dispatches one Python call
-    per group — millions of singleton band buckets would be dominated by
-    dispatch, and the sort-shuffle cost tracks distinct-key count). The
-    fold stage re-groups rows by exact band-slice equality with one
-    ``np.unique`` and enumerates pairs with blocked index arithmetic —
-    no per-pair Python. A hot bucket of m near-identical docs costs one
-    (m·(m-1)/2 × n_bands) vectorized comparison, not m² interpreter
-    iterations.
+    Scale shape — the signatures never ride the all-to-all:
+
+    1. **Band phase**: each doc contributes ``n_bands`` 16-byte
+       ``(band_key, id)`` pairs, LIST-PACKED by fold bucket per block
+       (Ray's sort shuffle is row-count-bound, and shipping the
+       n_perm-wide signature once per band — the one-phase design —
+       multiplied shuffle bytes 64×). Inside a bucket, pairs are
+       enumerated per identical band key with blocked vectorized
+       index arithmetic; a bucketed distinct collapses multi-band
+       collisions.
+    2. **Verify phase**: signatures (and shingle sets when
+       ``carry_text``) are recomputed for CANDIDATE docs only —
+       candidates ≪ corpus in the LSH regime, the same bounded-pair
+       assumption :func:`duplicate_clusters` documents — broadcast
+       once via ``ray.put``, and the pair Dataset streams through a
+       vectorized est/Jaccard check.
+
+    Measured trade-off (100 k docs / 2 % near-dups, 32 CPUs): 25.8 s →
+    5.1 s vs the one-phase design that shipped signatures per band.
+    The adversarial inverse regime — EVERY doc near-identical, so each
+    pair collides in all bands and is emitted once per band before the
+    distinct — runs ~2-3× slower than one-phase (30 s vs 10 s at 5 k
+    docs / 12.5 M pairs, 8 CPUs); such corpora are exact-dedup's job
+    first.
     """
     check_pow2(num_fold_buckets, "num_fold_buckets")
-    stage = dict(
-        n_perm=n_perm, n_bands=n_bands, shingle_w=shingle_w, text_col=text_col,
-        id_col=id_col, carry_text=carry_text, char_ngrams=char_ngrams,
-    )
     _ = concurrency  # kept for API compat; tasks autoscale with the executor
+    a_par, b_par = minhash_params(n_perm)
 
-    def minhash_fn(batch):
-        # task pool: the per-worker state (permutation params) costs
-        # microseconds to rebuild; autoscaling actor pools ramp too
-        # slowly to saturate the node (see joins/pip.py measurement)
-        out = _MinHashStage(**stage)(batch)
-        b = out["band"].to_numpy(zero_copy_only=False).view(np.uint64)
-        fold = (b & np.uint64(num_fold_buckets - 1)).astype(np.int64)
-        return out.append_column("__bucket", pa.array(fold))
+    def doc_hashes(text: str) -> np.ndarray:
+        if char_ngrams:
+            return char_ngram_hashes(text or "", char_ngrams)
+        return shingle_hashes(token_hashes(tokenize(text or "")), shingle_w)
+
+    def sig_matrix(texts: list) -> np.ndarray:
+        sigs = np.empty((len(texts), n_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = minhash_signature(doc_hashes(t), a_par, b_par)
+        return sigs
+
+    # ------------------------------------------------ phase 1: bands
+    def band_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"__bucket": pa.array([], pa.int64()),
+                             "bands": pa.array([], pa.list_(pa.int64())),
+                             "ids": pa.array([], pa.list_(pa.int64()))})
+        bk = band_keys_matrix(sig_matrix(texts), n_bands)  # (n, n_bands) uint64
+        band = bk.view(np.int64).reshape(-1)  # doc-major
+        rep_id = np.repeat(ids, n_bands)
+        bucket = (band.view(np.uint64) & np.uint64(num_fold_buckets - 1)).astype(np.int64)
+        order_b = np.argsort(bucket, kind="stable")
+        b_s = bucket[order_b]
+        starts = np.flatnonzero(np.concatenate([[True], b_s[1:] != b_s[:-1]]))
+        offs = np.concatenate([starts, [len(b_s)]]).astype(np.int32)
+
+        def packed(col):
+            return pa.ListArray.from_arrays(
+                pa.array(offs - offs[0], pa.int32()), pa.array(col[order_b])
+            )
+
+        return pa.table(
+            {"__bucket": pa.array(b_s[starts]), "bands": packed(band),
+             "ids": packed(rep_id)}
+        )
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        minhash_fn,
-        batch_format="pyarrow",
-        batch_size=batch_size,
+        band_rows, batch_format="pyarrow", batch_size=batch_size
     )
 
-    n_rows_band = n_perm // n_bands
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        empty_cols = {
-            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-        }
-        if carry_text:
-            empty_cols["jaccard"] = pa.array([], pa.float64())
-        empty = pa.table(empty_cols)
-        m = len(group)
-        if m < 2:
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        bands = np.asarray(group["bands"].combine_chunks().flatten())
+        ids = np.asarray(group["ids"].combine_chunks().flatten())
+        if len(bands) < 2:
             return empty
-        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        band_own = group["band"].to_numpy(zero_copy_only=False).view(np.uint64)
-        sig = (
-            np.asarray(group["sig"].combine_chunks().flatten())
-            .reshape(m, n_perm)
-            .astype(np.uint64)
-        )
-        # regroup by (routing band, exact band slice): only rows whose
-        # slice at their routing band is IDENTICAL can collide there
-        bk = band_keys_matrix(sig, n_bands)  # (m, n_bands) uint64
-        sigT = np.ascontiguousarray(sig.T)  # transposed ONCE per bucket
-        bkT = np.ascontiguousarray(bk.T)
-        mi = np.argmax(bk == band_own[:, None], axis=1).astype(np.int64)
-        slice_idx = mi[:, None] * n_rows_band + np.arange(n_rows_band, dtype=np.int64)[None, :]
-        slices = np.take_along_axis(sig, slice_idx, axis=1)
-        gkey = np.concatenate([mi[:, None].astype(np.uint64), slices], axis=1)
-        _, labels, counts = np.unique(gkey, axis=0, return_inverse=True, return_counts=True)
-        order = np.argsort(labels, kind="stable")
-
-        texts = group["__text"].to_pylist() if carry_text else None
-        doc_hashes: dict[int, np.ndarray] = {}
-
-        def hashes_of(i: int) -> np.ndarray:
-            if i not in doc_hashes:
-                doc_hashes[i] = (
-                    char_ngram_hashes(texts[i] or "", char_ngrams)
-                    if char_ngrams
-                    else shingle_hashes(token_hashes(tokenize(texts[i] or "")), shingle_w)
-                )
-            return doc_hashes[i]
-
-        out_a, out_b, out_est, out_jac = [], [], [], []
-        pos = 0
-        for g in counts:
-            idx = order[pos : pos + g]
-            pos += g
-            if g < 2:
-                continue
-            bi = int(mi[idx[0]])  # the whole group shares its routing band
-            for px, py in _pair_index_blocks(int(g)):
-                gx, gy = idx[px], idx[py]
-                keep = ids[gx] != ids[gy]
-                gx, gy = gx[keep], gy[keep]
-                if len(gx) == 0:
-                    continue
-                # emit-once: the pair collides at band bi by group
-                # construction; emit here iff NO earlier band collides
-                if bi > 0:
-                    early = any_eq_pairs(bkT, gx, gy, bi)
-                    gx, gy = gx[~early], gy[~early]
-                    if len(gx) == 0:
-                        continue
-                est = eq_count_pairs(sigT, gx, gy) / np.float64(n_perm)
-                if threshold is not None and not carry_text:
-                    k2 = est >= threshold
-                    gx, gy, est = gx[k2], gy[k2], est[k2]
-                    if len(gx) == 0:
-                        continue
-                a = np.minimum(ids[gx], ids[gy])
-                b = np.maximum(ids[gx], ids[gy])
-                if carry_text:
-                    jj = np.fromiter(
-                        (jaccard(hashes_of(int(x)), hashes_of(int(y))) for x, y in zip(gx, gy)),
-                        np.float64,
-                        len(gx),
-                    )
-                    k3 = np.ones(len(gx), dtype=bool) if threshold is None else jj >= threshold
-                    out_jac.append(jj[k3])
-                    a, b, est = a[k3], b[k3], est[k3]
-                out_a.append(a)
-                out_b.append(b)
-                out_est.append(est)
+        order = np.lexsort((ids, bands))
+        b_s, i_s = bands[order], ids[order]
+        starts = segment_starts(b_s)
+        counts = np.diff(starts)
+        out_a, out_b = [], []
+        # the vast majority of colliding band keys pair exactly two
+        # docs: handle those in one vectorized shot, loop only over the
+        # rare larger segments
+        g2 = np.flatnonzero(counts == 2)
+        if len(g2):
+            aa, bb = i_s[starts[g2]], i_s[starts[g2] + 1]
+            keep = aa != bb  # sorted by id → aa ≤ bb
+            out_a.append(aa[keep])
+            out_b.append(bb[keep])
+        for j in np.flatnonzero(counts >= 3):
+            seg = i_s[starts[j] : starts[j + 1]]
+            for px, py in _pair_index_blocks(len(seg)):
+                aa, bb = seg[px], seg[py]
+                keep = aa != bb
+                out_a.append(aa[keep])
+                out_b.append(bb[keep])
         if not out_a:
             return empty
-        cols = {
-            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-            "est_jaccard": pa.array(np.concatenate(out_est), pa.float64()),
-        }
+        return pa.table(
+            {"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+             "id_b": pa.array(np.concatenate(out_b), pa.int64())}
+        )
+
+    cand = _pair_distinct_ds(
+        exploded.groupby("__bucket").map_groups(cand_pairs, batch_format="pyarrow")
+    ).materialize()
+
+    out_schema = {"id_a": pa.int64(), "id_b": pa.int64(), "est_jaccard": pa.float64()}
+    if carry_text:
+        out_schema["jaccard"] = pa.float64()
+    empty_out = pa.table({c: pa.array([], t) for c, t in out_schema.items()})
+    if cand.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty_out)
+
+    # candidate doc ids (bounded by the pair count — the documented
+    # LSH regime; duplicate_clusters makes the same assumption)
+    parts = cand.map_batches(
+        lambda b: pa.table({"i": pa.array(np.unique(np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False),
+            b["id_b"].to_numpy(zero_copy_only=False)])))}),
+        batch_format="pyarrow", batch_size=None,
+    ).take_all()
+    cand_ids = np.unique(np.asarray([r["i"] for r in parts], dtype=np.int64))
+    idref = ray.put(cand_ids)
+
+    # -------------------- phase 2a: candidate signatures (one pass)
+    def cand_sigs(batch: pa.Table) -> pa.Table:
+        la = ray.get(idref) if isinstance(idref, ray.ObjectRef) else idref
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(la, ids)
+        pos[pos == len(la)] = 0
+        m = la[pos] == ids if len(la) else np.zeros(len(ids), dtype=bool)
+        cols = {"cid": pa.array(ids[m], pa.int64())}
+        texts = [t for t, k in zip(batch[text_col].to_pylist(), m) if k]
+        sigs = sig_matrix(texts) if texts else np.empty((0, n_perm), dtype=np.uint64)
+        cols["sig"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64) if sigs.size else
+                     np.empty(0, dtype=np.int64)), n_perm
+        )
         if carry_text:
-            cols["jaccard"] = pa.array(np.concatenate(out_jac), pa.float64())
+            hs = [doc_hashes(t).view(np.int64) for t in texts]
+            offs = np.concatenate([[0], np.cumsum([len(h) for h in hs])]).astype(np.int64)
+            flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+            cols["hashes"] = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int64()).cast(pa.int32()), pa.array(flat)
+            )
         return pa.table(cols)
 
-    return exploded.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        cand_sigs, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+    sid = np.asarray([r["cid"] for r in rows], dtype=np.int64)
+    order_s = np.argsort(sid, kind="stable")
+    sid = sid[order_s]
+    smat = (
+        np.asarray([r["sig"] for r in rows], dtype=np.int64)[order_s].view(np.uint64)
+        if len(rows) else np.empty((0, n_perm), dtype=np.uint64)
+    )
+    smatT = np.ascontiguousarray(smat.T)
+    shashes = None
+    if carry_text:
+        shashes = [np.asarray(rows[i]["hashes"], dtype=np.int64).view(np.uint64)
+                   for i in order_s]
+    vref = ray.put((sid, smatT, shashes))
+
+    # -------------------- phase 2b: streaming vectorized verification
+    def verify(batch: pa.Table) -> pa.Table:
+        sid_, smatT_, shs = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pa_i = np.searchsorted(sid_, a)
+        pb_i = np.searchsorted(sid_, b)
+        est = eq_count_pairs(smatT_, pa_i, pb_i) / np.float64(n_perm)
+        keep = np.ones(len(a), dtype=bool)
+        cols = {}
+        if carry_text:
+            jj = np.fromiter(
+                (jaccard(shs[int(x)], shs[int(y)]) for x, y in zip(pa_i, pb_i)),
+                np.float64, len(a),
+            )
+            if threshold is not None:
+                keep = jj >= threshold
+            cols["jaccard"] = jj
+        elif threshold is not None:
+            keep = est >= threshold
+        out = {"id_a": pa.array(a[keep], pa.int64()),
+               "id_b": pa.array(b[keep], pa.int64()),
+               "est_jaccard": pa.array(est[keep], pa.float64())}
+        if carry_text:
+            out["jaccard"] = pa.array(cols["jaccard"][keep], pa.float64())
+        return pa.table(out)
+
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
 def _simhash_chunk_params(n_bands: int) -> tuple[np.ndarray, np.ndarray]:
