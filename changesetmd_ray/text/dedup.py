@@ -168,50 +168,39 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
         else:
             order = np.zeros(len(ids), dtype=np.int64)
         # LIST-PACK the shuffle: Ray's sort-based groupby cost tracks
-        # ROW COUNT far more than bytes (measured in stages/reduce.py) —
-        # shuffling one (h, h2, id, ord) row per input row made the
-        # loser election minutes at 50M rows. Pack each block's rows
-        # into ≤ num_buckets list-rows keyed by h's low bits; a key's
-        # rows still co-locate (same h → same bucket), so winner
-        # election inside the bucket sees every copy.
+        # ROW COUNT far more than bytes — shuffling one (h, h2, id, ord)
+        # row per input row made the loser election minutes at 50M rows.
+        # A key's rows still co-locate (same h → same bucket). int keys:
+        # h1 is a bijection, h2 is all-zero; keep='first': order is
+        # all-zero — omitting them halves the shuffled bytes.
         bucket = (h1.view(np.uint64) & np.uint64(num_buckets - 1)).astype(np.int64)
-        order_b = np.argsort(bucket, kind="stable")
-        b_s = bucket[order_b]
-        starts = np.flatnonzero(
-            np.concatenate([[True], b_s[1:] != b_s[:-1]])
-        )
-        offs = np.concatenate([starts, [len(b_s)]]).astype(np.int32)
-        def packed(col):
-            return pa.ListArray.from_arrays(
-                pa.array(offs - offs[0], pa.int32()), pa.array(col[order_b])
-            )
-        cols = {"__b": pa.array(b_s[starts]), "hs": packed(h1), "ids": packed(ids)}
-        # int keys: h1 is a bijection, h2 is all-zero; keep='first':
-        # order is all-zero — omitting them halves the shuffled bytes
+        cols = {"hs": h1, "ids": ids}
         if need_h2:
-            cols["h2s"] = packed(h2)
+            cols["h2s"] = h2
         if need_ord:
-            cols["ords"] = packed(order)
-        return pa.table(cols)
+            cols["ords"] = order
+        return _pack_by_bucket(bucket, cols)
 
     def losers_of(group: pa.Table) -> pa.Table:
         h1 = np.asarray(group["hs"].combine_chunks().flatten())
         ids = np.asarray(group["ids"].combine_chunks().flatten())
-        h2 = (
-            np.asarray(group["h2s"].combine_chunks().flatten())
-            if need_h2 else np.zeros(len(h1), dtype=np.int64)
-        )
-        order = (
-            np.asarray(group["ords"].combine_chunks().flatten())
-            if need_ord else np.zeros(len(h1), dtype=np.int64)
-        )
-        # sort by (h1, h2, order, id): the first row of each (h1, h2)
-        # run wins, the rest are losers
-        perm = np.lexsort((ids, order, h2, h1))
-        h1s, h2s, ids_s = h1[perm], h2[perm], ids[perm]
-        first = np.concatenate(
-            [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
-        )
+        h2 = np.asarray(group["h2s"].combine_chunks().flatten()) if need_h2 else None
+        order = np.asarray(group["ords"].combine_chunks().flatten()) if need_ord else None
+        # sort by (h1[, h2][, order], id): the first row of each
+        # (h1[, h2]) run wins, the rest are losers — all-zero keys are
+        # omitted from the sort entirely (the fast int-key path)
+        keys = [ids]
+        if need_ord:
+            keys.append(order)
+        if need_h2:
+            keys.append(h2)
+        keys.append(h1)
+        perm = np.lexsort(tuple(keys))
+        h1s, ids_s = h1[perm], ids[perm]
+        first = np.concatenate([[True], h1s[1:] != h1s[:-1]])
+        if need_h2:
+            h2s = h2[perm]
+            first[1:] |= h2s[1:] != h2s[:-1]
         # duplicate-id guard within a key run (see exact_dedup
         # docstring); Python touches only multi-row runs (= dup groups)
         key_run = np.flatnonzero(first)
@@ -304,6 +293,29 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
     return union.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
 
 
+def _pack_by_bucket(bucket: np.ndarray, cols: dict, bucket_col: str = "__b") -> pa.Table:
+    """One packed list-row per distinct bucket value in this block —
+    THE list-packing kernel (Ray's sort shuffle is row-count-bound;
+    see stages/reduce.py for the original measurement). Empty-safe.
+    All packed columns must be int64 numpy arrays."""
+    if len(bucket) == 0:
+        return pa.table(
+            {bucket_col: pa.array([], pa.int64()),
+             **{n: pa.array([], pa.list_(pa.int64())) for n in cols}}
+        )
+    order = np.argsort(bucket, kind="stable")
+    b_s = bucket[order]
+    offs = segment_starts(b_s).astype(np.int32)
+
+    def packed(col):
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(col[order]))
+
+    return pa.table(
+        {bucket_col: pa.array(b_s[offs[:-1]]),
+         **{n: packed(c) for n, c in cols.items()}}
+    )
+
+
 def _pair_index_blocks(n: int, max_pairs: int = 1 << 21):
     """Yield ``(px, py)`` int64 index arrays covering every ``i < j``
     pair of ``range(n)`` in blocks of ≤ ``max_pairs`` pairs — bounds the
@@ -334,11 +346,7 @@ def _pair_distinct_ds(pairs, num_buckets: int = 256):
         a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(a) == 0:
-            return pa.table(
-                {"__pb": pa.array([], pa.int64()),
-                 "pa_": pa.array([], pa.list_(pa.int64())),
-                 "pb_": pa.array([], pa.list_(pa.int64()))}
-            )
+            return _pack_by_bucket(np.empty(0, dtype=np.int64), {"pa_": a, "pb_": b}, "__pb")
         # local pre-dedup: same-band duplicates within this block vanish
         # before any bytes move
         order = np.lexsort((b, a))
@@ -350,19 +358,7 @@ def _pair_distinct_ds(pairs, num_buckets: int = 256):
             splitmix64(splitmix64(a.view(np.uint64)) ^ b.view(np.uint64))
             & np.uint64(num_buckets - 1)
         ).astype(np.int64)
-        order_h = np.argsort(h, kind="stable")
-        h_s = h[order_h]
-        starts = np.flatnonzero(np.concatenate([[True], h_s[1:] != h_s[:-1]]))
-        offs = np.concatenate([starts, [len(h_s)]]).astype(np.int32)
-
-        def packed(col):
-            return pa.ListArray.from_arrays(
-                pa.array(offs - offs[0], pa.int32()), pa.array(col[order_h])
-            )
-
-        return pa.table(
-            {"__pb": pa.array(h_s[starts]), "pa_": packed(a), "pb_": packed(b)}
-        )
+        return _pack_by_bucket(h, {"pa_": a, "pb_": b}, "__pb")
 
     def uniq(group: pa.Table) -> pa.Table:
         a = np.asarray(group["pa_"].combine_chunks().flatten())
@@ -449,27 +445,16 @@ def minhash_lsh_candidates(
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ids) == 0:
-            return pa.table({"__bucket": pa.array([], pa.int64()),
-                             "bands": pa.array([], pa.list_(pa.int64())),
-                             "ids": pa.array([], pa.list_(pa.int64()))})
+            return _pack_by_bucket(
+                np.empty(0, dtype=np.int64),
+                {"bands": np.empty(0, dtype=np.int64), "ids": np.empty(0, dtype=np.int64)},
+                "__bucket",
+            )
         bk = band_keys_matrix(sig_matrix(texts), n_bands)  # (n, n_bands) uint64
         band = bk.view(np.int64).reshape(-1)  # doc-major
         rep_id = np.repeat(ids, n_bands)
         bucket = (band.view(np.uint64) & np.uint64(num_fold_buckets - 1)).astype(np.int64)
-        order_b = np.argsort(bucket, kind="stable")
-        b_s = bucket[order_b]
-        starts = np.flatnonzero(np.concatenate([[True], b_s[1:] != b_s[:-1]]))
-        offs = np.concatenate([starts, [len(b_s)]]).astype(np.int32)
-
-        def packed(col):
-            return pa.ListArray.from_arrays(
-                pa.array(offs - offs[0], pa.int32()), pa.array(col[order_b])
-            )
-
-        return pa.table(
-            {"__bucket": pa.array(b_s[starts]), "bands": packed(band),
-             "ids": packed(rep_id)}
-        )
+        return _pack_by_bucket(bucket, {"bands": band, "ids": rep_id}, "__bucket")
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
         band_rows, batch_format="pyarrow", batch_size=batch_size
@@ -540,17 +525,22 @@ def minhash_lsh_candidates(
         pos = np.searchsorted(la, ids)
         pos[pos == len(la)] = 0
         m = la[pos] == ids if len(la) else np.zeros(len(ids), dtype=bool)
+        # filter FIRST: only candidate rows pay the Python-str conversion
+        sub = batch.filter(pa.array(m))
+        texts = sub[text_col].to_pylist()
+        # hash each text ONCE; signatures derive from the same hash sets
+        hs = [doc_hashes(t) for t in texts]
+        sigs = np.empty((len(hs), n_perm), dtype=np.uint64)
+        for i, h in enumerate(hs):
+            sigs[i] = minhash_signature(h, a_par, b_par)
         cols = {"cid": pa.array(ids[m], pa.int64())}
-        texts = [t for t, k in zip(batch[text_col].to_pylist(), m) if k]
-        sigs = sig_matrix(texts) if texts else np.empty((0, n_perm), dtype=np.uint64)
         cols["sig"] = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).view(np.int64) if sigs.size else
                      np.empty(0, dtype=np.int64)), n_perm
         )
         if carry_text:
-            hs = [doc_hashes(t).view(np.int64) for t in texts]
             offs = np.concatenate([[0], np.cumsum([len(h) for h in hs])]).astype(np.int64)
-            flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+            flat = np.concatenate([h.view(np.int64) for h in hs]) if hs else np.empty(0, dtype=np.int64)
             cols["hashes"] = pa.ListArray.from_arrays(
                 pa.array(offs, pa.int64()).cast(pa.int32()), pa.array(flat)
             )
@@ -578,11 +568,21 @@ def minhash_lsh_candidates(
         sid_, smatT_, shs = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
         a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pa_i = np.searchsorted(sid_, a)
-        pb_i = np.searchsorted(sid_, b)
+        # guarded lookups: a candidate id can be absent from phase 2a
+        # only if ds's lineage is unstable across executions (the two
+        # phases each run it once) — drop such pairs instead of
+        # indexing out of bounds / into the wrong doc's signature
+        hi = max(len(sid_) - 1, 0)
+        pa_i = np.minimum(np.searchsorted(sid_, a), hi)
+        pb_i = np.minimum(np.searchsorted(sid_, b), hi)
+        found = (
+            (sid_[pa_i] == a) & (sid_[pb_i] == b)
+            if len(sid_) else np.zeros(len(a), dtype=bool)
+        )
+        a, b, pa_i, pb_i = a[found], b[found], pa_i[found], pb_i[found]
         est = eq_count_pairs(smatT_, pa_i, pb_i) / np.float64(n_perm)
         keep = np.ones(len(a), dtype=bool)
-        cols = {}
+        jj = None
         if carry_text:
             jj = np.fromiter(
                 (jaccard(shs[int(x)], shs[int(y)]) for x, y in zip(pa_i, pb_i)),
@@ -590,14 +590,13 @@ def minhash_lsh_candidates(
             )
             if threshold is not None:
                 keep = jj >= threshold
-            cols["jaccard"] = jj
         elif threshold is not None:
             keep = est >= threshold
         out = {"id_a": pa.array(a[keep], pa.int64()),
                "id_b": pa.array(b[keep], pa.int64()),
                "est_jaccard": pa.array(est[keep], pa.float64())}
         if carry_text:
-            out["jaccard"] = pa.array(cols["jaccard"][keep], pa.float64())
+            out["jaccard"] = pa.array(jj[keep], pa.float64())
         return pa.table(out)
 
     return cand.map_batches(verify, batch_format="pyarrow", batch_size=None)
