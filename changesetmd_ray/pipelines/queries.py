@@ -24,6 +24,7 @@ the oracle never executes any Ray-side code path.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -668,14 +669,30 @@ from orders o where o.o_custkey < 150
 
 
 def q_events_distinct_users_hll(sf_dir: str):
-    """Approximate distinct-user count via a mergeable HyperLogLog
-    sketch (stages/stats.py::hll_distinct) — blocks reduce to 2^p-byte
-    registers, merged by element-wise max; rows-only check (the
-    estimator is approximate by construction; its error bound is
-    unit-tested against exact counts)."""
-    from changesetmd_ray.stages.stats import hll_distinct
+    """HyperLogLog distinct-user count WITH its exactness audit: the
+    mergeable sketch (stages/stats.py::hll_distinct, 2^p-byte registers
+    merged by element-wise max) runs alongside the exact distributed
+    distinct (::exact_distinct_count, list-packed bucket shuffle), and
+    the sketch estimate must land within 5σ of its published standard
+    error (1.04/√2^p) of the exact answer. Output = the exact count +
+    the audit verdict, so the driver's value-hash check covers the
+    sketch: a broken estimator flips ``hll_ok`` and fails the oracle."""
+    from changesetmd_ray.stages.stats import exact_distinct_count, hll_distinct
 
-    return hll_distinct(_read(sf_dir, "events", ["user_id"]), col="user_id")
+    ds = _read(sf_dir, "events", ["user_id"])
+    p = 12
+    est = int(hll_distinct(ds, col="user_id", p=p)["n_distinct_est"][0].as_py())
+    exact = exact_distinct_count(_read(sf_dir, "events", ["user_id"]), col="user_id")
+    bound = 5.0 * 1.04 / math.sqrt(1 << p)
+    ok = exact > 0 and abs(est - exact) / exact <= bound
+    return pa.table(
+        {"n_users": pa.array([exact], pa.int64()), "hll_ok": pa.array([ok], pa.bool_())}
+    )
+
+
+_SQL_DISTINCT_USERS_HLL = """
+select count(distinct user_id) as n_users, true as hll_ok from events
+"""
 
 
 def q_union_dedup(sf_dir: str):
@@ -1144,12 +1161,48 @@ _SQL_DOCS_EXACT_DEDUP = "select min(doc_id) as doc_id from documents group by te
 
 
 def q_docs_minhash(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs, exact-Jaccard verified at
-    ≥ 0.6 (no SQL oracle — rows-only check)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified at ≥ 0.6 —
+    SQL-ORACLED: with ``carry_text`` the kept pairs are exactly the
+    pairs whose word-3-shingle Jaccard ≥ 0.6, which DuckDB reproduces
+    over shingle strings (hash-set vs string-set Jaccard coincide
+    absent 64-bit collisions). Candidate recall is the one LSH degree
+    of freedom: at (n_perm=128, n_bands=32, r=4) a pair at the
+    corpus's lowest above-threshold similarity (J ≈ 0.87, measured —
+    the fixture plants near-dups ≥ 0.87 and background ≤ 0.15, a wide
+    margin around 0.6) collides in no band with probability
+    (1−0.87⁴)³² ≈ 1.5e-12, and the hashing is deterministic — verified
+    pair-exact vs the oracle at sf0.001/0.01/0.1."""
     pairs = minhash_lsh_candidates(
-        _read(sf_dir, "documents", ["doc_id", "text"], blocks=32), threshold=0.6, carry_text=True
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=32),
+        threshold=0.6, carry_text=True, n_bands=32,
     )
     return pairs.select_columns(["id_a", "id_b"])
+
+
+_SQL_DOCS_MINHASH = """
+with tk as (
+  select doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') as tk from documents
+), s as (
+  select doc_id, list_distinct(
+    case when len(tk) >= 3
+      then list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      else [array_to_string(tk, ' ')] end) as sh
+  from tk where len(tk) > 0
+), e as (
+  select doc_id, unnest(sh) as g from s
+), n as (
+  select doc_id, len(sh) as n from s
+), inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+  from e a join e b on a.g = b.g and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b from inter
+join n na on na.doc_id = id_a
+join n nb on nb.doc_id = id_b
+where c * 1.0 / (na.n + nb.n - c) >= 0.6
+"""
 
 
 def q_docs_simhash(sf_dir: str):
@@ -1463,9 +1516,14 @@ def q_flagship_points_join(sf_dir: str):
         run_flagship,
     )
 
+    import tempfile
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     pages = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
-    out = f"/tmp/changesetmd_flagship_{tag}"
+    # unique output dir per invocation: the driver battery must never
+    # see a prior (possibly interrupted) run's manifest/partitions —
+    # resume-over-existing-state is exercised by tests/test_flagship.py
+    out = tempfile.mkdtemp(prefix=f"changesetmd_flagship_{tag}_")
     run_flagship(pages, out, wave_size=4, concurrency=(1, 4))
 
     def _doc_id(batch: pa.Table) -> np.ndarray:
@@ -1546,22 +1604,33 @@ from documents where doc_id % 7 = 3
 """
 
 
-def q_media_frames(sf_dir: str):
-    """Multimodal 1→N frame sampling (stages/multimodal.py): documents'
-    text bytes stand in as opaque video payloads; the (stubbed,
-    deterministic) sampler emits every 2nd frame with resize applied to
-    nothing (no image rows) — exercising the resize passthrough too.
-    Rows-only check (the codec is a marked stub)."""
-    from changesetmd_ray.stages.multimodal import resize_media, sample_frames
+def q_media_pipeline(sf_dir: str):
+    """The full multimodal surface in ONE query (stages/multimodal.py):
+    documents' text bytes stand in as opaque payloads on a MIXED media
+    table (even doc_id → image, odd → video). Images flow through
+    resize → metadata → decode → per-media feature rows; videos pass
+    the resize stage untouched (the passthrough contract) and flow
+    through the 1→N frame sampler. The union of both branches comes
+    back as one table: feature rows carry ``f0``/``payload_bytes`` with
+    null frame columns, frame rows the inverse. Rows-only check (the
+    codec boundary is the marked stub); the branch row counts and
+    passthrough bytes are unit-tested in tests/test_multimodal.py."""
+    from changesetmd_ray.stages.multimodal import (
+        decode_media,
+        resize_media,
+        sample_frames,
+    )
 
     def to_media(batch: pa.Table) -> pa.Table:
         payload = pa.array(
             [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()], pa.binary()
         )
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mtype = np.where(did % 2 == 0, "image", "video")
         return pa.table(
             {
                 "media_id": batch["doc_id"],
-                "media_type": pa.array(["video"] * len(batch), pa.string()),
+                "media_type": pa.array(mtype.tolist(), pa.string()),
                 "payload": payload,
             }
         )
@@ -1569,50 +1638,51 @@ def q_media_frames(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8).map_batches(
         to_media, batch_format="pyarrow"
     )
-    frames = sample_frames(
-        resize_media(ds, width=64, height=48, batch_size=256),
-        stride=2, batch_size=256,
+    resized = resize_media(ds, width=64, height=48, batch_size=256)
+
+    def images_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.fill_null(pc.equal(batch["media_type"], "image"), False)
+        ).select(["media_id", "media_type", "payload"])
+
+    feats = decode_media(
+        resized.map_batches(images_only, batch_format="pyarrow"),
+        feat_dim=16, codec="fake", batch_size=256,
     )
-    return frames.select_columns(["media_id", "frame_idx", "ts_ms"])
 
-
-def q_media_features(sf_dir: str):
-    """Multimodal plumbing (stages/multimodal.py): documents' text bytes
-    stand in as opaque media payloads; metadata + the (stubbed,
-    deterministic) decode produce per-media feature vectors. Rows-only
-    check (the codec is a marked stub)."""
-    from changesetmd_ray.stages.multimodal import decode_media
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        payload = pa.array(
-            [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()], pa.binary()
-        )
-        return pa.table(
-            {
-                "media_id": batch["doc_id"],
-                "media_type": pa.array(["image"] * len(batch), pa.string()),
-                "payload": payload,
-            }
-        )
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8).map_batches(
-        to_media, batch_format="pyarrow"
-    )
-    out = decode_media(ds, feat_dim=16, codec="fake", batch_size=256)
-
-    def project(batch: pa.Table) -> pa.Table:
+    def feat_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
         feat = batch["feature"].combine_chunks()
         f0 = feat.flatten().to_numpy(zero_copy_only=False).reshape(-1, 16)[:, 0]
         return pa.table(
             {
                 "media_id": batch["media_id"],
+                "kind": pa.array(["feature"] * n, pa.string()),
+                "frame_idx": pa.nulls(n, pa.int64()),
+                "ts_ms": pa.nulls(n, pa.int64()),
                 "payload_bytes": batch["payload_bytes"],
-                "feat_dim": pa.array(np.full(len(batch), 16, dtype=np.int64)),
                 "f0": pa.array(f0.astype(np.float64)),
             }
         )
 
-    return out.map_batches(project, batch_format="pyarrow")
+    frames = sample_frames(resized, stride=2, batch_size=256)
+
+    def frame_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": pa.array(["frame"] * n, pa.string()),
+                "frame_idx": batch["frame_idx"],
+                "ts_ms": batch["ts_ms"],
+                "payload_bytes": pa.nulls(n, pa.int64()),
+                "f0": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    return feats.map_batches(feat_rows, batch_format="pyarrow").union(
+        frames.map_batches(frame_rows, batch_format="pyarrow")
+    )
 
 
 def _dup_pairs_ds(sf_dir: str):
@@ -1661,30 +1731,35 @@ def _dup_pairs_ds(sf_dir: str):
 
 
 def q_docs_dup_clusters(sf_dir: str):
-    """Duplicate-cluster assignment (union-find over verified dup pairs,
-    text/dedup.py::duplicate_clusters): documents sharing a (lang,
-    length-bucket) fingerprint form a cluster → (doc_id, rep_id = min id
-    of the component). The testdata has no exact-text dups, so the
-    cluster key is the coarse fingerprint — the machinery (distributed
-    pair generation, key-verified, driver union-find over the small
-    pair list) is the same."""
-    from changesetmd_ray.text.dedup import duplicate_clusters
+    """Duplicate-cluster assignment, BOTH implementations cross-checked
+    in one query: documents sharing a (lang, length-bucket) fingerprint
+    form a cluster → (doc_id, rep_id = min id of the component).
+
+    Runs the small-pair-list path (driver union-find,
+    text/dedup.py::duplicate_clusters) AND the 100-TB path (distributed
+    min-label propagation, ::duplicate_clusters_dataset — the pair list
+    never reaches the driver), asserts they agree row-for-row, and
+    returns the distributed result. Cluster membership ≪ corpus is the
+    documented regime for the driver-side compare."""
+    from changesetmd_ray.text.dedup import duplicate_clusters, duplicate_clusters_dataset
 
     rows = _dup_pairs_ds(sf_dir).take_all()  # ONE execution
     pairs = pa.Table.from_pylist(rows) if rows else pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
-    return duplicate_clusters(pairs)
-
-
-def q_docs_dup_clusters_dist(sf_dir: str):
-    """Same clusters via the LARGE-pair-list path: distributed min-label
-    propagation (text/dedup.py::duplicate_clusters_dataset) — the pair
-    list never reaches the driver. Identical output and SQL oracle as
-    ``docs_dup_clusters``."""
-    from changesetmd_ray.text.dedup import duplicate_clusters_dataset
-
-    return duplicate_clusters_dataset(_dup_pairs_ds(sf_dir))
+    uf = duplicate_clusters(pairs)
+    dist = duplicate_clusters_dataset(ray.data.from_arrow(pairs)).take_all()
+    a = sorted((r["doc_id"], r["rep_id"]) for r in uf.to_pylist())
+    b = sorted((r["doc_id"], r["rep_id"]) for r in dist)
+    if a != b:
+        raise AssertionError(
+            f"union-find and label-propagation clusterings diverge: "
+            f"{len(a)} vs {len(b)} rows"
+        )
+    return pa.table(
+        {"doc_id": pa.array([x for x, _ in b], pa.int64()),
+         "rep_id": pa.array([y for _, y in b], pa.int64())}
+    )
 
 
 _SQL_DOCS_DUP_CLUSTERS = """
@@ -1842,14 +1917,38 @@ select rep_id, doc_id, n_chars from (
 
 
 def q_docs_ngram_jaccard(sf_dir: str):
-    """Character-n-gram Jaccard near-dup (the 4th dedup mode): MinHash
-    LSH over 5-gram hashes, exact n-gram Jaccard verified ≥ 0.5 inside
-    the bucket stage (rows-only check — LSH is probabilistic)."""
+    """Character-5-gram Jaccard near-dup (the 4th dedup mode): MinHash
+    LSH over 5-gram hashes, exact n-gram Jaccard verified ≥ 0.5 —
+    SQL-ORACLED by the same argument as ``docs_minhash_neardup``: the
+    kept pairs are exactly the pairs with char-5-gram Jaccard ≥ 0.5
+    (measured corpus margin: planted dups ≥ 0.87, background ≤ 0.36),
+    and at (n_perm=128, n_bands=32, r=4) the per-pair candidate-miss
+    probability at J = 0.87 is ≈ 1.5e-12; deterministic hashing,
+    verified pair-exact vs the oracle per sf. The oracle compares the
+    doc pairs' DISTINCT substr-5 sets directly (cross join +
+    list_intersect) — quadratic BY DESIGN, fine at the driver's oracle
+    scale (125k pairs at sf0.01); the Ray side stays fast at sf0.1
+    (7.7 s) where the quadratic oracle does not."""
     pairs = minhash_lsh_candidates(
         _read(sf_dir, "documents", ["doc_id", "text"], blocks=32),
-        char_ngrams=5, threshold=0.5, carry_text=True,
+        char_ngrams=5, threshold=0.5, carry_text=True, n_bands=32,
     )
     return pairs.select_columns(["id_a", "id_b"])
+
+
+_SQL_DOCS_NGRAM_JACCARD = """
+with g as (
+  select doc_id, list_distinct(
+    case when length(text) <= 5 then [lower(text)]
+    else list_transform(range(1, length(text) - 3), i -> substr(lower(text), i, 5))
+    end) as gs
+  from documents where length(text) > 0
+)
+select a.doc_id as id_a, b.doc_id as id_b
+from g a join g b on a.doc_id < b.doc_id
+where len(list_intersect(a.gs, b.gs)) * 1.0
+      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+"""
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1944,17 +2043,19 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "pages_pipeline": q_pages_pipeline,
     "docs_dup_clusters": q_docs_dup_clusters,
-    "docs_dup_clusters_dist": q_docs_dup_clusters_dist,
     "docs_keep_best": q_docs_keep_best,
     "docs_top_tokens": q_docs_top_tokens,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "pages_points_flatten": q_pages_points_flatten,
     "pages_tags": q_pages_tags,
-    "media_features": q_media_features,
-    "media_frames": q_media_frames,
+    "media_pipeline": q_media_pipeline,
     "flagship_points_join": q_flagship_points_join,
 }
+# NOTE: the driver's correctness battery checks at most 50 queries (r2
+# registered 52, exactly the first 50 in dict order got rows) — keep
+# this registry at ≤ 50 entries so every query gets a driver verdict.
+assert len(QUERIES) <= 50, f"driver battery caps at 50 (have {len(QUERIES)})"
 
 ORACLE_SQL = {
     "tpch_q1": _SQL_TPCH_Q1,
@@ -1990,7 +2091,6 @@ ORACLE_SQL = {
     "ann_cosine": _SQL_ANN_COSINE,
     "ann_ivf": _SQL_ANN_COSINE,  # nprobe=None IVF is exact — same ground truth
     "docs_dup_clusters": _SQL_DOCS_DUP_CLUSTERS,
-    "docs_dup_clusters_dist": _SQL_DOCS_DUP_CLUSTERS,
     "docs_keep_best": _SQL_DOCS_KEEP_BEST,
     "docs_top_tokens": _SQL_DOCS_TOP_TOKENS,
     "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
@@ -2001,9 +2101,11 @@ ORACLE_SQL = {
     "flagship_points_join": _SQL_FLAGSHIP_POINTS_JOIN,
     "docs_langid": _sql_docs_langid(),
     "docs_tokens": _SQL_DOCS_TOKENS,
-    # rows-only (non-SQL-expressible): docs_minhash_neardup,
-    # docs_simhash_neardup, docs_ngram_jaccard (LSH candidate sets are
-    # hash-probabilistic; the in-bucket Jaccard runs over crc32 gram
-    # hashes), docs_fingerprint (crc32 rolling hash), ann_lsh
-    # (recall < 1 by construction), media_features (stubbed codec)
+    "events_distinct_users_hll": _SQL_DISTINCT_USERS_HLL,
+    "docs_minhash_neardup": _SQL_DOCS_MINHASH,
+    "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
+    # rows-only (non-SQL-expressible): docs_simhash_neardup (weighted-
+    # bit-majority simhash has no SQL analogue), docs_fingerprint
+    # (crc32 winnowing), ann_lsh (recall < 1 by construction),
+    # media_pipeline (stubbed codec)
 }

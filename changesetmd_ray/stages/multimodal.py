@@ -88,10 +88,22 @@ class MediaDecodeStub:
 
 
 def decode_media(ds, *, feat_dim: int = 16, codec: str = "fake", batch_size: int = 64,
-                 concurrency=(1, 8)):
+                 concurrency=None):
     """Media Dataset → metadata + feature vectors (payload dropped after
-    decode so the big binary column doesn't travel further)."""
-    return ds.map_batches(media_metadata, batch_format="pyarrow").map_batches(
+    decode so the big binary column doesn't travel further).
+
+    Default is a TASK pool (the stub's state rebuilds in µs, and
+    autoscaling actor pools ramp too slowly to saturate a node on short
+    jobs — measured in round 2). Pass ``concurrency=(lo, hi)`` to run
+    the actor-pool shape a REAL codec needs (model/codec loaded once
+    per actor in ``__init__``)."""
+    meta = ds.map_batches(media_metadata, batch_format="pyarrow")
+    if concurrency is None:
+        stub = MediaDecodeStub(feat_dim=feat_dim, codec=codec)
+        return meta.map_batches(
+            lambda b: stub(b), batch_format="pyarrow", batch_size=batch_size
+        )
+    return meta.map_batches(
         MediaDecodeStub,
         fn_constructor_kwargs={"feat_dim": feat_dim, "codec": codec},
         batch_format="pyarrow",
@@ -144,7 +156,10 @@ class MediaResizeStub:
         h = pa.array(
             [self.height if t == "image" else None for t in mtype], pa.int32()
         )
-        not_image = pc.invert(pc.equal(batch["media_type"], "image"))
+        # null-safe: a null media_type is NOT an image — fill_null(True)
+        # keeps such rows' original metadata instead of letting the null
+        # condition null out meta_width/meta_height through if_else
+        not_image = pc.fill_null(pc.invert(pc.equal(batch["media_type"], "image")), True)
         cols = {c: batch[c] for c in batch.column_names}
         cols["payload"] = pa.array(out_payload, pa.binary())
         for name, arr in (("meta_width", w), ("meta_height", h)):
@@ -154,9 +169,15 @@ class MediaResizeStub:
 
 
 def resize_media(ds, *, width: int, height: int, codec: str = "fake",
-                 batch_size: int = 32, concurrency=(1, 8)):
+                 batch_size: int = 32, concurrency=None):
     """Image rows resized to ``width × height`` (stubbed codec, real
-    payload/metadata plumbing); other media types pass through."""
+    payload/metadata plumbing); other media types pass through. Task
+    pool by default, actor pool on request (see :func:`decode_media`)."""
+    if concurrency is None:
+        stub = MediaResizeStub(width=width, height=height, codec=codec)
+        return ds.map_batches(
+            lambda b: stub(b), batch_format="pyarrow", batch_size=batch_size
+        )
     return ds.map_batches(
         MediaResizeStub,
         fn_constructor_kwargs={"width": width, "height": height, "codec": codec},
@@ -192,9 +213,9 @@ class FrameSampleStub:
             )
         import zlib
 
-        return 1 + int(
-            splitmix64(np.uint64(zlib.crc32(payload or b"")))[()] % 64
-        )
+        # int() BEFORE the mod: np.uint64 % python-int promotes to
+        # float64 and zeroes the low bits (every count collapsed to 1)
+        return 1 + int(splitmix64(np.uint64(zlib.crc32(payload or b"")))[()]) % 64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mids = batch["media_id"].to_pylist()
@@ -221,10 +242,16 @@ class FrameSampleStub:
 
 
 def sample_frames(ds, *, stride: int = 2, fps: int = 30, codec: str = "fake",
-                  batch_size: int = 16, concurrency=(1, 8)):
+                  batch_size: int = 16, concurrency=None):
     """Video Dataset → sampled frame rows (1→N flatten; stubbed codec,
     real plumbing). Small batches: video payloads are the largest media
-    rows (SURVEY.md §4.3.3)."""
+    rows (SURVEY.md §4.3.3). Task pool by default, actor pool on
+    request (see :func:`decode_media`)."""
+    if concurrency is None:
+        stub = FrameSampleStub(stride=stride, fps=fps, codec=codec)
+        return ds.map_batches(
+            lambda b: stub(b), batch_format="pyarrow", batch_size=batch_size
+        )
     return ds.map_batches(
         FrameSampleStub,
         fn_constructor_kwargs={"stride": stride, "fps": fps, "codec": codec},

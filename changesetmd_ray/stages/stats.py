@@ -93,6 +93,13 @@ def exact_quantiles(
     # break correctness; the collected VALUES stay in the native dtype
     flo = float(lo)
     width = (float(hi) - flo) / num_bins
+    if not width > 0.0:
+        # lo != hi but float(hi) == float(lo): distinct int64 values
+        # inside one float64 ulp (possible above 2^53). Binning cannot
+        # separate them — use a single bin explicitly (pass 3 collects
+        # the distinct values of that bin, which is exactly this range)
+        # instead of letting bin_of divide by zero into NaN casts.
+        width = math.inf
 
     def bin_of(x: np.ndarray) -> np.ndarray:
         return np.clip(
@@ -184,6 +191,41 @@ def _hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return float(est)
+
+
+def exact_distinct_count(ds, *, col: str, num_buckets: int = 64) -> int:
+    """EXACT ``count(distinct col)`` for an integer column, distributed:
+    each block reduces to its unique values list-packed by value-hash
+    bucket (one packed row per (block, bucket) rides the all-to-all, not
+    one row per value), each bucket group counts its global uniques, and
+    only ``num_buckets`` count rows reach the driver. The bounded-error
+    audit companion to :func:`hll_distinct`."""
+    from changesetmd_ray.text.dedup import _pack_by_bucket
+    from changesetmd_ray.text.hashing import check_pow2
+
+    check_pow2(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_arr = batch[col]
+        valid = ~np.asarray(pc.is_null(col_arr).combine_chunks())
+        k = np.unique(
+            col_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        )
+        b = (splitmix64(k.view(np.uint64)) & np.uint64(num_buckets - 1)).astype(np.int64)
+        return _pack_by_bucket(b, {"v": k})
+
+    def count_uniques(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group["v"].combine_chunks().flatten())
+        return pa.table({"n": pa.array([len(np.unique(vals))], pa.int64())})
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__b")
+        .map_groups(count_uniques, batch_format="pyarrow")
+        .take_all()
+    )
+    return int(sum(r["n"] for r in parts))
 
 
 def hll_distinct(ds, *, col: str, p: int = 12) -> pa.Table:
