@@ -56,7 +56,20 @@ def _clean_keys(batch: pa.Table, key: str, cols: list[str]) -> tuple[pa.Table, n
 def _hot_key_counts(ds, key: str, hot_track: int) -> dict[int, int]:
     """Approximate per-key counts for heavy-hitter detection: each block
     reports its ``hot_track`` most frequent keys (count ≥ 2); partials
-    combine distributed before a bounded driver collect."""
+    combine distributed before a bounded driver collect.
+
+    Detection regime (documented limitation): the per-block ``≥ 2`` cut
+    means a key that is globally hot but appears ≤ once per block on
+    BOTH sides evades salting entirely — output stays correct, only the
+    skew protection doesn't engage. That key's per-bucket row count is
+    at most the block count, so the worst case is bounded by
+    blocks_left × blocks_right pairs in one bucket; keys that are ≥ 2×
+    denser than the block grain (every genuinely pathological hot key —
+    a key worth salting appears thousands of times per block at scale)
+    are always seen. A count-min sketch over full per-block counts
+    would close the gap at the cost of shuffling every distinct key
+    once; not worth it for a pre-pass whose failure mode is
+    performance, not correctness."""
     from changesetmd_ray.stages.reduce import _combine_table
 
     def partial(batch: pa.Table) -> pa.Table:

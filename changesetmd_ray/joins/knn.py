@@ -5,8 +5,10 @@ Two shapes:
 - :func:`knn_join` — broadcast probes: the (small) probe set ships once
   via ``ray.put``; the corpus streams through task-pool ``map_batches``
   computing per-batch partial top-k; the final exact merge (oracle tie
-  order: distance asc, neighbor id asc) is a one-task consolidation by
-  default (P is broadcast-bounded) and probe-hash bucketed on request.
+  order: distance asc, neighbor id asc) auto-sizes to the probe count —
+  probe-hash BUCKETED whenever P × k is non-trivial (no single-task
+  funnel at scale), a one-task consolidation only for merges of a few
+  thousand rows where a sort shuffle costs more than it parallelizes.
 - :func:`knn_radius_join` — the scale path: BOTH sides are Datasets.
   Corpus rows go to their grid cell, probes replicate to the
   conservative radius cover, a bucketed groupby co-locates them; the
@@ -128,6 +130,23 @@ class _PartialTopK:
         )
 
 
+def _auto_merge_buckets(n_probes: int, k: int, *, small: int = 4096,
+                        rows_per_bucket: int = 8192, max_buckets: int = 64) -> int:
+    """Default final-merge width for :func:`knn_join`: 1 (repartition +
+    one vectorized top-k task) only while the merged volume P × k is a
+    few thousand rows — where a sort shuffle costs more latency than it
+    buys parallelism — else the probe-hash BUCKETED merge so no single
+    task funnels blocks × P × k rows at scale. Power-of-two bucket
+    count, one bucket per ~``rows_per_bucket`` merged rows, capped."""
+    vol = n_probes * max(k, 1)
+    if vol <= small:
+        return 1
+    b = 2
+    while b < max_buckets and b * rows_per_bucket < vol:
+        b *= 2
+    return b
+
+
 def _merge_topk_block(batch: pa.Table, k: int, final: bool) -> pa.Table:
     """Vectorized multi-probe top-k merge within one block."""
     g, n_, d, within = _topk_per_group(
@@ -200,7 +219,7 @@ def knn_join(
     batch_size: int = 8192,
     concurrency=None,
     merge_fanin: int | None = None,
-    merge_buckets: int = 1,
+    merge_buckets: int | None = None,
 ):
     """Exact k-nearest-neighbors of every probe among the corpus points.
 
@@ -208,6 +227,12 @@ def knn_join(
     small driver-side pyarrow Table (broadcast; NaN/null-coordinate
     probes are dropped, matching the radius path). Returns a Dataset
     ``(probe_id, neighbor_id, rank, dist_m)``, rank 1..k.
+
+    ``merge_buckets=None`` (default) sizes the final merge from the
+    probe count: probe-hash BUCKETED (no single-task funnel) as soon
+    as P × k partial volume is non-trivial, single-task only when the
+    whole merge is a few thousand rows and a sort shuffle would cost
+    more than it parallelizes (see :func:`_auto_merge_buckets`).
     """
     pid = probes[probe_id].to_numpy(zero_copy_only=False).astype(np.int64)
     plon = probes[probe_lon].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -231,11 +256,8 @@ def knn_join(
         batch_size=batch_size,
     )
 
-    # merge default for THIS path is merge_buckets=1 (repartition(1) +
-    # vectorized final top-k): P is broadcast-bounded here, so the final
-    # block always fits one task and a sort shuffle would only add
-    # latency. Raise merge_buckets / set merge_fanin when blocks × P × k
-    # partial volume grows.
+    if merge_buckets is None:
+        merge_buckets = _auto_merge_buckets(int(ok.sum()), k)
     return _merge_topk_final(partials, k, merge_buckets, merge_fanin)
 
 

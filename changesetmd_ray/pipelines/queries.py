@@ -154,23 +154,32 @@ def _supplier_rect_table(sf_dir: str) -> pa.Table:
 
 def _rects_as_polygons(rects: pa.Table, id_col: str) -> pa.Table:
     """Rectangles → the PIP polygon fixture schema (counter-clockwise
-    rings) so the pip_join path runs its real ring machinery."""
-    rows = []
-    for r in rects.to_pylist():
-        rows.append(
-            {
-                "poly_id": int(r[id_col]),
-                "kind": "ring",
-                "ring": [
-                    {"lon": r["min_lon"], "lat": r["min_lat"]},
-                    {"lon": r["max_lon"], "lat": r["min_lat"]},
-                    {"lon": r["max_lon"], "lat": r["max_lat"]},
-                    {"lon": r["min_lon"], "lat": r["max_lat"]},
-                ],
-                "lat_threshold": None,
-            }
-        )
-    return pa.Table.from_pylist(rows)
+    rings) so the pip_join path runs its real ring machinery.
+    Vectorized build (no per-row Python loop) — safe to reuse on a
+    LARGE polygon side, not just the broadcast-small fixture."""
+    n = len(rects)
+    lo_x = rects["min_lon"].to_numpy(zero_copy_only=False)
+    hi_x = rects["max_lon"].to_numpy(zero_copy_only=False)
+    lo_y = rects["min_lat"].to_numpy(zero_copy_only=False)
+    hi_y = rects["max_lat"].to_numpy(zero_copy_only=False)
+    # CCW ring: (lo,lo) (hi,lo) (hi,hi) (lo,hi), 4 points per rect
+    lon = np.column_stack([lo_x, hi_x, hi_x, lo_x]).reshape(-1)
+    lat = np.column_stack([lo_y, lo_y, hi_y, hi_y]).reshape(-1)
+    pts = pa.StructArray.from_arrays(
+        [pa.array(lon, pa.float64()), pa.array(lat, pa.float64())],
+        names=["lon", "lat"],
+    )
+    ring = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 4 * n + 4, 4, dtype=np.int32)[: n + 1]), pts
+    )
+    return pa.table(
+        {
+            "poly_id": rects[id_col].cast(pa.int64()),
+            "kind": pa.array(["ring"] * n, pa.string()),
+            "ring": ring,
+            "lat_threshold": pa.nulls(n),
+        }
+    )
 
 
 _HAVERSINE_SQL = (

@@ -46,12 +46,24 @@ def sessionize(
     ``gap_us`` microseconds."""
     check_pow2(num_buckets)
 
+    def _uid_with_sentinel(col: pa.ChunkedArray) -> np.ndarray:
+        """int64 user ids with nulls mapped to the _I64MIN sentinel —
+        one group, like SQL's PARTITION BY null grouping. fill_null
+        BEFORE to_numpy: a nullable int column otherwise round-trips
+        through float64 and corrupts ids ≥ 2^53. (A real user_id equal
+        to INT64_MIN would merge with the null group — accepted.)"""
+        import pyarrow.compute as pc
+
+        valid = ~np.asarray(pc.is_null(col).combine_chunks())
+        u = col.combine_chunks().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.where(valid, u, _I64MIN)
+
     def tag(batch: pa.Table) -> pa.Table:
-        u = batch[user_col].to_numpy(zero_copy_only=False)
+        u = _uid_with_sentinel(batch[user_col])
         return batch.append_column("__b", pa.array(hash_bucket(u, num_buckets)))
 
     def sessions(group: pa.Table) -> pa.Table:
-        uid = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = _uid_with_sentinel(group[user_col])
         eid = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ts_arr = group[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         nat = np.isnat(ts_arr)
@@ -85,9 +97,11 @@ def sessionize(
         end_dt = np.where(hi == _I64MIN, np.int64(_I64MIN), hi).astype("datetime64[us]")
         # _I64MIN is numpy's NaT sentinel → arrow null, the SQL min/max
         # of an all-null session
+        out_uid = u_s[ks]
         return pa.table(
             {
-                "user_id": pa.array(u_s[ks]),
+                "user_id": pa.array(out_uid, pa.int64(),
+                                    mask=out_uid == _I64MIN),
                 "session_n": pa.array(sess[ks]),
                 "n_events": pa.array(ke - ks),
                 "session_start": pa.array(start_dt, pa.timestamp("us"), from_pandas=True),

@@ -391,6 +391,8 @@ def minhash_lsh_candidates(
     concurrency=(1, 8),
     batch_size: int = 1024,
     num_fold_buckets: int = 256,
+    candidate_broadcast_limit: int = 4_000_000,
+    hot_band_limit: int = 4096,
 ):
     """Near-duplicate candidate pairs via MinHash + banded LSH — the
     TWO-PHASE shape.
@@ -415,7 +417,24 @@ def minhash_lsh_candidates(
        candidates ≪ corpus in the LSH regime, the same bounded-pair
        assumption :func:`duplicate_clusters` documents — broadcast
        once via ``ray.put``, and the pair Dataset streams through a
-       vectorized est/Jaccard check.
+       vectorized est/Jaccard check. When the candidate set exceeds
+       ``candidate_broadcast_limit`` ids (a dup-heavy crawl where
+       candidates are NOT ≪ corpus), verification switches to the
+       FULLY DISTRIBUTED path — candidate ids distinct-ed without a
+       driver collect, candidate texts fetched through one bounded
+       ``hash_join`` shuffle, and signatures attached to the pair
+       Dataset by two more id-bucketed joins — nothing candidate-sized
+       ever reaches the driver or a single ``ray.put`` object.
+
+    ``hot_band_limit`` guards the adversarial all-near-identical
+    regime: a band segment pairing ≥ that many docs (every doc
+    colliding with every other, in every band) emits a STAR around its
+    smallest id instead of the full m²/2 enumeration. Downstream
+    clustering is unchanged (the star spans the component — every
+    member still verifies against the representative); the pairwise
+    list within a mega-segment is intentionally reduced, which is the
+    documented trade (such corpora are exact-dedup's job first).
+    Standard corpora never form segments that large.
 
     Measured trade-off (100 k docs / 2 % near-dups, 32 CPUs): 25.8 s →
     5.1 s vs the one-phase design that shipped signatures per band.
@@ -482,6 +501,15 @@ def minhash_lsh_candidates(
             out_b.append(bb[keep])
         for j in np.flatnonzero(counts >= 3):
             seg = i_s[starts[j] : starts[j + 1]]
+            if len(seg) >= hot_band_limit:
+                # mega-segment star guard (see docstring): pair every
+                # member with the segment's min id only — m−1 rows
+                # instead of m²/2 per band, component connectivity kept
+                u = np.unique(seg)
+                if len(u) >= 2:
+                    out_a.append(np.full(len(u) - 1, u[0], dtype=np.int64))
+                    out_b.append(u[1:])
+                continue
             for px, py in _pair_index_blocks(len(seg)):
                 aa, bb = seg[px], seg[py]
                 keep = aa != bb
@@ -502,10 +530,20 @@ def minhash_lsh_candidates(
     if carry_text:
         out_schema["jaccard"] = pa.float64()
     empty_out = pa.table({c: pa.array([], t) for c, t in out_schema.items()})
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         import ray.data as _rd
 
         return _rd.from_arrow(empty_out)
+    if 2 * n_pairs > candidate_broadcast_limit:
+        # candidate ids can exceed the broadcast budget (dup-heavy
+        # corpus): verify with zero driver materialization instead
+        return _minhash_verify_distributed(
+            cand, ds, id_col=id_col, text_col=text_col,
+            doc_hashes=doc_hashes, a_par=a_par, b_par=b_par, n_perm=n_perm,
+            threshold=threshold, carry_text=carry_text,
+            num_fold_buckets=num_fold_buckets, batch_size=batch_size,
+        )
 
     # candidate doc ids (bounded by the pair count — the documented
     # LSH regime; duplicate_clusters makes the same assumption)
@@ -570,8 +608,9 @@ def minhash_lsh_candidates(
         b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         # guarded lookups: a candidate id can be absent from phase 2a
         # only if ds's lineage is unstable across executions (the two
-        # phases each run it once) — drop such pairs instead of
-        # indexing out of bounds / into the wrong doc's signature
+        # phases each run it once — e.g. a limit()/sample() upstream
+        # without materialize()). That is a data-integrity failure, not
+        # a droppable row: raise instead of silently losing pairs.
         hi = max(len(sid_) - 1, 0)
         pa_i = np.minimum(np.searchsorted(sid_, a), hi)
         pb_i = np.minimum(np.searchsorted(sid_, b), hi)
@@ -579,6 +618,14 @@ def minhash_lsh_candidates(
             (sid_[pa_i] == a) & (sid_[pb_i] == b)
             if len(sid_) else np.zeros(len(a), dtype=bool)
         )
+        n_dropped = int(len(a) - found.sum())
+        if n_dropped:
+            raise ValueError(
+                f"{n_dropped} candidate pair(s) reference doc ids absent from "
+                "the signature pass — the input Dataset's lineage is not "
+                "stable across executions (materialize() it upstream of "
+                "minhash_lsh_candidates)"
+            )
         a, b, pa_i, pb_i = a[found], b[found], pa_i[found], pb_i[found]
         est = eq_count_pairs(smatT_, pa_i, pb_i) / np.float64(n_perm)
         keep = np.ones(len(a), dtype=bool)
@@ -600,6 +647,141 @@ def minhash_lsh_candidates(
         return pa.table(out)
 
     return cand.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+def _minhash_verify_distributed(
+    cand, ds, *, id_col, text_col, doc_hashes, a_par, b_par, n_perm,
+    threshold, carry_text, num_fold_buckets, batch_size,
+):
+    """MinHash phase 2 with ZERO driver materialization — the path for
+    candidate sets that exceed the broadcast budget (dup-heavy corpora
+    where candidates are NOT ≪ corpus).
+
+    1. distinct candidate ids: bucketed pack + per-bucket unique (a
+       Dataset, never collected);
+    2. candidate texts: ONE ``hash_join`` of those ids against the
+       corpus — only candidate rows' text rides the shuffle;
+    3. signatures per candidate (map, then ``materialize()`` into the
+       object store — distributed and spillable, unlike a driver
+       ``ray.put``), attached to the pair Dataset by two id-bucketed
+       ``hash_join``s (id_a then id_b);
+    4. the same vectorized est/Jaccard check, now per joined batch.
+
+    Inner-join semantics drop pairs whose ids miss the signature pass;
+    as in the broadcast path that only happens on unstable input
+    lineage, and the broadcast path's raise is the documented guard —
+    here the cost of a distributed count would double-execute the
+    pipeline, so the contract is: materialize() unstable inputs."""
+    from changesetmd_ray.joins.equi import hash_join
+
+    mask = np.uint64(num_fold_buckets - 1)
+
+    def explode_ids(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            batch["id_a"].to_numpy(zero_copy_only=False),
+            batch["id_b"].to_numpy(zero_copy_only=False),
+        ]).astype(np.int64)) if len(batch) else np.empty(0, dtype=np.int64)
+        b = (splitmix64(ids.view(np.uint64)) & mask).astype(np.int64)
+        return _pack_by_bucket(b, {"cid": ids})
+
+    def uniq_ids(group: pa.Table) -> pa.Table:
+        vals = np.unique(np.asarray(group["cid"].combine_chunks().flatten()))
+        return pa.table({"cid": pa.array(vals, pa.int64())})
+
+    ids_ds = (
+        cand.map_batches(explode_ids, batch_format="pyarrow", batch_size=None)
+        .groupby("__b")
+        .map_groups(uniq_ids, batch_format="pyarrow")
+    )
+    docs = hash_join(
+        ids_ds, ds.select_columns([id_col, text_col]),
+        left_on="cid", right_on=id_col,
+        left_cols=["cid"], right_cols=[text_col],
+    )
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        hs = [doc_hashes(t) for t in texts]
+        sigs = np.empty((len(hs), n_perm), dtype=np.uint64)
+        for i, h in enumerate(hs):
+            sigs[i] = minhash_signature(h, a_par, b_par)
+        cols = {"cid": batch["cid"]}
+        cols["sig"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).view(np.int64) if sigs.size else
+                     np.empty(0, dtype=np.int64)), n_perm
+        )
+        if carry_text:
+            offs = np.concatenate([[0], np.cumsum([len(h) for h in hs])]).astype(np.int64)
+            flat = (np.concatenate([h.view(np.int64) for h in hs]) if hs
+                    else np.empty(0, dtype=np.int64))
+            cols["hashes"] = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int64()).cast(pa.int32()), pa.array(flat)
+            )
+        return pa.table(cols)
+
+    sig_cols = ["sig", *(["hashes"] if carry_text else [])]
+    sigs_ds = docs.map_batches(
+        sig_rows, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()  # computed once, read by both joins
+
+    def rename(suffix):
+        names = {"cid": f"c{suffix}",
+                 **{c: f"{c}_{suffix}" for c in sig_cols}}
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([names[c] for c in batch.column_names])
+
+        return fn
+
+    j1 = hash_join(
+        cand, sigs_ds.map_batches(rename("a"), batch_format="pyarrow"),
+        left_on="id_a", right_on="ca",
+        left_cols=["id_a", "id_b"],
+        right_cols=[f"{c}_a" for c in sig_cols],
+    )
+    j2 = hash_join(
+        j1, sigs_ds.map_batches(rename("b"), batch_format="pyarrow"),
+        left_on="id_b", right_on="cb",
+        left_cols=["id_a", "id_b", *(f"{c}_a" for c in sig_cols)],
+        right_cols=[f"{c}_b" for c in sig_cols],
+    )
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out_cols = {"id_a": batch["id_a"], "id_b": batch["id_b"]}
+        if n == 0:
+            out = {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                   "est_jaccard": pa.array([], pa.float64())}
+            if carry_text:
+                out["jaccard"] = pa.array([], pa.float64())
+            return pa.table(out)
+        sa = np.asarray(batch["sig_a"].combine_chunks().flatten()).reshape(n, n_perm)
+        sb = np.asarray(batch["sig_b"].combine_chunks().flatten()).reshape(n, n_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = np.ones(n, dtype=bool)
+        jj = None
+        if carry_text:
+            ha = batch["hashes_a"].combine_chunks()
+            hb = batch["hashes_b"].combine_chunks()
+            jj = np.fromiter(
+                (jaccard(np.asarray(ha[i].values, dtype=np.int64).view(np.uint64),
+                         np.asarray(hb[i].values, dtype=np.int64).view(np.uint64))
+                 for i in range(n)),
+                np.float64, n,
+            )
+            if threshold is not None:
+                keep = jj >= threshold
+        elif threshold is not None:
+            keep = est >= threshold
+        m = pa.array(keep)
+        out = {"id_a": out_cols["id_a"].combine_chunks().filter(m),
+               "id_b": out_cols["id_b"].combine_chunks().filter(m),
+               "est_jaccard": pa.array(est[keep], pa.float64())}
+        if carry_text:
+            out["jaccard"] = pa.array(jj[keep], pa.float64())
+        return pa.table(out)
+
+    return j2.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def _simhash_chunk_params(n_bands: int) -> tuple[np.ndarray, np.ndarray]:

@@ -365,6 +365,48 @@ def test_knn_partial_tie_break_matches_oracle(ray_session):
     assert list(out["neighbor_id"]) == [3]
 
 
+def test_knn_auto_merge_buckets():
+    """Default merge width: single-task only for tiny P × k merges,
+    probe-hash bucketed (>1 group) as soon as the volume is real."""
+    from changesetmd_ray.joins.knn import _auto_merge_buckets
+
+    assert _auto_merge_buckets(100, 3) == 1
+    assert _auto_merge_buckets(4096, 1) == 1
+    b = _auto_merge_buckets(50_000, 4)
+    assert b > 1 and (b & (b - 1)) == 0
+    assert _auto_merge_buckets(10_000_000, 10) == 64
+
+
+def test_knn_join_bucketed_default_exact(ray_session):
+    """With enough probes the DEFAULT path runs the bucketed merge
+    (>1 merge group) and must still be exact vs the single-task merge."""
+    from changesetmd_ray.joins.knn import _auto_merge_buckets, knn_join
+
+    rng = np.random.default_rng(3)
+    corpus = pa.table(
+        {"id": pa.array(np.arange(4000, dtype=np.int64)),
+         "lon": pa.array(rng.uniform(-179, 179, 4000)),
+         "lat": pa.array(rng.uniform(-85, 85, 4000))}
+    )
+    probes = pa.table(
+        {"id": pa.array(np.arange(2500, dtype=np.int64)),
+         "lon": pa.array(rng.uniform(-179, 179, 2500)),
+         "lat": pa.array(rng.uniform(-85, 85, 2500))}
+    )
+    assert _auto_merge_buckets(2500, 3) > 1  # default engages the bucketed merge
+    got = sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"])
+        for r in knn_join(ray.data.from_arrow(corpus), probes, 3).take_all()
+    )
+    ref = sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"])
+        for r in knn_join(
+            ray.data.from_arrow(corpus), probes, 3, merge_buckets=1
+        ).take_all()
+    )
+    assert got == ref and len(got) == 2500 * 3
+
+
 def test_knn_nan_probes_dropped(ray_session):
     from changesetmd_ray.joins.knn import knn_join
 

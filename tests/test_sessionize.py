@@ -64,6 +64,41 @@ def test_sessionize_matches_sql_window(ray_session):
     _compare(tbl)
 
 
+def test_sessionize_null_user_ids_match_sql(ray_session):
+    """Null user_ids form ONE partition (SQL PARTITION BY null
+    grouping) and come back as null, not as an undefined NaN cast."""
+    base = np.datetime64("2022-06-01T00:00:00", "us")
+    rows = [
+        (1, 1, base),
+        (1, 2, base + np.timedelta64(5, "m")),
+        (None, 3, base),
+        (None, 4, base + np.timedelta64(10, "m")),   # joins event 3's session
+        (None, 5, base + np.timedelta64(120, "m")),  # gap -> session 2
+        (2, 6, base),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    got = (
+        sessionize(ray.data.from_arrow(tbl).repartition(2), num_buckets=8)
+        .to_pandas()
+        .sort_values(["user_id", "session_n"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    exp = con.execute(_SQL).df().reset_index(drop=True)
+    assert len(got) == len(exp) == 4
+    g = list(zip(got["user_id"].astype("Int64"), got["session_n"], got["n_events"]))
+    x = list(zip(exp["user_id"].astype("Int64"), exp["session_n"].astype("int64"),
+                 exp["n_events"].astype("int64")))
+    assert sorted(g, key=str) == sorted(x, key=str)
+
+
 def test_sessionize_null_timestamps_match_sql(ray_session):
     """Nulls: after-valid continues the session, after-null starts one,
     all-null sessions emit null start/end — exactly DuckDB's window

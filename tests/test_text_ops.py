@@ -193,6 +193,85 @@ def test_minhash_vectorized_matches_bruteforce():
         assert abs(got[k] - exp[k]) < 1e-12
 
 
+def test_minhash_distributed_fallback_matches_broadcast():
+    """candidate_broadcast_limit=0 forces the fully distributed verify
+    (hash_join-attached signatures); output must be identical to the
+    broadcast path — pairs, est, and exact jaccard."""
+    def run(docs, **kw):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["est_jaccard"], 12),
+             round(r.get("jaccard", -1.0), 12))
+            for r in minhash_lsh_candidates(
+                ray.data.from_arrow(docs), **kw
+            ).take_all()
+        )
+
+    docs = _docs()
+    for kw in ({"threshold": 0.5, "carry_text": True}, {"threshold": 0.5}):
+        assert run(docs, **kw) == run(docs, candidate_broadcast_limit=0, **kw)
+
+    rows = _hot_corpus(n=40)
+    hot = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows])}
+    )
+    assert run(hot, threshold=0.5) == run(
+        hot, threshold=0.5, candidate_broadcast_limit=0
+    )
+
+
+def test_minhash_hot_band_star_guard():
+    """A band segment ≥ hot_band_limit emits a star around its min id:
+    candidate volume collapses from m²/2 to m−1 per band, the verified
+    output is a subset of the full enumeration, and downstream cluster
+    assignment is UNCHANGED (the star spans the component)."""
+    from changesetmd_ray.text.dedup import duplicate_clusters
+
+    rows = _hot_corpus(n=60, muts=1)
+    docs = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows])}
+    )
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(
+                ray.data.from_arrow(docs), threshold=0.5, **kw
+            ).take_all()
+        )
+
+    full = pairs()
+    star = pairs(hot_band_limit=8)
+    assert set(star) <= set(full)
+    assert len(star) < len(full)  # the guard engaged
+
+    def clusters(ps):
+        t = pa.table({"id_a": pa.array([a for a, _ in ps], pa.int64()),
+                      "id_b": pa.array([b for _, b in ps], pa.int64())})
+        return sorted((r["doc_id"], r["rep_id"])
+                      for r in duplicate_clusters(t).to_pylist())
+
+    assert clusters(star) == clusters(full)
+
+    # standard corpora never form mega-segments: default limit is a no-op
+    docs_std = _docs()
+    got_default = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            ray.data.from_arrow(docs_std), threshold=0.5, carry_text=True
+        ).take_all()
+    )
+    got_huge = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            ray.data.from_arrow(docs_std), threshold=0.5, carry_text=True,
+            hot_band_limit=1 << 30,
+        ).take_all()
+    )
+    assert got_default == got_huge
+
+
 def test_simhash_vectorized_matches_bruteforce():
     """Pigeonhole banding has recall 1.0 over fingerprints: the output
     must be EXACTLY the set of pairs with Hamming ≤ t, each once."""
