@@ -94,10 +94,16 @@ def _warm_imports(batch):
     return batch
 
 
-def _warmup(num_cpus: int) -> None:
+def _warmup(num_cpus: int, sf_dir: str | None = None) -> None:
     """ONE warmup protocol for both bench modes: spin up the worker pool
     with the library imported in every worker, plus one autoscaling
-    actor pool, so timed regions measure pipelines, not cold-start."""
+    actor pool, so timed regions measure pipelines, not cold-start.
+    With ``sf_dir``, also exercises the parquet READER code path once on
+    the tiny nation table (every worker's first ``read_parquet`` task
+    pays pyarrow.parquet import + Arrow dataset setup — measured ~2 s
+    across the pool, which round 2 charged to the first battery query:
+    tpch_q1 3.7 s in-battery vs 1.2-1.5 s isolated). The bench INPUT
+    tables are not pre-read — storage stays cold for the timed region."""
     import ray.data
 
     class _Noop:
@@ -128,6 +134,10 @@ def _warmup(num_cpus: int) -> None:
     ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
         _warm_heap, batch_format="pyarrow", batch_size=1
     ).count()
+    if sf_dir:
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "nation.parquet"), override_num_blocks=num_cpus
+        ).map_batches(lambda b: b, batch_format="pyarrow").count()
 
 
 def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:
@@ -175,6 +185,62 @@ def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:
     }
 
 
+_FLAGSHIP_PAGES = 1_000_000
+_FLAGSHIP_SHARDS = 50
+
+
+def _flagship_pages_dir() -> str:
+    """One-time (cached under /tmp, untimed) 1 M-page sharded input for
+    the flagship bench entry — generated IN PARALLEL via Ray tasks."""
+    import ray
+
+    out_dir = f"/tmp/changesetmd_bench_pages_{_FLAGSHIP_PAGES}"
+    per = _FLAGSHIP_PAGES // _FLAGSHIP_SHARDS
+    paths = [os.path.join(out_dir, f"part-{s:05d}.parquet")
+             for s in range(_FLAGSHIP_SHARDS)]
+    missing = [s for s, p in enumerate(paths) if not os.path.exists(p)]
+    if missing:
+        os.makedirs(out_dir, exist_ok=True)
+
+        @ray.remote
+        def gen(shard: int) -> None:
+            import pyarrow.parquet as pq
+
+            from changesetmd_ray.fixtures import make_pages_shard
+
+            tmp = paths[shard] + ".tmp"
+            pq.write_table(make_pages_shard(shard, per), tmp)
+            os.replace(tmp, paths[shard])
+
+        ray.get([gen.remote(s) for s in missing])
+    return out_dir
+
+
+def flagship_bench(num_cpus: int) -> dict:
+    """Timed end-to-end flagship run (the reference's actual job,
+    changesetmd.py:203-288): 1 M input_hint pages through extract →
+    encode → BOTH resumable partitioned parquet sinks (parent + child
+    points) + manifest. Input generation is cached/untimed; the run
+    writes a fresh output dir each time."""
+    import shutil
+    import tempfile
+
+    from changesetmd_ray.pipelines.flagship import run_flagship
+    from changesetmd_ray.sources.pages import discover_partitions
+
+    pages_dir = _flagship_pages_dir()
+    files = list(discover_partitions(pages_dir).values())
+    out = tempfile.mkdtemp(prefix="changesetmd_bench_flagship_")
+    try:
+        t0 = time.perf_counter()
+        metrics = run_flagship(files, out, concurrency=None)
+        secs = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return {"secs": secs, "rows": int(metrics["rows"]),
+            "pages_per_sec": metrics["rows"] / secs if secs > 0 else 0.0}
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -184,7 +250,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from changesetmd_ray.pipelines.queries import QUERIES
 
-    _warmup(num_cpus)
+    _warmup(num_cpus, sf_dir)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -192,6 +258,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         rows[name] = _consume(QUERIES[name](sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+    fl = flagship_bench(num_cpus)
+    timings["flagship_1m"] = round(fl["secs"], 3)
+    rows["flagship_1m"] = fl["rows"]
     hl = headline(sf_dir, n_points=8_000_000, num_cpus=num_cpus)
     timings["headline_pip_tiles"] = round(hl["secs"], 3)
     total = round(sum(timings.values()), 3)
@@ -202,6 +271,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "rows": rows,
         "headline_points_per_sec": round(hl["points_per_sec"], 1),
+        "flagship_pages_per_sec": round(fl["pages_per_sec"], 1),
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
