@@ -73,8 +73,7 @@ def _flatten_points_child(batch: pa.Table) -> pa.Table:
     the reference's second table write (changesets + comments,
     changesetmd.py:190-196): the nested ``points`` list explodes into a
     child table keyed by the parent's natural key, ``seq`` preserving
-    document order."""
-    sid = pc.replace_substring_regex(batch["path"], r"^.*shard_id=([^/]+)/.*$", r"\1")
+    document order. Expects the in-flight ``shard_id`` column."""
     idx_np, seq, flat = explode_list_column(batch["points"])
     idx = pa.array(idx_np)
     return pa.table(
@@ -84,9 +83,34 @@ def _flatten_points_child(batch: pa.Table) -> pa.Table:
             "seq": pa.array(seq),
             "lon": flat.field("lon"),
             "lat": flat.field("lat"),
-            "shard_id": sid.take(idx),
+            "shard_id": batch["shard_id"].take(idx),
         }
     )
+
+
+def _child_sink(batch: pa.Table, points_dir: str) -> pa.Table:
+    """Side-effect child-table writer fused into the main wave pass:
+    flattens the batch's ``points`` lists and writes them straight to
+    ``points_dir/shard_id=<sid>/`` (hive layout, shard column in the
+    directory only — identical to what ``write_parquet(partition_cols)``
+    produced when the child table was a separate read-back pass), then
+    returns the batch unchanged for the parent sink. One file per
+    (block, shard); rerunning a wave clears both dirs first, so the
+    side-effect is idempotent at the wave level."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    child = _flatten_points_child(batch)
+    if len(child) == 0:
+        return batch
+    sids = child["shard_id"]
+    for sid in pc.unique(sids).to_pylist():
+        part = child.filter(pc.equal(sids, sid)).drop_columns(["shard_id"])
+        d = os.path.join(points_dir, f"shard_id={sid}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(part, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+    return batch
 
 
 def run_flagship(
@@ -235,6 +259,18 @@ def _run_waves(manifest, pending, skipped, by_shard, *, data_dir, points_dir,
             batch_size=max(batch_size * 4, 8192),
             concurrency=task_cap,
         )
+        # child table (S7) commits inside the SAME pass as the parent —
+        # the points lists never re-read from disk; the reference writes
+        # changesets + comments from the one iterparse cursor the same
+        # way (changesetmd.py:255-263). batch_size=None = whole blocks,
+        # bounding child file count at one per (block, shard).
+        ds = ds.map_batches(
+            _child_sink,
+            fn_kwargs={"points_dir": points_dir},
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=task_cap,
+        )
         t_wave = time.perf_counter()
         ds.write_parquet(data_dir, partition_cols=["shard_id"])
         wave_secs = time.perf_counter() - t_wave
@@ -265,16 +301,6 @@ def _run_waves(manifest, pending, skipped, by_shard, *, data_dir, points_dir,
                     "wave_stats": wave_stats,
                 })
             continue
-        # child table (S7): flatten the wave's points lists from a
-        # pruned read-back of the just-written parent — the payload
-        # (text/html) is never re-read; the child commits before the
-        # manifest marks the wave done, so a crash between the two
-        # writes redoes the whole wave idempotently
-        pts = ray.data.read_parquet(
-            wave_files, columns=["url", "warc_ts", "points"], include_paths=True
-        ).map_batches(_flatten_points_child, batch_format="pyarrow")
-        pts.write_parquet(points_dir, partition_cols=["shard_id"])
-
         back = ray.data.read_parquet(
             wave_files, columns=["n_points", "warc_ts"], include_paths=True
         )
