@@ -1215,8 +1215,56 @@ where c * 1.0 / (na.n + nb.n - c) >= 0.6
 
 
 def q_docs_simhash(sf_dir: str):
-    """SimHash near-dup pairs at Hamming ≤ 3 (rows-only check)."""
-    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"], blocks=32), max_hamming=3)
+    """SimHash near-dup pairs at Hamming ≤ 3 — SQL-ORACLED exactly,
+    no recall caveat: pigeonhole banding (4 bands of 16 bits for t=3)
+    GUARANTEES every pair at Hamming ≤ 3 shares a band, so the output
+    is precisely the Hamming-≤-3 pair set over the fingerprints; with
+    the md5 token hash the fingerprints themselves reproduce in pure
+    SQL (64 bit-majority sums over md5-hi-64 token hashes, DuckDB
+    ``bit_count(xor(...))`` for the Hamming check). The crc32+splitmix
+    default hash stays the throughput configuration."""
+    from changesetmd_ray.text.hashing import md5_token_hashes
+
+    return simhash_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=32),
+        max_hamming=3, token_hasher=md5_token_hashes,
+    )
+
+
+def _sql_docs_simhash(max_hamming: int = 3) -> str:
+    """Unrolled SQL reproduction of the md5-token-hash SimHash64:
+    per-(doc, token) counts → 64 signed bit-majority sums (bit set iff
+    strictly more weighted ones than zeros) → ubigint fingerprint →
+    pair join on ``bit_count(xor) <= t`` (same tie rule ``score > 0``
+    and empty-doc fingerprint 0 as :func:`simhash64`)."""
+    bit_terms = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then c else -c end) as s{b}"
+        for b in range(64)
+    )
+    fp_expr = " + ".join(
+        f"(case when s{b} > 0 then {1 << b}::ubigint else 0::ubigint end)"
+        for b in range(64)
+    )
+    return f"""
+with tk as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) as t
+  from documents
+), h as (
+  select doc_id, ('0x' || substr(md5(t), 1, 16))::ubigint as h, count(*) as c
+  from tk group by 1, 2
+), bits as (
+  select doc_id, {bit_terms} from h group by doc_id
+), fp0 as (
+  select doc_id, {fp_expr} as fp from bits
+), fp as (
+  select d.doc_id, coalesce(f.fp, 0::ubigint) as fp
+  from documents d left join fp0 f using (doc_id)
+)
+select a.doc_id as id_a, b.doc_id as id_b,
+       cast(bit_count(xor(a.fp, b.fp)) as bigint) as hamming
+from fp a join fp b on a.doc_id < b.doc_id
+where bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
 
 
 def q_docs_quality(sf_dir: str):
@@ -2113,8 +2161,8 @@ ORACLE_SQL = {
     "events_distinct_users_hll": _SQL_DISTINCT_USERS_HLL,
     "docs_minhash_neardup": _SQL_DOCS_MINHASH,
     "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
-    # rows-only (non-SQL-expressible): docs_simhash_neardup (weighted-
-    # bit-majority simhash has no SQL analogue), docs_fingerprint
-    # (crc32 winnowing), ann_lsh (recall < 1 by construction),
-    # media_pipeline (stubbed codec)
+    "docs_simhash_neardup": _sql_docs_simhash(),
+    # rows-only (non-SQL-expressible): docs_fingerprint (crc32
+    # winnowing), ann_lsh (recall < 1 by construction), media_pipeline
+    # (stubbed codec)
 }

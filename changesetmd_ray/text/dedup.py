@@ -798,17 +798,20 @@ def _simhash_chunk_params(n_bands: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _SimHashStage:
-    def __init__(self, max_hamming: int, text_col: str, id_col: str, num_fold_buckets: int = 256):
+    def __init__(self, max_hamming: int, text_col: str, id_col: str,
+                 num_fold_buckets: int = 256, token_hasher=None):
         self.n_bands = max_hamming + 1
         self.text_col = text_col
         self.id_col = id_col
         self.num_fold_buckets = num_fold_buckets
+        self.token_hasher = token_hasher or token_hashes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        th = self.token_hasher
         fps = np.fromiter(
-            (simhash64(token_hashes(tokenize(t or ""))) for t in texts), np.uint64, len(texts)
+            (simhash64(th(tokenize(t or ""))) for t in texts), np.uint64, len(texts)
         )
         # split 64 bits into n_bands chunks; band key = (band_idx, chunk)
         lo, masks = _simhash_chunk_params(self.n_bands)
@@ -836,11 +839,19 @@ def simhash_candidates(
     max_hamming: int = 3,
     concurrency=(1, 8),
     num_fold_buckets: int = 256,
+    token_hasher=None,
 ):
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
     Pigeonhole banding guarantees recall 1.0 w.r.t. the fingerprints;
     exact Hamming check inside each bucket; emit-once via the
     lowest-matching-band rule. Returns ``(id_a, id_b, hamming)``.
+
+    ``token_hasher`` overrides the per-token hash (default
+    crc32→splitmix); pass :func:`~changesetmd_ray.text.hashing.md5_token_hashes`
+    for the SQL-reproducible fingerprint configuration — the output is
+    then EXACTLY the Hamming-≤-t pair set over md5-derived fingerprints,
+    which a pure-SQL oracle recomputes bit-for-bit (no recall caveat:
+    pigeonhole banding is a guarantee, not a probability).
 
     Same fold-bucket + vectorized pair shape as
     :func:`minhash_lsh_candidates`: bands fold into
@@ -914,7 +925,7 @@ def simhash_candidates(
     def simhash_fn(batch):
         return _SimHashStage(
             max_hamming=max_hamming, text_col=text_col, id_col=id_col,
-            num_fold_buckets=num_fold_buckets,
+            num_fold_buckets=num_fold_buckets, token_hasher=token_hasher,
         )(batch)
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(

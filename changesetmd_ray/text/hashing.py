@@ -61,6 +61,25 @@ def token_hashes(tokens: list[str]) -> np.ndarray:
     return splitmix64(raw)
 
 
+def md5_token_hashes(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token: the high 64 bits of md5 — the SQL-
+    expressible token hash (DuckDB: ``('0x'||substr(md5(t),1,16))::ubigint``),
+    used by the oracled SimHash configuration so the fingerprints —
+    and therefore the exact Hamming-≤-t pair set — reproduce in pure
+    SQL. Slower than crc32+splitmix (one digest per distinct token,
+    cached via np.unique), so it is opt-in, not the default."""
+    import hashlib
+
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    uh = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in uniq),
+        np.uint64, len(uniq),
+    )
+    return uh[inv]
+
+
 def shingle_hashes(tok_h: np.ndarray, w: int = 3) -> np.ndarray:
     """uint64 hash per w-token shingle (rotate-xor combine, then mix).
     Docs shorter than ``w`` tokens hash their full token sequence as the

@@ -597,3 +597,29 @@ def test_exact_dedup_latest_null_ts_loses(ray_session):
     out = exact_dedup(ray.data.from_arrow(t), key_col="text", id_col="doc_id",
                       keep="latest", ts_col="ts").to_pandas()
     assert list(out["doc_id"]) == [1]
+
+
+def test_simhash_md5_hash_matches_sql_oracle():
+    """The oracled SimHash configuration (md5 token hash) must equal
+    the pure-SQL fingerprint+Hamming derivation pair-for-pair — the
+    rigor behind docs_simhash_neardup's oracle_sql entry (pigeonhole
+    banding recall is a guarantee, so any diff is a fingerprint bug)."""
+    import duckdb
+
+    from changesetmd_ray.pipelines.queries import _sql_docs_simhash
+    from changesetmd_ray.text.hashing import md5_token_hashes
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_candidates(
+            ray.data.read_parquet(path, columns=["doc_id", "text"]),
+            max_hamming=3, token_hasher=md5_token_hashes,
+        ).take_all()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{path}')"
+    )
+    want = set(map(tuple, con.execute(_sql_docs_simhash()).fetchall()))
+    assert got == want and len(want) > 0
