@@ -1352,11 +1352,52 @@ from documents
 
 
 def q_docs_fingerprint(sf_dir: str):
-    """Winnowing fingerprints (rows-only; whitespace-invariant)."""
+    """Winnowing fingerprints (Schleimer et al. MOSS; whitespace-
+    invariant) — SQL-ORACLED exactly with the md5 gram hash: DuckDB
+    rebuilds every position's k-gram via substr+md5, takes the window
+    min per sliding w, and xor-folds the distinct mins (bit_xor
+    DISTINCT), value-identical to the engine's uint64 arithmetic. The
+    crc32+splitmix gram hash stays the operator default."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
-        lambda b: Fingerprint()(b), batch_format="pyarrow"
+        lambda b: Fingerprint(gram_hash="md5")(b), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "fingerprint"])
+
+
+_SQL_DOCS_FINGERPRINT = r"""
+with norm as (
+  select doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) as s from documents
+), gram as (
+  select doc_id,
+         unnest(range(1, length(s) - 8 + 2)) as pos,
+         s, length(s) - 8 + 1 as ng
+  from norm where length(s) >= 8
+), gh as (
+  select doc_id, pos, ng,
+         ('0x' || substr(md5(substr(s, cast(pos as int), 8)), 1, 16))::ubigint as h
+  from gram
+), winmin as (
+  select doc_id, pos, ng,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 3 following) as m
+  from gh
+), mins as (
+  select doc_id, m from winmin where ng < 4 or pos <= ng - 4 + 1
+), folded as (
+  select doc_id, bit_xor(distinct m) as fpu from mins group by doc_id
+), short as (
+  select doc_id, ('0x' || substr(md5(s), 1, 16))::ubigint as fpu
+  from norm where length(s) < 8
+), allfp as (
+  select * from folded union all select * from short
+)
+select doc_id,
+       cast(cast(fpu as hugeint)
+            - case when fpu >= 9223372036854775808::ubigint
+                   then 18446744073709551616::hugeint else 0::hugeint end
+            as bigint) as fingerprint
+from allfp
+"""
 
 
 def q_ann_cosine(sf_dir: str):
@@ -2162,7 +2203,7 @@ ORACLE_SQL = {
     "docs_minhash_neardup": _SQL_DOCS_MINHASH,
     "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
     "docs_simhash_neardup": _sql_docs_simhash(),
-    # rows-only (non-SQL-expressible): docs_fingerprint (crc32
-    # winnowing), ann_lsh (recall < 1 by construction), media_pipeline
-    # (stubbed codec)
+    "docs_fingerprint": _SQL_DOCS_FINGERPRINT,
+    # rows-only (non-SQL-expressible): ann_lsh (recall < 1 by
+    # construction), media_pipeline (stubbed codec)
 }

@@ -138,26 +138,54 @@ class Fingerprint:
     uint64 per document → ``fingerprint`` column. Whitespace-normalized
     lowercased text so reformatting doesn't change the fingerprint."""
 
-    def __init__(self, text_col: str = "text", k: int = 8, w: int = 4):
+    def __init__(self, text_col: str = "text", k: int = 8, w: int = 4,
+                 gram_hash: str = "crc32"):
+        if gram_hash not in ("crc32", "md5"):
+            raise ValueError(f"gram_hash must be 'crc32' or 'md5', got {gram_hash!r}")
         self.text_col = text_col
         self.k = k
         self.w = w
+        # "md5": high-64 md5 per gram — the SQL-reproducible
+        # configuration (DuckDB substr+md5 per position); "crc32" is
+        # the fast default (crc32 → splitmix spread)
+        self.gram_hash = gram_hash
+
+    def _md5_grams(self, norm: bytes) -> np.ndarray:
+        import hashlib
+
+        n = len(norm) - self.k + 1
+        grams = [norm[j : j + self.k] for j in range(n)]
+        uniq, inv = np.unique(np.asarray(grams, dtype=object), return_inverse=True)
+        uh = np.fromiter(
+            (int(hashlib.md5(g).hexdigest()[:16], 16) for g in uniq),
+            np.uint64, len(uniq),
+        )
+        return uh[inv]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         texts = batch[self.text_col].to_pylist()
         out = np.empty(len(texts), dtype=np.uint64)
         for i, t in enumerate(texts):
             norm = " ".join((t or "").lower().split()).encode("utf-8")
             if len(norm) < self.k:
-                out[i] = np.uint64(hash_bytes64(norm))
+                out[i] = (
+                    np.uint64(int(hashlib.md5(norm).hexdigest()[:16], 16))
+                    if self.gram_hash == "md5"
+                    else np.uint64(hash_bytes64(norm))
+                )
                 continue
 
-            grams = np.fromiter(
-                (zlib.crc32(norm[j : j + self.k]) for j in range(len(norm) - self.k + 1)),
-                np.uint64,
-                len(norm) - self.k + 1,
-            )
-            grams = splitmix64(grams)
+            if self.gram_hash == "md5":
+                grams = self._md5_grams(norm)
+            else:
+                grams = np.fromiter(
+                    (zlib.crc32(norm[j : j + self.k]) for j in range(len(norm) - self.k + 1)),
+                    np.uint64,
+                    len(norm) - self.k + 1,
+                )
+                grams = splitmix64(grams)
             if len(grams) >= self.w:
                 idx = np.arange(len(grams) - self.w + 1)[:, None] + np.arange(self.w)[None, :]
                 mins = grams[idx].min(axis=1)

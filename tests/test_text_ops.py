@@ -623,3 +623,27 @@ def test_simhash_md5_hash_matches_sql_oracle():
     )
     want = set(map(tuple, con.execute(_sql_docs_simhash()).fetchall()))
     assert got == want and len(want) > 0
+
+
+def test_fingerprint_md5_matches_sql_oracle():
+    """The md5-gram winnowing configuration must equal the pure-SQL
+    derivation value-for-value (docs_fingerprint's oracle_sql rigor);
+    also pins whitespace-normalization parity between Python split()
+    and the oracle's regexp_replace."""
+    import duckdb
+
+    from changesetmd_ray.pipelines.queries import _SQL_DOCS_FINGERPRINT
+    from changesetmd_ray.text.analysis import Fingerprint
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(lambda b: Fingerprint(gram_hash="md5")(b), batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+        .take_all()
+    }
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from read_parquet('{path}')")
+    want = set(map(tuple, con.execute(_SQL_DOCS_FINGERPRINT).fetchall()))
+    assert got == want and len(want) == 500
