@@ -42,6 +42,7 @@ from changesetmd_ray.joins.tiles import raster_vector_join, tile_counts
 from changesetmd_ray.geo.grid import unpack_cell
 from changesetmd_ray.text.analysis import Fingerprint, LangId, TokenCount, quality_features
 from changesetmd_ray.text.ann import ann_cosine_topk, ann_lsh_topk
+from changesetmd_ray.stages.reduce import tree_combine
 from changesetmd_ray.text.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -223,24 +224,34 @@ def q_tpch_q1(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(group: pa.Table) -> pa.Table:
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_sum", "sum"), ("cents_sum", "sum"),
+             ("disc4_sum", "sum"), ("qty_count", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_sum", "cents_sum",
+             "disc4_sum", "qty_count"]
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "l_returnflag": group["l_returnflag"].slice(0, 1),
-                "l_linestatus": group["l_linestatus"].slice(0, 1),
-                "sum_qty": pa.array([pc.sum(group["qty_sum"]).as_py()], pa.int64()),
-                "sum_base_price": pa.array(
-                    [pc.sum(group["cents_sum"]).as_py() / 100.0], pa.float64()
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["qty_sum"],
+                "sum_base_price": pc.divide(
+                    pc.cast(batch["cents_sum"], pa.float64()), 100.0
                 ),
-                "sum_disc_price": pa.array(
-                    [pc.sum(group["disc4_sum"]).as_py() / 10000.0], pa.float64()
+                "sum_disc_price": pc.divide(
+                    pc.cast(batch["disc4_sum"], pa.float64()), 10000.0
                 ),
-                "count_order": pa.array([pc.sum(group["qty_count"]).as_py()], pa.int64()),
+                "count_order": batch["qty_count"],
             }
         )
 
-    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        final, batch_format="pyarrow"
+    return tree_combine(partials, combine).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -311,16 +322,24 @@ def q_orders_per_segment(sf_dir: str):
         lambda b: AttachSegment()(b), batch_format="pyarrow"
     )
 
-    def final(group: pa.Table) -> pa.Table:
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("c_mktsegment").aggregate(
+            [("price_sum", "sum"), ("price_count", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "price_sum", "price_count"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "c_mktsegment": group["c_mktsegment"].slice(0, 1),
-                "sum_price": pa.array([round(pc.sum(group["price_sum"]).as_py(), 2)], pa.float64()),
-                "n_orders": pa.array([pc.sum(group["price_count"]).as_py()], pa.int64()),
+                "c_mktsegment": batch["c_mktsegment"],
+                "sum_price": pc.round(batch["price_sum"], ndigits=2),
+                "n_orders": batch["price_count"],
             }
         )
 
-    return partials.groupby("c_mktsegment").map_groups(final, batch_format="pyarrow")
+    return tree_combine(partials, combine).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
 
 
 _SQL_ORDERS_PER_SEGMENT = """
@@ -450,17 +469,18 @@ def q_events_by_type(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by("event_type").aggregate([("event_type", "count")])
 
-    def final(group: pa.Table) -> pa.Table:
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([("event_type_count", "sum")])
+        return g.rename_columns(["event_type", "event_type_count"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "event_type": group["event_type"].slice(0, 1),
-                "n": pa.array([pc.sum(group["event_type_count"]).as_py()], pa.int64()),
-            }
+            {"event_type": batch["event_type"], "n": batch["event_type_count"]}
         )
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("event_type").map_groups(
-        final, batch_format="pyarrow"
-    )
+    return tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), combine
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_EVENTS_BY_TYPE = "select event_type, count(*) as n from events group by event_type"
@@ -718,17 +738,18 @@ def q_union_dedup(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by("event_type").aggregate([("event_type", "count")])
 
-    def final(group: pa.Table) -> pa.Table:
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([("event_type_count", "sum")])
+        return g.rename_columns(["event_type", "event_type_count"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "event_type": group["event_type"].slice(0, 1),
-                "n": pa.array([pc.sum(group["event_type_count"]).as_py()], pa.int64()),
-            }
+            {"event_type": batch["event_type"], "n": batch["event_type_count"]}
         )
 
-    return deduped.map_batches(partial, batch_format="pyarrow").groupby("event_type").map_groups(
-        final, batch_format="pyarrow"
-    )
+    return tree_combine(
+        deduped.map_batches(partial, batch_format="pyarrow"), combine
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_UNION_DEDUP = _SQL_EVENTS_BY_TYPE  # dedup of the doubled input = original
@@ -743,17 +764,16 @@ def q_promo_parts_by_brand(sf_dir: str):
         keep = pc.starts_with(batch["p_type"], "PROMO")
         return batch.filter(keep).group_by("p_brand").aggregate([("p_brand", "count")])
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "p_brand": group["p_brand"].slice(0, 1),
-                "n": pa.array([pc.sum(group["p_brand_count"]).as_py()], pa.int64()),
-            }
-        )
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("p_brand").aggregate([("p_brand_count", "sum")])
+        return g.rename_columns(["p_brand", "p_brand_count"])
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby("p_brand").map_groups(
-        final, batch_format="pyarrow"
-    )
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"p_brand": batch["p_brand"], "n": batch["p_brand_count"]})
+
+    return tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), combine
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_PROMO_PARTS = (
@@ -784,15 +804,16 @@ def q_nations_per_region(sf_dir: str):
         lambda b: Attach()(b), batch_format="pyarrow"
     )
 
-    def final(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "r_name": group["r_name"].slice(0, 1),
-                "n_nations": pa.array([pc.sum(group["r_name_count"]).as_py()], pa.int64()),
-            }
-        )
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("r_name").aggregate([("r_name_count", "sum")])
+        return g.rename_columns(["r_name", "r_name_count"])
 
-    return partials.groupby("r_name").map_groups(final, batch_format="pyarrow")
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"r_name": batch["r_name"], "n_nations": batch["r_name_count"]})
+
+    return tree_combine(partials, combine).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
 
 
 _SQL_NATIONS_PER_REGION = """
@@ -828,18 +849,24 @@ def q_priority_revenue(sf_dir: str):
             .aggregate([("rev4", "sum"), ("rev4", "count")])
         )
 
-    def final(group: pa.Table) -> pa.Table:
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_orderpriority").aggregate(
+            [("rev4_sum", "sum"), ("rev4_count", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "rev4_sum", "rev4_count"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "o_orderpriority": group["o_orderpriority"].slice(0, 1),
-                "revenue": pa.array([pc.sum(group["rev4_sum"]).as_py() / 10000.0], pa.float64()),
-                "n_items": pa.array([pc.sum(group["rev4_count"]).as_py()], pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue": pc.divide(pc.cast(batch["rev4_sum"], pa.float64()), 10000.0),
+                "n_items": batch["rev4_count"],
             }
         )
 
-    return joined.map_batches(partial, batch_format="pyarrow").groupby(
-        "o_orderpriority"
-    ).map_groups(final, batch_format="pyarrow")
+    return tree_combine(
+        joined.map_batches(partial, batch_format="pyarrow"), combine
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_PRIORITY_REVENUE = """
@@ -1021,17 +1048,20 @@ def q_geo_zonal_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by("poly_id").aggregate([("poly_id", "count")])
 
-    def final(group: pa.Table) -> pa.Table:
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("poly_id").aggregate([("poly_id_count", "sum")])
+        return g.rename_columns(["poly_id", "poly_id_count"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {
-                "s_suppkey": group["poly_id"].slice(0, 1),
-                "n_events": pa.array([pc.sum(group["poly_id_count"]).as_py()], pa.int64()),
-            }
+            {"s_suppkey": batch["poly_id"], "n_events": batch["poly_id_count"]}
         )
 
-    return pairs.map_batches(partial, batch_format="pyarrow").groupby("poly_id").map_groups(
-        final, batch_format="pyarrow"
-    )
+    # the polygon side is broadcast-small by design (pip_join ships it
+    # via ray.put), so the combined domain is bounded — tree, not sort
+    return tree_combine(
+        pairs.map_batches(partial, batch_format="pyarrow"), combine
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_GEO_ZONAL_STATS = f"""
