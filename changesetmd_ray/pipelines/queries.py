@@ -70,6 +70,22 @@ def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _shuffle_blocks(sf_dir: str, table: str, *, rows_per_block: int = 65_536,
+                    max_blocks: int = 64) -> int:
+    """Size-proportional block-count hint for reads that feed a SHUFFLE
+    through a trivial (projection-grade) map: Ray auto-splits any read
+    into ~2×cores blocks, and sort/groupby overhead scales with input
+    block count — measured 5-7× on the radius-kNN join at sf0.1 (64
+    auto blocks ≈ 4.9 s vs size-derived 2 blocks ≈ 0.65 s, identical
+    output). Tracks the table's actual row count so larger inputs keep
+    their parallelism (caps at ``max_blocks``; at 100 TB the file count
+    provides the blocks and per-file metadata keeps this ≥ cores).
+    Do NOT use for reads whose pre-shuffle map is compute-heavy (PIP
+    probing, pair kernels) — those want the default split."""
+    meta = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata
+    return max(1, min(-(-meta.num_rows // rows_per_block), max_blocks))
+
+
 # ------------------------------------------- derived geometry (parity)
 # numpy and SQL MUST stay operation-for-operation identical; see module
 # docstring. All key columns are int64.
@@ -314,9 +330,14 @@ def q_orders_per_segment(sf_dir: str):
             # customer row instead of attaching a neighbor's segment
             hit = (len(self.keys) > 0) & (self.keys[pos] == ck) if len(self.keys) else np.zeros(len(ck), bool)
             seg = self.segs[pos[hit]]
-            price = pc.round(batch["o_totalprice"].filter(pa.array(hit)), ndigits=2)
-            t = pa.table({"c_mktsegment": pa.array(list(seg), pa.string()), "price": price})
-            return t.group_by("c_mktsegment").aggregate([("price", "sum"), ("price", "count")])
+            # integer cents: the sum is order-independent, so the tree
+            # combine is bit-exact vs the oracle's round(sum(...), 2)
+            # (prices sit on the 0.01 grid; see q_tpch_q1)
+            price = batch["o_totalprice"].to_numpy(zero_copy_only=False)[hit]
+            cents = np.rint(price * 100.0).astype(np.int64)
+            t = pa.table({"c_mktsegment": pa.array(list(seg), pa.string()),
+                          "cents": pa.array(cents)})
+            return t.group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
 
     partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda b: AttachSegment()(b), batch_format="pyarrow"
@@ -324,16 +345,18 @@ def q_orders_per_segment(sf_dir: str):
 
     def combine(batch: pa.Table) -> pa.Table:
         g = batch.group_by("c_mktsegment").aggregate(
-            [("price_sum", "sum"), ("price_count", "sum")]
+            [("cents_sum", "sum"), ("cents_count", "sum")]
         )
-        return g.rename_columns(["c_mktsegment", "price_sum", "price_count"])
+        return g.rename_columns(["c_mktsegment", "cents_sum", "cents_count"])
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "c_mktsegment": batch["c_mktsegment"],
-                "sum_price": pc.round(batch["price_sum"], ndigits=2),
-                "n_orders": batch["price_count"],
+                # exact cents / 100.0 = the double nearest the decimal
+                # total — identical to the oracle's round(sum(...), 2)
+                "sum_price": pc.divide(pc.cast(batch["cents_sum"], pa.float64()), 100.0),
+                "n_orders": batch["cents_count"],
             }
         )
 
@@ -418,7 +441,8 @@ def q_latest_event_per_user(sf_dir: str):
     """A5/S8 keep-latest dedup (the reference's last-writer-wins upsert,
     changesetmd.py:164-182): per-batch partial keep-latest, then a small
     per-user final merge."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"],
+               blocks=_shuffle_blocks(sf_dir, "events"))
 
     def _ts_key(col: pa.ChunkedArray) -> np.ndarray:
         # NaT's int64 sentinel INT64_MIN negates to itself, so a null
@@ -906,12 +930,12 @@ where p.lon between r.min_lon and r.max_lon
 def q_geo_bbox_join(sf_dir: str):
     """J3 bbox∩bbox with cell partitioning + skew salting + shuffle-free
     reference-point dedup."""
-    left = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
-        lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow"
-    )
-    right = _read(sf_dir, "part", ["p_partkey"]).map_batches(
-        lambda b: _add_box_cols(b, "p_partkey", "part"), batch_format="pyarrow"
-    )
+    left = _read(
+        sf_dir, "orders", ["o_orderkey"], blocks=_shuffle_blocks(sf_dir, "orders")
+    ).map_batches(lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow")
+    right = _read(
+        sf_dir, "part", ["p_partkey"], blocks=_shuffle_blocks(sf_dir, "part")
+    ).map_batches(lambda b: _add_box_cols(b, "p_partkey", "part"), batch_format="pyarrow")
     return bbox_join(left, right, zoom=6, left_id="o_orderkey", right_id="p_partkey")
 
 
@@ -928,9 +952,9 @@ def q_geo_bbox_coveredby(sf_dir: str):
     """J3 with the documented ST_CoveredBy geofilter shape
     (reference README.md:230-234): order boxes covered by supplier
     rectangles."""
-    left = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
-        lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow"
-    )
+    left = _read(
+        sf_dir, "orders", ["o_orderkey"], blocks=_shuffle_blocks(sf_dir, "orders")
+    ).map_batches(lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow")
     right = ray.data.from_arrow(_supplier_rect_table(sf_dir))
     return bbox_join(
         left, right, zoom=5, predicate="coveredby", left_id="o_orderkey", right_id="s_suppkey"
@@ -984,11 +1008,12 @@ def q_geo_knn_radius(sf_dir: str):
     boundary ≥ 22 m at sf0.01 — far beyond float error)."""
     from changesetmd_ray.joins.knn import knn_radius_join
 
-    probes = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        lambda b: _add_point_cols(b, "c_custkey"), batch_format="pyarrow"
-    )
+    probes = _read(
+        sf_dir, "customer", ["c_custkey"], blocks=_shuffle_blocks(sf_dir, "customer")
+    ).map_batches(lambda b: _add_point_cols(b, "c_custkey"), batch_format="pyarrow")
     res = knn_radius_join(
-        _events_points(sf_dir), probes, 3, 200_000.0, zoom=6,
+        _events_points(sf_dir, blocks=_shuffle_blocks(sf_dir, "events")),
+        probes, 3, 200_000.0, zoom=6,
         corpus_id="event_id", probe_id="c_custkey",
     )
     return res.map_batches(
@@ -1015,7 +1040,7 @@ select c_custkey, event_id, rank from (
 def q_geo_tile_counts(sf_dir: str):
     """J5/A4 raster tiles: per-tile point counts at zoom 6 (partial
     combine before the shuffle), sorted output (O2)."""
-    tc = tile_counts(_events_points(sf_dir), 6)
+    tc = tile_counts(_events_points(sf_dir, blocks=_shuffle_blocks(sf_dir, "events")), 6)
 
     def unpack(batch: pa.Table) -> pa.Table:
         _, ix, iy = unpack_cell(batch["tile_key"].to_numpy(zero_copy_only=False).astype(np.uint64))
@@ -1118,7 +1143,8 @@ def q_geo_raster_lookup(sf_dir: str):
     u, n = np.unique(keys, return_counts=True)
     raster = pa.table({"tile_key": pa.array(u), "sup_n": pa.array(n.astype(np.int64))})
     joined = raster_vector_join(
-        _events_points(sf_dir), raster, 5, value_cols=("sup_n",)
+        _events_points(sf_dir, blocks=_shuffle_blocks(sf_dir, "events")),
+        raster, 5, value_cols=("sup_n",),
     )
 
     def project(batch: pa.Table) -> pa.Table:
