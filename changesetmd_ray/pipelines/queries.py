@@ -912,7 +912,12 @@ def q_geo_pip(sf_dir: str):
     path. Closed-box semantics == SQL BETWEEN (ST_Intersects parity)."""
     rects = _supplier_rect_table(sf_dir)
     polys = _rects_as_polygons(rects, "s_suppkey")
-    pairs = pip_join(_events_points(sf_dir), polys, id_col="event_id")
+    # larger rows_per_block than the shuffle queries: the probe map is
+    # compute-bearing (STRtree + ray casting), so keep some parallelism
+    pairs = pip_join(
+        _events_points(sf_dir, blocks=_shuffle_blocks(sf_dir, "events", rows_per_block=16_384)),
+        polys, id_col="event_id",
+    )
     return pairs.map_batches(
         lambda b: b.rename_columns(["event_id", "s_suppkey"]), batch_format="pyarrow"
     )
@@ -980,7 +985,9 @@ def q_geo_knn(sf_dir: str):
     probes = pa.table(
         {"id": pa.array(k.astype(np.int64)), "lon": rects["min_lon"], "lat": rects["min_lat"]}
     )
-    corpus = _events_points(sf_dir, blocks=32)
+    corpus = _events_points(
+        sf_dir, blocks=_shuffle_blocks(sf_dir, "events", rows_per_block=16_384)
+    )
     res = knn_join(corpus, probes, 3, corpus_id="event_id")
     return res.map_batches(
         lambda b: pa.table(
@@ -1068,7 +1075,10 @@ def q_geo_zonal_stats(sf_dir: str):
     count per polygon."""
     rects = _supplier_rect_table(sf_dir)
     polys = _rects_as_polygons(rects, "s_suppkey")
-    pairs = pip_join(_events_points(sf_dir), polys, id_col="event_id")
+    pairs = pip_join(
+        _events_points(sf_dir, blocks=_shuffle_blocks(sf_dir, "events", rows_per_block=16_384)),
+        polys, id_col="event_id",
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by("poly_id").aggregate([("poly_id", "count")])
@@ -1218,7 +1228,11 @@ def _sql_geo_cell_encode() -> str:
 
 def q_docs_exact_dedup(sf_dir: str):
     """Exact dedup keep-first over documents (distributed hash-group)."""
-    out = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), key_col="text", id_col="doc_id")
+    out = exact_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"],
+              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=1024)),
+        key_col="text", id_col="doc_id",
+    )
     return out.select_columns(["doc_id"])
 
 
@@ -1238,7 +1252,8 @@ def q_docs_minhash(sf_dir: str):
     (1−0.87⁴)³² ≈ 1.5e-12, and the hashing is deterministic — verified
     pair-exact vs the oracle at sf0.001/0.01/0.1."""
     pairs = minhash_lsh_candidates(
-        _read(sf_dir, "documents", ["doc_id", "text"], blocks=32),
+        _read(sf_dir, "documents", ["doc_id", "text"],
+              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)),
         threshold=0.6, carry_text=True, n_bands=32,
     )
     return pairs.select_columns(["id_a", "id_b"])
