@@ -85,7 +85,7 @@ def raster_vector_join(vector, raster: pa.Table, zoom: int, *,
                        lon_col: str = "lon", lat_col: str = "lat",
                        tile_col: str = "tile_key",
                        value_cols: tuple = ("value",),
-                       concurrency=(1, 8)):
+                       concurrency=None):
     """Join vector rows to a (small, broadcast) raster table keyed by
     ``tile_col``: every vector row gets the raster value(s) of the tile
     it falls in (null when the tile has no raster row).
@@ -94,6 +94,13 @@ def raster_vector_join(vector, raster: pa.Table, zoom: int, *,
     vectorized ``searchsorted`` per batch — the broadcast-join shape for
     a small side (SURVEY.md §2.4); for raster sets too large to
     broadcast, assign tiles then hash-join on ``tile_col`` instead.
+
+    ``concurrency=None`` (default) runs the probe as a TASK pool: the
+    per-worker state is one zero-copy ``ray.get`` of the broadcast
+    payload, so rebuilding it per task costs microseconds while an
+    autoscaling actor pool pays ~1.5 s of process-spawn latency before
+    the first batch (the flagship's task-pools-not-actor-pools rule,
+    pipelines/flagship.py). Pass an int / (min, max) to force actors.
     """
     keys = raster[tile_col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(keys)
@@ -127,6 +134,10 @@ def raster_vector_join(vector, raster: pa.Table, zoom: int, *,
             return batch
 
     tiled = assign_tiles(vector, zoom, lon_col=lon_col, lat_col=lat_col, out_col=tile_col)
+    if concurrency is None:
+        return tiled.map_batches(
+            lambda b: Probe()(b), batch_format="pyarrow"
+        )
     return tiled.map_batches(Probe, batch_format="pyarrow", concurrency=concurrency)
 
 

@@ -219,6 +219,7 @@ def q_tpch_q1(sf_dir: str):
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        blocks=_shuffle_blocks(sf_dir, "lineitem"),
     )
     cutoff = np.datetime64("1998-09-02T00:00:00", "us")
 
