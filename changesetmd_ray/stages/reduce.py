@@ -74,7 +74,7 @@ def tree_sum(partials, *, key_col: str, val_col: str, fanin: int = 64):
     return p.repartition(1).map_batches(combine, batch_format="pyarrow", batch_size=None)
 
 
-def tree_combine(partials, combine, *, fanin: int = 64):
+def tree_combine(partials, combine, *, fanin: int = 16):
     """General tree reduction for BOUNDED combined domains (grouped
     aggregations whose distinct-key count is small: TPC-H Q1's 6 flag
     pairs, market segments, order priorities, …).
@@ -93,7 +93,13 @@ def tree_combine(partials, combine, *, fanin: int = 64):
     no all-to-all, and at 100 TB the level-1 inputs are still only
     (blocks × distinct keys) tiny rows. The single final block bounds
     applicability to domains that fit one worker (≲ a few M keys) —
-    use :func:`bucket_sum` or a bucketed groupby beyond that."""
+    use :func:`bucket_sum` or a bucketed groupby beyond that.
+
+    ``fanin`` is the level-1 output block count: big enough that each
+    level-1 task's merged rows stay small at scale (1 M input blocks ×
+    6 groups / 16 ≈ 375 k tiny rows per task), small enough that a
+    small input isn't SPLIT into more tasks than it has blocks
+    (repartition(n) makes n blocks regardless of input count)."""
 
     p = partials.repartition(fanin).map_batches(
         combine, batch_format="pyarrow", batch_size=None
