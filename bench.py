@@ -167,7 +167,10 @@ def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:
         lat = ((k * 104729) % 170000) / 1000.0 - 85.0
         return pa.table({"pid": pa.array(k), "lon": pa.array(lon), "lat": pa.array(lat)})
 
-    blocks = max(num_cpus * 4, 8)
+    # one block per core: the chain is one fused map task per block, so
+    # cpus*4 only multiplied per-task overhead (measured 2.2-5.3 s at
+    # 128 blocks vs 1.6-1.8 s at 32 on the same 8 M points)
+    blocks = max(num_cpus, 8)
     polys = _rects_as_polygons(_supplier_rect_table(sf_dir), "s_suppkey")
 
     t0 = time.perf_counter()

