@@ -167,10 +167,13 @@ def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:
         lat = ((k * 104729) % 170000) / 1000.0 - 85.0
         return pa.table({"pid": pa.array(k), "lon": pa.array(lon), "lat": pa.array(lat)})
 
-    # one block per core: the chain is one fused map task per block, so
-    # cpus*4 only multiplied per-task overhead (measured 2.2-5.3 s at
-    # 128 blocks vs 1.6-1.8 s at 32 on the same 8 M points)
-    blocks = max(num_cpus, 8)
+    # block count tracks BOTH the core count and the input volume: the
+    # chain is one fused map task per block, so 4 blocks/core only
+    # multiplied per-task overhead at bench size (measured 2.2-5.3 s at
+    # 128 blocks vs 1.6-1.8 s at 32 on 8 M points), while a pure
+    # per-core count starved the 48-192 M-point scaling legs with
+    # 12-24 M-row (~GB) blocks
+    blocks = max(num_cpus, -(-n_points // 1_000_000), 8)
     polys = _rects_as_polygons(_supplier_rect_table(sf_dir), "s_suppkey")
 
     t0 = time.perf_counter()
