@@ -240,3 +240,45 @@ def test_broadcast_join_operators(ray_session):
 
     a = anti_join_keys(ds, small, big_on="k", small_on="sk").to_pandas()
     assert sorted(a["id"]) == [2, 3, 6, 8]  # null keys kept (NOT EXISTS)
+
+
+def test_tree_combine_matches_group_sum(ray_session):
+    """tree_combine over a re-aggregating combiner equals a plain
+    grouped sum, including with empty partial blocks and a fanin
+    smaller AND larger than the input block count."""
+    import numpy as np
+    import ray.data
+
+    from changesetmd_ray.stages.reduce import tree_combine
+
+    rng = np.random.RandomState(3)
+    keys = rng.randint(0, 7, 500)
+    vals = rng.randint(-100, 100, 500).astype(np.int64)
+    tbl = pa.table({"k": pa.array(keys.astype(np.int64)), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(tbl).repartition(20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("k").aggregate([("v", "sum")])
+        return g.rename_columns(["k", "v"])
+
+    for fanin in (4, 64):
+        out = tree_combine(
+            ds.map_batches(partial, batch_format="pyarrow"), partial, fanin=fanin
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        exp = (
+            tbl.to_pandas().groupby("k", as_index=False)["v"].sum()
+            .sort_values("k").reset_index(drop=True)
+        )
+        assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+        assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
+
+
+def test_shuffle_blocks_bounds(ray_session):
+    """_shuffle_blocks is row-proportional, >= 1, and capped."""
+    from changesetmd_ray.pipelines.queries import _shuffle_blocks
+
+    sf = "/root/testdata/sf0.001"
+    assert _shuffle_blocks(sf, "region") == 1  # 5 rows
+    n = _shuffle_blocks(sf, "events", rows_per_block=100)
+    assert 1 <= n <= 64
+    assert _shuffle_blocks(sf, "events", rows_per_block=1, max_blocks=7) == 7
