@@ -1298,7 +1298,8 @@ def q_docs_simhash(sf_dir: str):
     from changesetmd_ray.text.hashing import md5_token_hashes
 
     return simhash_candidates(
-        _read(sf_dir, "documents", ["doc_id", "text"], blocks=32),
+        _read(sf_dir, "documents", ["doc_id", "text"],
+              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)),
         max_hamming=3, token_hasher=md5_token_hashes,
     )
 
@@ -1342,7 +1343,8 @@ where bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 def q_docs_quality(sf_dir: str):
     """Quality features (vectorized Arrow kernels) with exact SQL parity
     on counts and the keep rule."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=1024)).map_batches(
         quality_features, batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "n_chars", "n_tokens_ws", "n_punct", "n_digits", "quality_ok"])
@@ -1370,7 +1372,8 @@ def q_docs_langid(sf_dir: str):
     dict order) reproduces exactly in DuckDB list_filter SQL; Python's
     Unicode ``\\w`` and RE2's ASCII ``\\w`` only diverge on non-ASCII
     text, which the oracle corpus does not contain."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)).map_batches(
         lambda b: LangId()(b), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "lang_pred"])
@@ -1410,7 +1413,8 @@ def q_docs_tokens(sf_dir: str):
     """BPE-ish token counts. SQL-oracled: the GPT-2-style segmentation
     regex is RE2-compatible, and Python/RE2 ``\\w`` semantics coincide
     on the ASCII oracle corpus."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)).map_batches(
         lambda b: TokenCount()(b), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "n_tokens_bpe"])
@@ -1430,7 +1434,8 @@ def q_docs_fingerprint(sf_dir: str):
     min per sliding w, and xor-folds the distinct mins (bit_xor
     DISTINCT), value-identical to the engine's uint64 arithmetic. The
     crc32+splitmix gram hash stays the operator default."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32).map_batches(
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)).map_batches(
         lambda b: Fingerprint(gram_hash="md5")(b), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "fingerprint"])
@@ -1477,7 +1482,8 @@ def q_ann_cosine(sf_dir: str):
     rank-only output for ulp robustness."""
     emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
     queries = emb.filter(pc.less(emb["vec_id"], 8))
-    res = ann_cosine_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), queries, 5)
+    res = ann_cosine_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"],
+              blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024)), queries, 5)
     return res.select_columns(["query_id", "neighbor_id", "rank"])
 
 
@@ -1862,7 +1868,8 @@ def _dup_pairs_ds(sf_dir: str):
     key)."""
     from changesetmd_ray.text.hashing import hash_bytes64
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+               blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=1024))
 
     def add_hash(batch: pa.Table) -> pa.Table:
         # null text partitions separately (SQL's length(NULL) is NULL,
@@ -1950,7 +1957,8 @@ def q_docs_top_tokens(sf_dir: str):
     from changesetmd_ray.text.hashing import hash_bytes64, tokenize
 
     NB = 64
-    ds = _read(sf_dir, "documents", ["text"], blocks=32)
+    ds = _read(sf_dir, "documents", ["text"],
+               blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640))
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
@@ -2063,7 +2071,8 @@ def q_docs_keep_best(sf_dir: str):
              "n_chars": pa.array(nch[sel])}
         )
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=1024)).map_batches(
         doc_rows, batch_format="pyarrow"
     )
     both = docs.union(clusters.map_batches(cluster_rows, batch_format="pyarrow"))
@@ -2100,7 +2109,8 @@ def q_docs_ngram_jaccard(sf_dir: str):
     scale (125k pairs at sf0.01); the Ray side stays fast at sf0.1
     (7.7 s) where the quadratic oracle does not."""
     pairs = minhash_lsh_candidates(
-        _read(sf_dir, "documents", ["doc_id", "text"], blocks=32),
+        _read(sf_dir, "documents", ["doc_id", "text"],
+              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)),
         char_ngrams=5, threshold=0.5, carry_text=True, n_bands=32,
     )
     return pairs.select_columns(["id_a", "id_b"])
@@ -2128,7 +2138,8 @@ def q_embedding_neardup(sf_dir: str):
     from changesetmd_ray.text.ann import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+              blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024)), threshold=0.4
     )
 
 
@@ -2151,7 +2162,8 @@ def q_ann_ivf(sf_dir: str):
     emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
     queries = emb.filter(pc.less(emb["vec_id"], 8))
     res = ann_ivf_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), queries, 5,
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+              blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024)), queries, 5,
         n_clusters=16, nprobe=None,
     )
     return res.select_columns(["query_id", "neighbor_id", "rank"])
@@ -2163,7 +2175,8 @@ def q_ann_lsh(sf_dir: str):
     emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
     queries = emb.filter(pc.less(emb["vec_id"], 8))
     res = ann_lsh_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), queries, 5, max_mismatch=6
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+              blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024)), queries, 5, max_mismatch=6
     )
     return res.select_columns(["query_id", "neighbor_id", "rank"])
 
