@@ -340,9 +340,10 @@ def q_orders_per_segment(sf_dir: str):
                           "cents": pa.array(cents)})
             return t.group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
 
-    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda b: AttachSegment()(b), batch_format="pyarrow"
-    )
+    partials = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"],
+        blocks=_shuffle_blocks(sf_dir, "orders"),
+    ).map_batches(lambda b: AttachSegment()(b), batch_format="pyarrow")
 
     def combine(batch: pa.Table) -> pa.Table:
         g = batch.group_by("c_mktsegment").aggregate(
