@@ -227,22 +227,66 @@ def hash_join(
     l_types = {f: left.schema().base_schema.field(f).type for f in left_cols}
     r_types = {f: right.schema().base_schema.field(f).type for f in right_cols}
     order = [*left_cols, *right_cols, "__jk", "__bucket", "__side"]
+    pack_cols = ["__jk", *left_cols, *right_cols]
+
+    def pack_bucketed(batch: pa.Table) -> pa.Table:
+        """Rows → one LIST-PACKED row per bucket present in the block.
+        Ray's sort shuffle cost tracks ROW count far more than byte
+        volume (measured in stages/reduce.bucket_sum), so the exchange
+        moves ≤ blocks × num_buckets packed rows instead of every raw
+        row; ``join_bucket`` flattens them back. Byte volume unchanged."""
+        b = batch["__bucket"].to_numpy(zero_copy_only=False)
+        o = np.argsort(b, kind="stable")
+        tbl = batch.take(pa.array(o))
+        bs = b[o]
+        starts = (
+            np.nonzero(np.concatenate([[True], bs[1:] != bs[:-1]]))[0]
+            if len(bs) else np.empty(0, np.int64)
+        )
+        offsets = pa.array(
+            np.concatenate([starts, [len(bs)]]).astype(np.int32)
+        )
+        cols = {
+            "__bucket": pa.array(bs[starts], pa.int64()),
+            "__side": tbl["__side"].take(pa.array(starts)).combine_chunks()
+            if len(bs) else pa.array([], pa.int8()),
+        }
+        for c in pack_cols:
+            t = pa.int64() if c == "__jk" else (l_types | r_types)[c]
+            if len(bs):
+                cols[c] = pa.ListArray.from_arrays(
+                    offsets, tbl[c].combine_chunks().cast(t)
+                )
+            else:
+                cols[c] = pa.array([], pa.list_(t))
+        return pa.table(cols)
 
     lt = _tag(left, left_on, left_cols, 0, num_buckets, plan_ref).map_batches(
-        lambda b: pad(b, right_cols, r_types).select(order), batch_format="pyarrow"
+        lambda b: pack_bucketed(pad(b, right_cols, r_types).select(order)),
+        batch_format="pyarrow",
     )
     rt = _tag(right, right_on, right_cols, 1, num_buckets, plan_ref).map_batches(
-        lambda b: pad(b, left_cols, l_types).select(order), batch_format="pyarrow"
+        lambda b: pack_bucketed(pad(b, left_cols, l_types).select(order)),
+        batch_format="pyarrow",
     )
+
+    def _flat(tbl: pa.Table, c: str) -> pa.Array:
+        return tbl[c].combine_chunks().flatten()
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"].to_numpy(zero_copy_only=False)
         lmask = side == 0
-        l_tbl = group.filter(pa.array(lmask))
-        r_tbl = group.filter(pa.array(~lmask))
+        l_packed = group.filter(pa.array(lmask))
+        r_packed = group.filter(pa.array(~lmask))
         empty = pa.table(
             {c: pa.nulls(0, (l_types | r_types)[c]) for c in [*left_cols, *right_cols]}
         )
+        if len(l_packed) == 0 or len(r_packed) == 0:
+            return empty
+        # unpack each side's own columns (the other side's lists are
+        # null per packed row and never read)
+        l_tbl = pa.table({c: _flat(l_packed, c) for c in ["__jk", *left_cols]})
+        r_tbl = pa.table({c: _flat(r_packed, c) for c in ["__jk", *right_cols]})
         if len(l_tbl) == 0 or len(r_tbl) == 0:
             return empty
         lk = l_tbl["__jk"].to_numpy(zero_copy_only=False)
