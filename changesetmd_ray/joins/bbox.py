@@ -268,11 +268,18 @@ class _PairTest:
                 out_need.append(need.astype(np.int64))
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        jk = group["jkey"].to_numpy(zero_copy_only=False)
-        side = group["side"].to_numpy(zero_copy_only=False)
-        rid = group["rid"].to_numpy(zero_copy_only=False)
-        nseg = group["nseg"].to_numpy(zero_copy_only=False)
-        cols = [group[c].to_numpy(zero_copy_only=False) for c in ("lo_x", "lo_y", "hi_x", "hi_y")]
+        import pyarrow.compute as pc
+
+        from changesetmd_ray.stages.exchange import flat_np
+
+        jk = flat_np(group, "jkey")
+        lens = pc.list_value_length(group["jkey"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        side = np.repeat(group["side"].to_numpy(zero_copy_only=False), lens)
+        rid = flat_np(group, "rid")
+        nseg = flat_np(group, "nseg")
+        cols = [flat_np(group, c) for c in ("lo_x", "lo_y", "hi_x", "hi_y")]
         # order by (jkey, side) so each group is [left rows..., right rows...]
         order = np.lexsort((side, jk))
         jk, side, rid, nseg = jk[order], side[order], rid[order], nseg[order]
@@ -436,8 +443,19 @@ def bbox_join(
         # task pool: the only per-worker state is the broadcast plan
         # (zero-copy ray.get per task); autoscaling actor pools ramp too
         # slowly to saturate the node (see joins/pip.py measurement)
+        from changesetmd_ray.stages.exchange import pack_by_bucket
+
         def fn(batch, _side=side, _id=id_col, _cols=cols):
-            return _Explode(plan_ref, _side, _id, _cols, zoom)(batch)
+            # list-packed exchange (stages/exchange.py): the cell-
+            # replicated box rows are this join's dominant data movement
+            # at scale; the all-to-all moves ≤ blocks × buckets packed
+            # rows instead
+            return pack_by_bucket(
+                _Explode(plan_ref, _side, _id, _cols, zoom)(batch),
+                "__bucket",
+                ["jkey", "rid", "nseg", "lo_x", "lo_y", "hi_x", "hi_y"],
+                scalar_cols=("side",),
+            )
 
         return ds.select_columns([id_col, *cols]).map_batches(
             fn, batch_format="pyarrow", batch_size=8192

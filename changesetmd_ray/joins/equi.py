@@ -43,6 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from changesetmd_ray.stages.exchange import flat, pack_by_bucket
 from changesetmd_ray.text.hashing import check_pow2, splitmix64
 
 
@@ -230,36 +231,14 @@ def hash_join(
     pack_cols = ["__jk", *left_cols, *right_cols]
 
     def pack_bucketed(batch: pa.Table) -> pa.Table:
-        """Rows → one LIST-PACKED row per bucket present in the block.
-        Ray's sort shuffle cost tracks ROW count far more than byte
-        volume (measured in stages/reduce.bucket_sum), so the exchange
-        moves ≤ blocks × num_buckets packed rows instead of every raw
-        row; ``join_bucket`` flattens them back. Byte volume unchanged."""
-        b = batch["__bucket"].to_numpy(zero_copy_only=False)
-        o = np.argsort(b, kind="stable")
-        tbl = batch.take(pa.array(o))
-        bs = b[o]
-        starts = (
-            np.nonzero(np.concatenate([[True], bs[1:] != bs[:-1]]))[0]
-            if len(bs) else np.empty(0, np.int64)
+        """Rows → one LIST-PACKED row per bucket present in the block
+        (stages/exchange.py): the all-to-all moves ≤ blocks ×
+        num_buckets packed rows instead of every raw row;
+        ``join_bucket`` flattens them back. Byte volume unchanged."""
+        return pack_by_bucket(
+            batch, "__bucket", pack_cols, scalar_cols=("__side",),
+            types={"__jk": pa.int64(), **l_types, **r_types},
         )
-        offsets = pa.array(
-            np.concatenate([starts, [len(bs)]]).astype(np.int32)
-        )
-        cols = {
-            "__bucket": pa.array(bs[starts], pa.int64()),
-            "__side": tbl["__side"].take(pa.array(starts)).combine_chunks()
-            if len(bs) else pa.array([], pa.int8()),
-        }
-        for c in pack_cols:
-            t = pa.int64() if c == "__jk" else (l_types | r_types)[c]
-            if len(bs):
-                cols[c] = pa.ListArray.from_arrays(
-                    offsets, tbl[c].combine_chunks().cast(t)
-                )
-            else:
-                cols[c] = pa.array([], pa.list_(t))
-        return pa.table(cols)
 
     lt = _tag(left, left_on, left_cols, 0, num_buckets, plan_ref).map_batches(
         lambda b: pack_bucketed(pad(b, right_cols, r_types).select(order)),
@@ -269,9 +248,6 @@ def hash_join(
         lambda b: pack_bucketed(pad(b, left_cols, l_types).select(order)),
         batch_format="pyarrow",
     )
-
-    def _flat(tbl: pa.Table, c: str) -> pa.Array:
-        return tbl[c].combine_chunks().flatten()
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"].to_numpy(zero_copy_only=False)
@@ -285,8 +261,8 @@ def hash_join(
             return empty
         # unpack each side's own columns (the other side's lists are
         # null per packed row and never read)
-        l_tbl = pa.table({c: _flat(l_packed, c) for c in ["__jk", *left_cols]})
-        r_tbl = pa.table({c: _flat(r_packed, c) for c in ["__jk", *right_cols]})
+        l_tbl = pa.table({c: flat(l_packed, c) for c in ["__jk", *left_cols]})
+        r_tbl = pa.table({c: flat(r_packed, c) for c in ["__jk", *right_cols]})
         if len(l_tbl) == 0 or len(r_tbl) == 0:
             return empty
         lk = l_tbl["__jk"].to_numpy(zero_copy_only=False)

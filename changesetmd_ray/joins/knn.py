@@ -378,20 +378,37 @@ def knn_radius_join(
              "lon": pa.array(lon[row]), "lat": pa.array(lat[row])}
         )
 
+    from changesetmd_ray.stages.exchange import flat_np, pack_by_bucket
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # list-packed exchange (stages/exchange.py): the all-to-all
+        # moves ≤ blocks × num_buckets packed rows — at 100 TB the
+        # corpus+cover rows are the dominant data movement of this join
+        return pack_by_bucket(
+            batch, "__bucket", ["cell", "rid", "lon", "lat"], scalar_cols=("side",)
+        )
+
     both = corpus.select_columns([corpus_id, lon_col, lat_col]).map_batches(
         corpus_side, batch_format="pyarrow"
-    ).union(
+    ).map_batches(pack, batch_format="pyarrow").union(
         probes.select_columns([probe_id, lon_col, lat_col]).map_batches(
             probe_side, batch_format="pyarrow"
-        )
+        ).map_batches(pack, batch_format="pyarrow")
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        cell = group["cell"].to_numpy(zero_copy_only=False)
-        side = group["side"].to_numpy(zero_copy_only=False)
-        rid = group["rid"].to_numpy(zero_copy_only=False)
-        lon = group["lon"].to_numpy(zero_copy_only=False)
-        lat = group["lat"].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        cell = flat_np(group, "cell")
+        rid = flat_np(group, "rid")
+        lon = flat_np(group, "lon")
+        lat = flat_np(group, "lat")
+        lens = pc.list_value_length(group["cell"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        side = np.repeat(
+            group["side"].to_numpy(zero_copy_only=False), lens
+        )
         order = np.lexsort((side, cell))
         cell, side, rid, lon, lat = cell[order], side[order], rid[order], lon[order], lat[order]
         starts = segment_starts(cell)
