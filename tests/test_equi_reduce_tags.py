@@ -282,3 +282,30 @@ def test_shuffle_blocks_bounds(ray_session):
     n = _shuffle_blocks(sf, "events", rows_per_block=100)
     assert 1 <= n <= 64
     assert _shuffle_blocks(sf, "events", rows_per_block=1, max_blocks=7) == 7
+
+
+def test_pack_by_bucket_roundtrip(ray_session):
+    """pack_by_bucket + flat round-trips values grouped per bucket,
+    keeps scalar side tags, and emits a stable schema on empty blocks."""
+    import numpy as np
+
+    from changesetmd_ray.stages.exchange import flat_np, pack_by_bucket
+
+    b = pa.table(
+        {
+            "__bucket": pa.array([2, 0, 2, 1, 0], pa.int64()),
+            "side": pa.array([1, 1, 1, 1, 1], pa.int8()),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+            "k": pa.array([5, 4, 3, 2, 1], pa.int64()),
+        }
+    )
+    packed = pack_by_bucket(b, "__bucket", ["v", "k"], scalar_cols=("side",))
+    assert packed.column_names == ["__bucket", "side", "v", "k"]
+    assert packed["__bucket"].to_pylist() == [0, 1, 2]
+    assert packed["side"].to_pylist() == [1, 1, 1]
+    # per-bucket original row order preserved
+    assert packed["v"].to_pylist() == [[20.0, 50.0], [40.0], [10.0, 30.0]]
+    assert flat_np(packed, "k").tolist() == [4, 1, 2, 5, 3]
+    empty = pack_by_bucket(b.slice(0, 0), "__bucket", ["v", "k"], scalar_cols=("side",))
+    assert empty.num_rows == 0
+    assert empty.schema.equals(packed.schema)
