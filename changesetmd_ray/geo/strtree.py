@@ -120,16 +120,8 @@ class STRtree:
             qi = np.concatenate(out_q)
             ii = np.concatenate(out_i)
             return qi, self.order[ii]
-        if not self.levels:  # single item
-            hit = (
-                (qlx <= self.item_hx[0])
-                & (qhx >= self.item_lx[0])
-                & (qly <= self.item_hy[0])
-                & (qhy >= self.item_ly[0])
-            )
-            qi = np.nonzero(hit)[0].astype(np.int64)
-            return qi, self.order[np.zeros(len(qi), dtype=np.int64)]
-
+        # (n_items == 1 — the levels-empty case — is handled by the
+        # small-tree path above, so self.levels is non-empty here)
         # start at top level
         top = self.levels[-1]
         q_idx = np.repeat(np.arange(nq, dtype=np.int64), len(top[0]))
@@ -240,15 +232,22 @@ class PointGrid:
         found = (len(self.cell_keys) > 0) & (self.cell_keys[pos_c] == key) \
             if len(self.cell_keys) else np.zeros(nq, dtype=bool)
         q_hit = np.nonzero(found)[0]
-        p = pos_c[q_hit]
-        c = self.cell_offs[p + 1] - self.cell_offs[p]
-        qi = np.repeat(q_hit, c)
-        st = self.cell_offs[p]
-        total = int(c.sum())
-        o = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(c)[:-1]]), c
-        )
-        ii = self.cand_item[np.repeat(st, c) + o]
+        if len(q_hit):
+            p = pos_c[q_hit]
+            c = self.cell_offs[p + 1] - self.cell_offs[p]
+            qi = np.repeat(q_hit, c)
+            st = self.cell_offs[p]
+            total = int(c.sum())
+            o = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(c)[:-1]]), c
+            )
+            ii = self.cand_item[np.repeat(st, c) + o]
+        else:
+            # no probe landed in an occupied cell (routine for the
+            # ±360-shifted antimeridian queries) — wide items below
+            # must still be considered
+            qi = np.empty(0, dtype=np.int64)
+            ii = np.empty(0, dtype=np.int64)
         if len(self.wide_items):
             qi = np.concatenate([qi, np.repeat(np.arange(nq, dtype=np.int64),
                                                len(self.wide_items))])

@@ -263,8 +263,6 @@ def hash_join(
         # null per packed row and never read)
         l_tbl = pa.table({c: flat(l_packed, c) for c in ["__jk", *left_cols]})
         r_tbl = pa.table({c: flat(r_packed, c) for c in ["__jk", *right_cols]})
-        if len(l_tbl) == 0 or len(r_tbl) == 0:
-            return empty
         lk = l_tbl["__jk"].to_numpy(zero_copy_only=False)
         rk = r_tbl["__jk"].to_numpy(zero_copy_only=False)
         order_r = np.argsort(rk, kind="stable")

@@ -71,17 +71,23 @@ def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa
 
 
 def _shuffle_blocks(sf_dir: str, table: str, *, rows_per_block: int = 65_536,
-                    max_blocks: int = 64) -> int:
+                    max_blocks: int | None = None) -> int:
     """Size-proportional block-count hint for reads that feed a SHUFFLE
     through a trivial (projection-grade) map: Ray auto-splits any read
     into ~2×cores blocks, and sort/groupby overhead scales with input
     block count — measured 5-7× on the radius-kNN join at sf0.1 (64
     auto blocks ≈ 4.9 s vs size-derived 2 blocks ≈ 0.65 s, identical
     output). Tracks the table's actual row count so larger inputs keep
-    their parallelism (caps at ``max_blocks``; at 100 TB the file count
-    provides the blocks and per-file metadata keeps this ≥ cores).
-    Do NOT use for reads whose pre-shuffle map is compute-heavy (PIP
-    probing, pair kernels) — those want the default split."""
+    their parallelism; the cap defaults to 2× the cluster's cores (the
+    value is passed as ``override_num_blocks``, so a fixed cap would
+    serialize reads on bigger machines). Do NOT use for reads whose
+    pre-shuffle map is compute-heavy (PIP probing, pair kernels) —
+    those want the default split."""
+    if max_blocks is None:
+        try:
+            max_blocks = max(64, 2 * int(ray.cluster_resources().get("CPU", 32)))
+        except Exception:
+            max_blocks = 64
     meta = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata
     return max(1, min(-(-meta.num_rows // rows_per_block), max_blocks))
 
@@ -330,6 +336,10 @@ def q_orders_per_segment(sf_dir: str):
             # inner-join parity: drop orders whose custkey has no
             # customer row instead of attaching a neighbor's segment
             hit = (len(self.keys) > 0) & (self.keys[pos] == ck) if len(self.keys) else np.zeros(len(ck), bool)
+            # null prices are excluded like SQL sum/count (a NaN would
+            # otherwise rint-cast to INT64_MIN garbage)
+            valid = ~np.asarray(pc.is_null(batch["o_totalprice"]).combine_chunks())
+            hit &= valid
             seg = self.segs[pos[hit]]
             # integer cents: the sum is order-independent, so the tree
             # combine is bit-exact vs the oracle's round(sum(...), 2)

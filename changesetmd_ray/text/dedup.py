@@ -295,8 +295,11 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
 
 def _pack_by_bucket(bucket: np.ndarray, cols: dict, bucket_col: str = "__b") -> pa.Table:
     """One packed list-row per distinct bucket value in this block —
-    THE list-packing kernel (Ray's sort shuffle is row-count-bound;
-    see stages/reduce.py for the original measurement). Empty-safe.
+    the int64-numpy fast path of the list-packing idea (Ray's sort
+    shuffle is row-count-bound; see stages/reduce.py for the original
+    measurement). The general Arrow-table variant lives in
+    :mod:`changesetmd_ray.stages.exchange` (``pack_by_bucket``) — keep
+    offset/empty-schema fixes in sync between the two. Empty-safe.
     All packed columns must be int64 numpy arrays."""
     if len(bucket) == 0:
         return pa.table(

@@ -194,3 +194,21 @@ def test_point_grid_empty_cases():
     g1 = PointGrid(np.array([0.0]), np.array([0.0]), np.array([0.0]), np.array([0.0]))
     qi, ii = g1.query_points(np.array([0.0, 1.0]), np.array([0.0, 0.0]))
     assert list(qi) == [0] and list(ii) == [0]
+
+
+def test_point_grid_all_misses_and_caps_only():
+    """Regression: a probe batch where NO point lands in an occupied
+    cell must return wide-item candidates without crashing (routine for
+    the ±360-shifted antimeridian queries), and a caps-only item set
+    (every item wide) must work for any batch."""
+    from changesetmd_ray.geo.strtree import PointGrid
+
+    g = PointGrid(np.array([0.0, 1.0]), np.array([0.0, 1.0]),
+                  np.array([0.5, 1.5]), np.array([0.5, 1.5]))
+    qi, ii = g.query_points(np.array([1.4]), np.array([0.6]))  # empty cell
+    assert len(qi) == 0 and len(ii) == 0
+    # caps-only: global boxes are all wide -> always-candidate list
+    caps = PointGrid(np.array([-360.0, -360.0]), np.array([60.0, -90.0]),
+                     np.array([360.0, 360.0]), np.array([90.0, -55.0]))
+    qi, ii = caps.query_points(np.array([10.0, 10.0]), np.array([70.0, -60.0]))
+    assert set(zip(qi.tolist(), ii.tolist())) == {(0, 0), (1, 1)}
