@@ -89,17 +89,31 @@ def asof_join(
         t = t.append_column("__side", pa.array(np.zeros(len(batch), dtype=np.int8)))
         return t.append_column("__rv", batch[right_val])
 
-    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+    from changesetmd_ray.stages.exchange import flat, pack_by_bucket
+
+    pack_cols = [*lcols, "__side", "__rv"]
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # list-packed exchange (stages/exchange.py): the all-to-all
+        # moves ≤ blocks × num_buckets packed rows. __side varies
+        # within a block (null-key left rows are side 2), so it packs
+        # as a list, not a scalar tag.
+        return pack_by_bucket(batch, "__b", pack_cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").map_batches(
+        pack, batch_format="pyarrow"
+    ).union(
         right.select_columns([right_key, right_ts, right_val]).map_batches(
             tag_right, batch_format="pyarrow"
-        )
+        ).map_batches(pack, batch_format="pyarrow")
     )
 
     I64MAX = np.iinfo(np.int64).max
 
-    def match(group: pa.Table) -> pa.Table:
+    def match(packed: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        group = pa.table({c: flat(packed, c) for c in pack_cols})
         side = group["__side"].to_numpy(zero_copy_only=False)
         keys = group[left_key].fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         ts_arr = group[left_ts].to_numpy(zero_copy_only=False).astype("datetime64[us]")

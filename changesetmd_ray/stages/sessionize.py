@@ -109,6 +109,21 @@ def sessionize(
             }
         )
 
-    return ds.map_batches(tag, batch_format="pyarrow").groupby("__b").map_groups(
-        sessions, batch_format="pyarrow"
+    from changesetmd_ray.stages.exchange import flat, pack_by_bucket
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # list-packed exchange (stages/exchange.py): the raw event rows
+        # are this stage's dominant data movement at scale
+        return pack_by_bucket(batch, "__b", [user_col, id_col, ts_col])
+
+    def sessions_packed(packed: pa.Table) -> pa.Table:
+        return sessions(
+            pa.table({c: flat(packed, c) for c in (user_col, id_col, ts_col)})
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .map_batches(pack, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sessions_packed, batch_format="pyarrow")
     )
