@@ -1988,14 +1988,23 @@ def q_docs_top_tokens(sf_dir: str):
             }
         )
 
-    def combine(group: pa.Table) -> pa.Table:
+    from changesetmd_ray.stages.exchange import flat, pack_by_bucket
+
+    def combine(packed: pa.Table) -> pa.Table:
+        group = pa.table({c: flat(packed, c) for c in ("token", "n")})
         return group.group_by("token").aggregate([("n", "sum")]).rename_columns(
             ["token", "n"]
         )
 
-    agg = ds.map_batches(partial_counts, batch_format="pyarrow").groupby(
-        "__b"
-    ).map_groups(combine, batch_format="pyarrow")
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        # list-packed vocabulary exchange: token rows = blocks ×
+        # per-block distinct tokens at scale
+        .map_batches(lambda b: pack_by_bucket(b, "__b", ["token", "n"]),
+                     batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pyarrow")
+    )
     top = agg.sort(["n", "token"], descending=[True, False]).limit(100)
     return top.select_columns(["token", "n"])
 
