@@ -266,18 +266,29 @@ def exact_dedup(ds, *, key_col: str = "text", id_col: str = "doc_id", keep: str 
             "__loser", batch["__loser"]
         )
 
+    from changesetmd_ray.stages.exchange import flat, pack_by_bucket
+
     order_cols = [*out_cols, "__bucket", "__loser"]
+    pk_cols = [*out_cols, "__loser"]
+
+    def pack(b: pa.Table) -> pa.Table:
+        # list-packed exchange (stages/exchange.py): this is the
+        # above-broadcast-limit path, so the payload rows themselves
+        # ride the all-to-all — pack them per bucket
+        return pack_by_bucket(b.select(order_cols), "__bucket", pk_cols)
+
     union = (
         ds.map_batches(tag_src, batch_format="pyarrow")
-        .map_batches(lambda b: b.select(order_cols), batch_format="pyarrow")
+        .map_batches(pack, batch_format="pyarrow")
         .union(
             losers.map_batches(tag_losers, batch_format="pyarrow").map_batches(
-                lambda b: b.select(order_cols), batch_format="pyarrow"
+                pack, batch_format="pyarrow"
             )
         )
     )
 
-    def anti(group: pa.Table) -> pa.Table:
+    def anti(packed: pa.Table) -> pa.Table:
+        group = pa.table({c: flat(packed, c) for c in pk_cols})
         lmask = np.asarray(group["__loser"].is_valid())
         src = group.filter(pa.array(~lmask)).select(out_cols)
         lids = np.unique(

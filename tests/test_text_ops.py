@@ -647,3 +647,23 @@ def test_fingerprint_md5_matches_sql_oracle():
     con.execute(f"create view documents as select * from read_parquet('{path}')")
     want = set(map(tuple, con.execute(_SQL_DOCS_FINGERPRINT).fetchall()))
     assert got == want and len(want) == 500
+
+
+def test_exact_dedup_anti_join_fallback_matches_broadcast(ray_session):
+    """loser_broadcast_limit=0 forces the bucketed anti-join path (the
+    above-broadcast regime, now list-packed); results must equal the
+    broadcast path exactly."""
+    rng = np.random.RandomState(9)
+    n = 2000
+    texts = [f"doc {int(v)}" for v in rng.randint(0, 700, n)]  # heavy dups
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "text": pa.array(texts, pa.string())}
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    def run(**kw):
+        out = exact_dedup(ds, key_col="text", id_col="doc_id", **kw).to_pandas()
+        return sorted(out["doc_id"].tolist())
+
+    assert run(loser_broadcast_limit=0) == run()
