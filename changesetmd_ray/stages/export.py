@@ -1,0 +1,159 @@
+"""Seeded deterministic global shuffle + sharded training export.
+
+The last step of a training-data pipeline: after dedup/filter/score,
+the corpus must reach the trainer in S roughly-equal shards whose row
+order is decorrelated from the input layout (crawl order, host
+grouping) and reproducible from a seed. ``Dataset.random_shuffle`` is
+the built-in, but its permutation depends on the block arrangement and
+is not replayable — a resumed export would reshuffle everything.
+
+Reference analogue: none — the reference loader preserves input order
+(`changesetmd.py:208-271` single-pass iterparse); this is a
+training-data addition in the same family as ``text/dedup``.
+
+Design (the payload rides exactly ONE all-to-all — intrinsic to any
+global shuffle; everything else is map-side):
+
+- permutation key ``k = splitmix64(id_hash ^ splitmix64(seed))`` —
+  uniform uint64, a pure function of (row id, seed), independent of
+  how the input happens to be partitioned. Integer ids hash
+  vectorized; string ids reuse :func:`hash_bytes128`, the same key
+  derivation as ``exact_dedup`` (``text/dedup.py``).
+- ``shard = k >> (64 - log2(num_shards))`` — the key's top bits, so
+  expected shard sizes are equal and shard assignment needs no second
+  hash. ``num_shards`` must be a power of two.
+- within a shard, rows sort by ``(k, id_hash)`` — a total order under
+  the unique-id contract, so re-running the export writes the same
+  rows in the same order into the same file: each shard file is an
+  idempotent whole-partition overwrite, the engine-wide resume unit
+  (one file = one partition, like the flagship sink).
+- one parquet file per shard, written inside the per-shard group
+  task — the driver never sees row payloads; it collects only the
+  S-row manifest (shard id, rows, path).
+
+Null ids are rejected (a training row needs a stable identity; with
+nulls the within-shard tie-break would be undefined). Duplicate ids
+are allowed — duplicates co-locate (same key → same shard) and their
+relative order falls back to within-group stability, which is
+deterministic because the whole id-group sits in one sorted group.
+
+At 100 TB: the shuffle moves each payload byte once (Ray's sort-based
+exchange, spilling via the object store); ``num_shards`` sizes the
+output files (pick S ≈ total_bytes / 1-4 GB) and bounds per-task
+memory — a shard group must fit one task, the same contract as every
+``map_groups`` consumer in this repo.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from changesetmd_ray.text.hashing import check_pow2, hash_bytes128, splitmix64
+
+_KEY = "__shuffle_k"
+_SHARD = "__shuffle_shard"
+
+
+def _id_hash64(batch: pa.Table, id_col: str) -> np.ndarray:
+    """uint64 hash of the id column; vectorized for integers, the
+    exact_dedup byte-hash for strings/binary. Raises on null ids."""
+    col = batch[id_col]
+    if pc.any(pc.is_null(col)).as_py():
+        raise ValueError(f"{id_col}: null ids cannot be shuffle-exported")
+    t = batch.schema.field(id_col).type
+    if pa.types.is_integer(t):
+        return splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    vals = col.to_pylist()
+    return np.fromiter(
+        (
+            hash_bytes128(v.encode("utf-8") if isinstance(v, str) else bytes(v))[0]
+            for v in vals
+        ),
+        np.uint64,
+        len(vals),
+    )
+
+
+def shuffle_export(
+    ds,
+    out_dir: str,
+    *,
+    id_col: str,
+    seed: int = 0,
+    num_shards: int = 64,
+):
+    """Globally shuffle ``ds`` by a seeded permutation of ``id_col``
+    and write one parquet file per shard under ``out_dir``.
+
+    Returns the export manifest as a pyarrow Table with one row per
+    non-empty shard: ``shard:int64, rows:int64, path:string`` —
+    bounded by ``num_shards``, never by the data.
+    """
+    check_pow2(num_shards, "num_shards")
+    shift = np.uint64(64 - int(num_shards).bit_length() + 1)
+    seed_mix = splitmix64(np.array([np.uint64(seed)], np.uint64))[0]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        h = _id_hash64(batch, id_col)
+        k = splitmix64(h ^ seed_mix)
+        shards = (
+            np.zeros(len(k), np.int64)  # num_shards=1: >>64 is undefined
+            if num_shards == 1
+            else (k >> shift).astype(np.int64)
+        )
+        # int64 view: Ray's sort shuffle compares the groupby key as a
+        # signed value — shard ids (top bits, < num_shards) fit int64
+        return batch.append_column(
+            _KEY, pa.array(k.view(np.int64), pa.int64())
+        ).append_column(_SHARD, pa.array(shards, pa.int64()))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        shard = int(group[_SHARD][0].as_py())
+        k = group[_KEY].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(k, kind="stable")
+        out = group.take(pa.array(order)).drop_columns([_KEY, _SHARD])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)  # idempotent whole-shard overwrite
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "rows": pa.array([len(out)], pa.int64()),
+                "path": pa.array([path], pa.string()),
+            }
+        )
+
+    manifest = (
+        ds.map_batches(key_batch, batch_format="pyarrow")
+        .groupby(_SHARD)
+        .map_groups(write_shard, batch_format="pyarrow")
+    )
+    rows = manifest.take_all()  # ≤ num_shards rows — bounded collect
+    rows.sort(key=lambda r: r["shard"])
+    return pa.table(
+        {
+            "shard": pa.array([r["shard"] for r in rows], pa.int64()),
+            "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+        }
+    )
+
+
+def read_export(out_dir: str, columns: list[str] | None = None):
+    """Read an export back as a Dataset (shard files in shard order —
+    Ray preserves per-file read order, so iteration order is the
+    deterministic permutation)."""
+    import glob
+
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    return ray.data.read_parquet(files, columns=columns)

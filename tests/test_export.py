@@ -1,0 +1,120 @@
+"""shuffle_export: seeded deterministic global shuffle + sharded sink.
+
+Contracts under test:
+- exactly-once: every input row appears in exactly one shard,
+- determinism: output (shard membership AND within-shard order) is a
+  pure function of (rows, ids, seed, num_shards) — invariant to the
+  input's block arrangement,
+- seed sensitivity: a different seed yields a different permutation,
+- balance: shard sizes are near-uniform,
+- resume: re-running overwrites shards idempotently (same bytes-level
+  content),
+- string ids work; null ids are rejected.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from changesetmd_ray.stages.export import read_export, shuffle_export
+
+
+def _docs(n: int, str_ids: bool = False) -> pa.Table:
+    rng = np.random.default_rng(7)
+    ids = [f"doc-{i:06d}" for i in range(n)] if str_ids else np.arange(n, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "score": pa.array(rng.random(n)),
+        }
+    )
+
+
+def _export_tables(out_dir: str) -> list[pa.Table]:
+    return [
+        pq.read_table(p)
+        for p in sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    ]
+
+
+def test_exactly_once_and_deterministic_order(ray_session, tmp_path):
+    import ray.data
+
+    tab = _docs(4000)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    m_a = shuffle_export(
+        ray.data.from_arrow(tab), out_a, id_col="doc_id", seed=5, num_shards=8
+    )
+    # same rows, radically different block arrangement
+    m_b = shuffle_export(
+        ray.data.from_arrow(tab).repartition(17), out_b, id_col="doc_id", seed=5, num_shards=8
+    )
+    assert sum(m_a["rows"].to_pylist()) == 4000
+    a, b = _export_tables(out_a), _export_tables(out_b)
+    assert len(a) == len(b)
+    for ta, tb in zip(a, b):
+        assert ta.equals(tb)  # membership AND order, block-layout-free
+    # exactly-once
+    all_ids = np.concatenate([t["doc_id"].to_numpy() for t in a])
+    assert sorted(all_ids.tolist()) == list(range(4000))
+    # the permutation actually decorrelates from input order
+    assert not np.array_equal(a[0]["doc_id"].to_numpy(), np.arange(len(a[0])))
+
+
+def test_seed_changes_permutation_and_balance(ray_session, tmp_path):
+    import ray.data
+
+    tab = _docs(4096)
+    out5, out6 = str(tmp_path / "s5"), str(tmp_path / "s6")
+    m5 = shuffle_export(ray.data.from_arrow(tab), out5, id_col="doc_id", seed=5, num_shards=8)
+    shuffle_export(ray.data.from_arrow(tab), out6, id_col="doc_id", seed=6, num_shards=8)
+    first5 = _export_tables(out5)[0]["doc_id"].to_numpy()
+    first6 = _export_tables(out6)[0]["doc_id"].to_numpy()
+    assert not np.array_equal(first5, first6)
+    sizes = np.array(m5["rows"].to_pylist())
+    assert len(sizes) == 8
+    # uniform hashing: every shard within ±35% of the 512 mean
+    assert sizes.min() > 512 * 0.65 and sizes.max() < 512 * 1.35
+
+
+def test_resume_idempotent_and_reader(ray_session, tmp_path):
+    import ray.data
+
+    tab = _docs(1000)
+    out = str(tmp_path / "r")
+    shuffle_export(ray.data.from_arrow(tab), out, id_col="doc_id", seed=1, num_shards=4)
+    before = _export_tables(out)
+    shuffle_export(ray.data.from_arrow(tab), out, id_col="doc_id", seed=1, num_shards=4)
+    after = _export_tables(out)
+    assert all(x.equals(y) for x, y in zip(before, after))
+    back = read_export(out).take_all()
+    assert len(back) == 1000
+    assert read_export(out, columns=["doc_id"]).schema().names == ["doc_id"]
+
+
+def test_string_ids_and_single_shard(ray_session, tmp_path):
+    import ray.data
+
+    tab = _docs(300, str_ids=True)
+    out = str(tmp_path / "s")
+    m = shuffle_export(ray.data.from_arrow(tab), out, id_col="doc_id", seed=0, num_shards=1)
+    assert m["rows"].to_pylist() == [300]
+    t = _export_tables(out)[0]
+    assert sorted(t["doc_id"].to_pylist()) == sorted(tab["doc_id"].to_pylist())
+    assert t["doc_id"].to_pylist() != sorted(t["doc_id"].to_pylist())  # shuffled
+
+
+def test_null_ids_rejected(ray_session, tmp_path):
+    import ray.data
+
+    tab = pa.table({"doc_id": pa.array([1, None, 3], pa.int64()), "x": [1.0, 2.0, 3.0]})
+    with pytest.raises((ValueError, Exception)):
+        shuffle_export(
+            ray.data.from_arrow(tab), str(tmp_path / "n"), id_col="doc_id", num_shards=2
+        )
