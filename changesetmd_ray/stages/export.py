@@ -22,8 +22,8 @@ global shuffle; everything else is map-side):
 - ``shard = k >> (64 - log2(num_shards))`` — the key's top bits, so
   expected shard sizes are equal and shard assignment needs no second
   hash. ``num_shards`` must be a power of two.
-- within a shard, rows sort by ``(k, id_hash)`` — a total order under
-  the unique-id contract, so re-running the export writes the same
+- within a shard, rows sort by ``k`` — a total order under the
+  unique-id contract, so re-running the export writes the same
   rows in the same order into the same file: each shard file is an
   idempotent whole-partition overwrite, the engine-wide resume unit
   (one file = one partition, like the flagship sink).
@@ -33,9 +33,11 @@ global shuffle; everything else is map-side):
 
 Null ids are rejected (a training row needs a stable identity; with
 nulls the within-shard tie-break would be undefined). Duplicate ids
-are allowed — duplicates co-locate (same key → same shard) and their
-relative order falls back to within-group stability, which is
-deterministic because the whole id-group sits in one sorted group.
+co-locate (same key → same shard) but their relative order within
+the tie is NOT layout-invariant (the stable sort preserves whatever
+order the exchange assembled the group in) — run ``exact_dedup``
+first if full determinism is required, which a training pipeline
+does anyway.
 
 At 100 TB: the shuffle moves each payload byte once (Ray's sort-based
 exchange, spilling via the object store); ``num_shards`` sizes the
