@@ -27,6 +27,12 @@ global shuffle; everything else is map-side):
   rows in the same order into the same file: each shard file is an
   idempotent whole-partition overwrite, the engine-wide resume unit
   (one file = one partition, like the flagship sink).
+- the exchange is the engine's list-packed primitive
+  (:mod:`changesetmd_ray.stages.exchange`): each block packs its rows
+  per shard into list columns, so the sort all-to-all moves at most
+  ``blocks × num_shards`` packed rows (Ray's shuffle cost tracks row
+  count far more than bytes — measured warm 10.9 s → 3.8-4.7 s on a
+  4 M-row / 1 GB export at 32 CPUs, the payload bytes unchanged).
 - one parquet file per shard, written inside the per-shard group
   task — the driver never sees row payloads; it collects only the
   S-row manifest (shard id, rows, path).
@@ -54,6 +60,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from changesetmd_ray.stages.exchange import flat, flat_np, pack_by_bucket
 from changesetmd_ray.text.hashing import check_pow2, hash_bytes128, splitmix64
 
 _KEY = "__shuffle_k"
@@ -110,17 +117,26 @@ def shuffle_export(
         )
         # int64 view: Ray's sort shuffle compares the groupby key as a
         # signed value — shard ids (top bits, < num_shards) fit int64
-        return batch.append_column(
+        keyed = batch.append_column(
             _KEY, pa.array(k.view(np.int64), pa.int64())
         ).append_column(_SHARD, pa.array(shards, pa.int64()))
+        # list-pack per shard: the sort all-to-all then moves at most
+        # blocks × num_shards packed rows, not one row per input row
+        return pack_by_bucket(keyed, _SHARD, [*batch.column_names, _KEY])
 
     def write_shard(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
         shard = int(group[_SHARD][0].as_py())
-        k = group[_KEY].to_numpy(zero_copy_only=False).view(np.uint64)
-        order = np.argsort(k, kind="stable")
-        out = group.take(pa.array(order)).drop_columns([_KEY, _SHARD])
+        k = flat_np(group, _KEY).view(np.uint64)
+        order = pa.array(np.argsort(k, kind="stable"))
+        out = pa.table(
+            {
+                c: flat(group, c).take(order)
+                for c in group.column_names
+                if c not in (_SHARD, _KEY)
+            }
+        )
         path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(out, tmp)
