@@ -165,6 +165,67 @@ def shuffle_export(
     )
 
 
+def split_export(
+    ds,
+    out_dir: str,
+    *,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    num_shards: int = 64,
+):
+    """Deterministic disjoint train/val/test split + per-split shuffled
+    export: ``fractions`` maps split name → fraction (must sum to 1).
+
+    A row's split is decided by which fraction-weighted range of
+    ``[0, 2⁶⁴)`` its ``splitmix64(id_hash ^ split_seed)`` falls in — a
+    pure function of (id, seed), so membership is stable across runs,
+    re-partitions and engine versions, and a given id NEVER leaks
+    between splits (the leakage guarantee deduplication exists to
+    protect). The split hash uses ``seed + 1`` so it is independent of
+    the within-split shuffle order (same seed, different hash).
+
+    Each split then goes through :func:`shuffle_export` into
+    ``out_dir/<name>/``. Returns ``{name: manifest_table}``. The input
+    lineage executes once per split — pass a materialized or
+    deterministic ``ds`` (filters/maps are; ``limit``/``sample``
+    without ``materialize()`` are not).
+    """
+    total = sum(fractions.values())
+    if not np.isclose(total, 1.0):
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    # cumulative uint64 range bounds; the last is forced to 2^64-1 so
+    # float rounding can't orphan the top of the hash range
+    edges = np.cumsum([fractions[n] for n in names])
+    hi = np.append(
+        (edges[:-1] * float(2**64)).astype(np.uint64), np.uint64(2**64 - 1)
+    )
+    split_mix = splitmix64(np.array([np.uint64(seed + 1)], np.uint64))[0]
+
+    def pick(name_idx: int):
+        lo = np.uint64(0) if name_idx == 0 else hi[name_idx - 1]
+
+        def keep(batch: pa.Table) -> pa.Table:
+            h = splitmix64(_id_hash64(batch, id_col) ^ split_mix)
+            if name_idx == 0:
+                return batch.filter(pa.array(h <= hi[0]))
+            return batch.filter(pa.array((h > lo) & (h <= hi[name_idx])))
+
+        return keep
+
+    out: dict[str, pa.Table] = {}
+    for i, name in enumerate(names):
+        out[name] = shuffle_export(
+            ds.map_batches(pick(i), batch_format="pyarrow"),
+            os.path.join(out_dir, name),
+            id_col=id_col,
+            seed=seed,
+            num_shards=num_shards,
+        )
+    return out
+
+
 def read_export(out_dir: str, columns: list[str] | None = None):
     """Read an export back as a Dataset (shard files in shard order —
     Ray preserves per-file read order, so iteration order is the

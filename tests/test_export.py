@@ -118,3 +118,62 @@ def test_null_ids_rejected(ray_session, tmp_path):
         shuffle_export(
             ray.data.from_arrow(tab), str(tmp_path / "n"), id_col="doc_id", num_shards=2
         )
+
+
+def test_split_export_disjoint_exhaustive_stable(ray_session, tmp_path):
+    import ray.data
+
+    from changesetmd_ray.stages.export import split_export
+
+    tab = _docs(3000)
+    out = str(tmp_path / "split")
+    res = split_export(
+        ray.data.from_arrow(tab),
+        out,
+        id_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=3,
+        num_shards=4,
+    )
+    ids = {
+        name: set(
+            np.concatenate(
+                [t["doc_id"].to_numpy() for t in _export_tables(os.path.join(out, name))]
+            ).tolist()
+        )
+        for name in res
+    }
+    # disjoint and exhaustive
+    assert ids["train"] | ids["val"] | ids["test"] == set(range(3000))
+    assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+    assert not (ids["train"] & ids["test"])
+    # fractions approximately honored
+    assert 0.75 < len(ids["train"]) / 3000 < 0.85
+    # membership is layout-stable: rerun from a different block layout
+    out2 = str(tmp_path / "split2")
+    split_export(
+        ray.data.from_arrow(tab).repartition(11),
+        out2,
+        id_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=3,
+        num_shards=4,
+    )
+    for name in ids:
+        a = _export_tables(os.path.join(out, name))
+        b = _export_tables(os.path.join(out2, name))
+        assert all(x.equals(y) for x, y in zip(a, b)) and len(a) == len(b)
+
+
+def test_split_export_bad_fractions(ray_session, tmp_path):
+    import ray.data
+
+    from changesetmd_ray.stages.export import split_export
+
+    with pytest.raises(ValueError):
+        split_export(
+            ray.data.from_arrow(_docs(10)),
+            str(tmp_path / "x"),
+            id_col="doc_id",
+            fractions={"train": 0.5, "val": 0.1},
+        )
