@@ -226,6 +226,73 @@ def split_export(
     return out
 
 
+def mix_corpora(
+    sources: dict,
+    weights: dict[str, float],
+    *,
+    id_col: str,
+    seed: int = 0,
+    source_col: str = "source",
+):
+    """Deterministic weighted mixture of multiple corpora — the
+    data-mixing step of a pre-training pipeline (e.g. 70 % web,
+    20 % code, 10 % reference).
+
+    Downsampling-only semantics: the mixture total is the largest
+    ``T = min_i(n_i / w_i)`` at which every source can supply its
+    share without repeating rows; source *i* keeps ``w_i · T / n_i``
+    of its rows by id-hash threshold (``systematic_sample``'s rule
+    lifted to 64 bits) — membership is a pure function of (id, seed),
+    so the mixture is reproducible and layout-stable, and proportions
+    hold in expectation (binomial concentration around ``w_i · T``).
+
+    Sources whose keep-rate is 1 pass through without hashing. Each
+    row is tagged with its source name in ``source_col``; all sources
+    must share a schema (the union requires it). ``n_i`` comes from
+    ``Dataset.count()`` — metadata-cheap on parquet reads, one
+    lineage execution on transformed inputs (materialize first if the
+    lineage is expensive). Chain :func:`shuffle_export` to interleave
+    the mixture for training.
+
+    Returns ``(mixed_dataset, plan)`` where plan maps source name →
+    ``{rows, keep_rate, target}``.
+    """
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have identical keys")
+    total_w = sum(weights.values())
+    if not np.isclose(total_w, 1.0):
+        raise ValueError(f"weights must sum to 1, got {total_w}")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    counts = {name: ds.count() for name, ds in sources.items()}
+    t_total = min(counts[n] / weights[n] for n in sources)
+    mix_seed = splitmix64(np.array([np.uint64(seed + 2)], np.uint64))[0]
+
+    plan: dict[str, dict] = {}
+    parts = []
+    for name, ds in sources.items():
+        target = weights[name] * t_total
+        rate = min(1.0, target / counts[name]) if counts[name] else 0.0
+        plan[name] = {"rows": counts[name], "keep_rate": rate, "target": int(target)}
+        # float path: np.uint64(py_int >= 2^63) overflows C long; the
+        # threshold is unused at rate 1, and below 1 the product fits
+        thr = np.uint64(0) if rate >= 1.0 else np.uint64(rate * float(2**64 - 2048))
+
+        def tag_and_thin(batch: pa.Table, _thr=thr, _rate=rate, _name=name) -> pa.Table:
+            if _rate < 1.0:
+                h = splitmix64(_id_hash64(batch, id_col) ^ mix_seed)
+                batch = batch.filter(pa.array(h <= _thr))
+            return batch.append_column(
+                source_col, pa.array([_name] * len(batch), pa.string())
+            )
+
+        parts.append(ds.map_batches(tag_and_thin, batch_format="pyarrow"))
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.union(p)
+    return mixed, plan
+
+
 def read_export(out_dir: str, columns: list[str] | None = None):
     """Read an export back as a Dataset (shard files in shard order —
     Ray preserves per-file read order, so iteration order is the

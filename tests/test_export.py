@@ -177,3 +177,48 @@ def test_split_export_bad_fractions(ray_session, tmp_path):
             id_col="doc_id",
             fractions={"train": 0.5, "val": 0.1},
         )
+
+
+def test_mix_corpora_proportions_and_determinism(ray_session, tmp_path):
+    import ray.data
+
+    from changesetmd_ray.stages.export import mix_corpora
+
+    web = _docs(4000)
+    code = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10_000, 11_000, dtype=np.int64)),
+            "score": pa.array(np.zeros(1000)),
+        }
+    )
+    srcs = {"web": ray.data.from_arrow(web), "code": ray.data.from_arrow(code)}
+    mixed, plan = mix_corpora(srcs, {"web": 0.5, "code": 0.5}, id_col="doc_id", seed=11)
+    # T = min(4000/0.5, 1000/0.5) = 2000 -> 1000 from each
+    assert plan["code"]["keep_rate"] == 1.0 and plan["code"]["target"] == 1000
+    assert abs(plan["web"]["keep_rate"] - 0.25) < 1e-9
+    rows = mixed.take_all()
+    n_web = sum(1 for r in rows if r["source"] == "web")
+    n_code = sum(1 for r in rows if r["source"] == "code")
+    assert n_code == 1000  # rate-1 source passes through whole
+    assert 850 < n_web < 1150  # binomial around 1000
+    # deterministic, layout-stable membership
+    srcs2 = {
+        "web": ray.data.from_arrow(web).repartition(9),
+        "code": ray.data.from_arrow(code),
+    }
+    mixed2, _ = mix_corpora(srcs2, {"web": 0.5, "code": 0.5}, id_col="doc_id", seed=11)
+    ids1 = sorted(r["doc_id"] for r in rows)
+    ids2 = sorted(r["doc_id"] for r in mixed2.take_all())
+    assert ids1 == ids2
+
+
+def test_mix_corpora_validation(ray_session):
+    import ray.data
+
+    from changesetmd_ray.stages.export import mix_corpora
+
+    ds = ray.data.from_arrow(_docs(10))
+    with pytest.raises(ValueError):
+        mix_corpora({"a": ds}, {"a": 0.5}, id_col="doc_id")
+    with pytest.raises(ValueError):
+        mix_corpora({"a": ds}, {"b": 1.0}, id_col="doc_id")
