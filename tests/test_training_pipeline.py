@@ -1,0 +1,79 @@
+"""End-to-end training-data pipeline: the composition a 100-TB corpus
+run would execute, chained over the real sf0.001 fixtures —
+
+    read → exact_dedup → quality filter → mix_corpora →
+    split_export(train/val) → read_export
+
+Each operator is unit-tested on its own; this test pins the seams:
+schemas survive every hop, dedup's winners feed the mixer, split
+outputs stay disjoint, and the final shards are layout-deterministic.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_full_training_pipeline(ray_session, tmp_path):
+    import ray.data
+
+    from changesetmd_ray.stages.export import mix_corpora, read_export, split_export
+    from changesetmd_ray.text.analysis import quality_features
+    from changesetmd_ray.text.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    n_raw = docs.count()
+
+    deduped = exact_dedup(docs, key_col="text", id_col="doc_id")
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= n_raw
+
+    scored = deduped.map_batches(quality_features, batch_format="pyarrow")
+    kept = scored.filter(expr="n_tokens_ws >= 5").materialize()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_dedup
+
+    major = kept.filter(expr="lang == 'en'").materialize()
+    rest = kept.filter(expr="lang != 'en'").materialize()
+    mixed, plan = mix_corpora(
+        {"en": major, "other": rest}, {"en": 0.6, "other": 0.4}, id_col="doc_id", seed=13
+    )
+    assert set(plan) == {"en", "other"}
+
+    res = split_export(
+        mixed.materialize(),
+        str(tmp_path / "out"),
+        id_col="doc_id",
+        fractions={"train": 0.9, "val": 0.1},
+        seed=13,
+        num_shards=4,
+    )
+    n_train = sum(res["train"]["rows"].to_pylist())
+    n_val = sum(res["val"]["rows"].to_pylist())
+    assert n_train + n_val == mixed.count()
+    assert n_train > n_val
+
+    train = read_export(str(tmp_path / "out" / "train"))
+    cols = set(train.schema().names)
+    assert {"doc_id", "text", "lang", "source"} <= cols  # schema survived
+    tr_ids = {r["doc_id"] for r in train.select_columns(["doc_id"]).take_all()}
+    va_ids = {
+        r["doc_id"]
+        for r in read_export(str(tmp_path / "out" / "val"))
+        .select_columns(["doc_id"])
+        .take_all()
+    }
+    assert not (tr_ids & va_ids)  # no leakage
+
+    # shard files exist and are the resume units
+    files = glob.glob(str(tmp_path / "out" / "train" / "shard-*.parquet"))
+    assert files and sum(len(pq.read_table(f)) for f in files) == n_train
