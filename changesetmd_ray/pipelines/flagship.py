@@ -95,11 +95,15 @@ def _child_sink(batch: pa.Table, points_dir: str) -> pa.Table:
     directory only — identical to what ``write_parquet(partition_cols)``
     produced when the child table was a separate read-back pass), then
     returns the batch unchanged for the parent sink. One file per
-    (block, shard); rerunning a wave clears both dirs first, so the
-    side-effect is idempotent at the wave level."""
-    import uuid
-
+    (block, shard), named DETERMINISTICALLY from the block's content
+    (first/last parent key + row count) and committed with
+    tmp + ``os.replace``: a Ray task retry or lineage re-execution
+    re-processes the same input block, produces the same name, and
+    overwrites instead of appending a duplicate — in-run idempotency
+    on top of the wave-level rmtree."""
     import pyarrow.parquet as pq
+
+    from changesetmd_ray.text.hashing import hash_bytes64
 
     child = _flatten_points_child(batch)
     if len(child) == 0:
@@ -109,7 +113,17 @@ def _child_sink(batch: pa.Table, points_dir: str) -> pa.Table:
         part = child.filter(pc.equal(sids, sid)).drop_columns(["shard_id"])
         d = os.path.join(points_dir, f"shard_id={sid}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(part, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+        ident = "\x00".join(
+            (
+                part["url"][0].as_py(), str(part["warc_ts"][0].as_py()),
+                part["url"][-1].as_py(), str(part["warc_ts"][-1].as_py()),
+                str(len(part)),
+            )
+        ).encode("utf-8")
+        name = f"part-{hash_bytes64(ident) & 0xFFFFFFFFFFFFFFFF:016x}.parquet"
+        tmp = os.path.join(d, name + ".tmp")
+        pq.write_table(part, tmp)
+        os.replace(tmp, os.path.join(d, name))
     return batch
 
 

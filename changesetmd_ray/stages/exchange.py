@@ -31,6 +31,11 @@ def pack_by_bucket(batch: pa.Table, bucket_col: str, cols: list[str], *,
     within a block, e.g. a side tag). ``types`` overrides the element
     type per column (defaults to the batch schema); an empty batch
     emits the same list schema so mixed-schema shuffles cannot occur."""
+    if len(batch) >= 2**31:  # int32 list offsets below would wrap silently
+        raise ValueError(
+            f"pack_by_bucket: block of {len(batch)} rows overflows int32 list "
+            "offsets — repartition to smaller blocks before packing"
+        )
     b = batch[bucket_col].to_numpy(zero_copy_only=False)
     order = np.argsort(b, kind="stable")
     tbl = batch.take(pa.array(order))

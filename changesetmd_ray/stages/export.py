@@ -64,7 +64,7 @@ from changesetmd_ray.stages.exchange import flat, flat_np, pack_by_bucket
 from changesetmd_ray.text.hashing import check_pow2, hash_bytes128, splitmix64
 
 _KEY = "__shuffle_k"
-_SHARD = "__shuffle_shard"
+_SHARD = "__shuffle_shard"  # composite (split_idx * num_shards + shard)
 
 
 def _id_hash64(batch: pa.Table, id_col: str) -> np.ndarray:
@@ -77,13 +77,117 @@ def _id_hash64(batch: pa.Table, id_col: str) -> np.ndarray:
     if pa.types.is_integer(t):
         return splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
     vals = col.to_pylist()
+    # hash_bytes128 returns SIGNED int64 halves (exact_dedup's key type);
+    # mask to the uint64 bit pattern — numpy>=2.0 raises OverflowError on
+    # negative values fed to a uint64 fromiter (1.26 only warned)
     return np.fromiter(
         (
             hash_bytes128(v.encode("utf-8") if isinstance(v, str) else bytes(v))[0]
+            & 0xFFFFFFFFFFFFFFFF
             for v in vals
         ),
         np.uint64,
         len(vals),
+    )
+
+
+def _keyed_export(
+    ds,
+    *,
+    id_col: str,
+    seed: int,
+    num_shards: int,
+    out_dirs: list[str],
+    split_hi: np.ndarray | None,
+) -> list[dict]:
+    """Shared single-exchange core for :func:`shuffle_export` (one
+    split) and :func:`split_export` (N disjoint splits). The composite
+    group key is ``split_idx * num_shards + shard``, so the payload
+    rides exactly ONE list-packed all-to-all no matter how many splits
+    there are — the input lineage executes once. ``split_hi`` is the
+    sorted uint64 upper bound per split (``None`` → everything is
+    split 0); ``out_dirs[i]`` receives split ``i``'s shard files.
+
+    Returns the ≤ ``len(out_dirs) × num_shards`` manifest rows
+    (dicts with split_idx/shard/rows/path) — never row payloads.
+    """
+    check_pow2(num_shards, "num_shards")
+    shift = np.uint64(64 - int(num_shards).bit_length() + 1)
+    seed_mix = splitmix64(np.array([np.uint64(seed)], np.uint64))[0]
+    # split hash uses seed+1 so membership is independent of the
+    # within-split shuffle order (same seed, different hash)
+    split_mix = splitmix64(np.array([np.uint64(seed + 1)], np.uint64))[0]
+    for d in out_dirs:
+        os.makedirs(d, exist_ok=True)
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        h = _id_hash64(batch, id_col)
+        k = splitmix64(h ^ seed_mix)
+        shards = (
+            np.zeros(len(k), np.int64)  # num_shards=1: >>64 is undefined
+            if num_shards == 1
+            else (k >> shift).astype(np.int64)
+        )
+        if split_hi is not None:
+            sh = splitmix64(h ^ split_mix)
+            # split i owns (hi[i-1], hi[i]]; hi[-1] == 2^64-1 so every
+            # hash lands in a split — searchsorted-left IS that rule
+            shards += np.searchsorted(split_hi, sh, side="left").astype(
+                np.int64
+            ) * np.int64(num_shards)
+        # int64 view: Ray's sort shuffle compares the groupby key as a
+        # signed value — composite ids (< splits × num_shards) fit int64
+        keyed = batch.append_column(
+            _KEY, pa.array(k.view(np.int64), pa.int64())
+        ).append_column(_SHARD, pa.array(shards, pa.int64()))
+        # list-pack per shard: the sort all-to-all then moves at most
+        # blocks × splits × num_shards packed rows, not one per input row
+        return pack_by_bucket(keyed, _SHARD, [*batch.column_names, _KEY])
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        composite = int(group[_SHARD][0].as_py())
+        split_idx, shard = divmod(composite, num_shards)
+        k = flat_np(group, _KEY).view(np.uint64)
+        order = pa.array(np.argsort(k, kind="stable"))
+        out = pa.table(
+            {
+                c: flat(group, c).take(order)
+                for c in group.column_names
+                if c not in (_SHARD, _KEY)
+            }
+        )
+        path = os.path.join(out_dirs[split_idx], f"shard-{shard:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)  # idempotent whole-shard overwrite
+        return pa.table(
+            {
+                "split_idx": pa.array([split_idx], pa.int64()),
+                "shard": pa.array([shard], pa.int64()),
+                "rows": pa.array([len(out)], pa.int64()),
+                "path": pa.array([path], pa.string()),
+            }
+        )
+
+    manifest = (
+        ds.map_batches(key_batch, batch_format="pyarrow")
+        .groupby(_SHARD)
+        .map_groups(write_shard, batch_format="pyarrow")
+    )
+    rows = manifest.take_all()  # ≤ splits × num_shards rows — bounded
+    rows.sort(key=lambda r: (r["split_idx"], r["shard"]))
+    return rows
+
+
+def _manifest_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "shard": pa.array([r["shard"] for r in rows], pa.int64()),
+            "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+        }
     )
 
 
@@ -102,67 +206,15 @@ def shuffle_export(
     non-empty shard: ``shard:int64, rows:int64, path:string`` —
     bounded by ``num_shards``, never by the data.
     """
-    check_pow2(num_shards, "num_shards")
-    shift = np.uint64(64 - int(num_shards).bit_length() + 1)
-    seed_mix = splitmix64(np.array([np.uint64(seed)], np.uint64))[0]
-    os.makedirs(out_dir, exist_ok=True)
-
-    def key_batch(batch: pa.Table) -> pa.Table:
-        h = _id_hash64(batch, id_col)
-        k = splitmix64(h ^ seed_mix)
-        shards = (
-            np.zeros(len(k), np.int64)  # num_shards=1: >>64 is undefined
-            if num_shards == 1
-            else (k >> shift).astype(np.int64)
-        )
-        # int64 view: Ray's sort shuffle compares the groupby key as a
-        # signed value — shard ids (top bits, < num_shards) fit int64
-        keyed = batch.append_column(
-            _KEY, pa.array(k.view(np.int64), pa.int64())
-        ).append_column(_SHARD, pa.array(shards, pa.int64()))
-        # list-pack per shard: the sort all-to-all then moves at most
-        # blocks × num_shards packed rows, not one row per input row
-        return pack_by_bucket(keyed, _SHARD, [*batch.column_names, _KEY])
-
-    def write_shard(group: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        shard = int(group[_SHARD][0].as_py())
-        k = flat_np(group, _KEY).view(np.uint64)
-        order = pa.array(np.argsort(k, kind="stable"))
-        out = pa.table(
-            {
-                c: flat(group, c).take(order)
-                for c in group.column_names
-                if c not in (_SHARD, _KEY)
-            }
-        )
-        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(out, tmp)
-        os.replace(tmp, path)  # idempotent whole-shard overwrite
-        return pa.table(
-            {
-                "shard": pa.array([shard], pa.int64()),
-                "rows": pa.array([len(out)], pa.int64()),
-                "path": pa.array([path], pa.string()),
-            }
-        )
-
-    manifest = (
-        ds.map_batches(key_batch, batch_format="pyarrow")
-        .groupby(_SHARD)
-        .map_groups(write_shard, batch_format="pyarrow")
+    rows = _keyed_export(
+        ds,
+        id_col=id_col,
+        seed=seed,
+        num_shards=num_shards,
+        out_dirs=[out_dir],
+        split_hi=None,
     )
-    rows = manifest.take_all()  # ≤ num_shards rows — bounded collect
-    rows.sort(key=lambda r: r["shard"])
-    return pa.table(
-        {
-            "shard": pa.array([r["shard"] for r in rows], pa.int64()),
-            "rows": pa.array([r["rows"] for r in rows], pa.int64()),
-            "path": pa.array([r["path"] for r in rows], pa.string()),
-        }
-    )
+    return _manifest_table(rows)
 
 
 def split_export(
@@ -185,45 +237,38 @@ def split_export(
     protect). The split hash uses ``seed + 1`` so it is independent of
     the within-split shuffle order (same seed, different hash).
 
-    Each split then goes through :func:`shuffle_export` into
-    ``out_dir/<name>/``. Returns ``{name: manifest_table}``. The input
-    lineage executes once per split — pass a materialized or
-    deterministic ``ds`` (filters/maps are; ``limit``/``sample``
-    without ``materialize()`` are not).
+    All splits ride ONE list-packed exchange keyed
+    ``(split, shard)`` — the input lineage executes exactly once (at
+    100 TB a 3-way split reads the corpus once, not three times) — and
+    split ``name``'s shards land in ``out_dir/<name>/``. Returns
+    ``{name: manifest_table}`` with the same per-split manifest shape
+    as :func:`shuffle_export`.
     """
     total = sum(fractions.values())
     if not np.isclose(total, 1.0):
         raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError("fractions must be positive")
     names = list(fractions)
-    # cumulative uint64 range bounds; the last is forced to 2^64-1 so
-    # float rounding can't orphan the top of the hash range
+    # cumulative uint64 range bounds; intermediates are clamped below
+    # 2^64 (a float edge rounding to >= 2^64 would make the uint64 cast
+    # undefined) and the last is forced to 2^64-1 so float rounding
+    # can't orphan the top of the hash range
     edges = np.cumsum([fractions[n] for n in names])
-    hi = np.append(
-        (edges[:-1] * float(2**64)).astype(np.uint64), np.uint64(2**64 - 1)
+    mid = np.minimum(edges[:-1] * float(2**64), float(2**64 - 2**12))
+    hi = np.append(mid.astype(np.uint64), np.uint64(2**64 - 1))
+    rows = _keyed_export(
+        ds,
+        id_col=id_col,
+        seed=seed,
+        num_shards=num_shards,
+        out_dirs=[os.path.join(out_dir, n) for n in names],
+        split_hi=hi,
     )
-    split_mix = splitmix64(np.array([np.uint64(seed + 1)], np.uint64))[0]
-
-    def pick(name_idx: int):
-        lo = np.uint64(0) if name_idx == 0 else hi[name_idx - 1]
-
-        def keep(batch: pa.Table) -> pa.Table:
-            h = splitmix64(_id_hash64(batch, id_col) ^ split_mix)
-            if name_idx == 0:
-                return batch.filter(pa.array(h <= hi[0]))
-            return batch.filter(pa.array((h > lo) & (h <= hi[name_idx])))
-
-        return keep
-
-    out: dict[str, pa.Table] = {}
-    for i, name in enumerate(names):
-        out[name] = shuffle_export(
-            ds.map_batches(pick(i), batch_format="pyarrow"),
-            os.path.join(out_dir, name),
-            id_col=id_col,
-            seed=seed,
-            num_shards=num_shards,
-        )
-    return out
+    return {
+        name: _manifest_table([r for r in rows if r["split_idx"] == i])
+        for i, name in enumerate(names)
+    }
 
 
 def mix_corpora(
@@ -233,6 +278,7 @@ def mix_corpora(
     id_col: str,
     seed: int = 0,
     source_col: str = "source",
+    counts: dict[str, int] | None = None,
 ):
     """Deterministic weighted mixture of multiple corpora — the
     data-mixing step of a pre-training pipeline (e.g. 70 % web,
@@ -249,10 +295,12 @@ def mix_corpora(
     Sources whose keep-rate is 1 pass through without hashing. Each
     row is tagged with its source name in ``source_col``; all sources
     must share a schema (the union requires it). ``n_i`` comes from
+    ``counts`` when given (a pipeline that already knows its sizes —
+    e.g. from an export manifest — pays nothing), else from
     ``Dataset.count()`` — metadata-cheap on parquet reads, one
     lineage execution on transformed inputs (materialize first if the
-    lineage is expensive). Chain :func:`shuffle_export` to interleave
-    the mixture for training.
+    lineage is expensive). Chain :func:`shuffle_export` (or call
+    :func:`mix_export`) to interleave the mixture for training.
 
     Returns ``(mixed_dataset, plan)`` where plan maps source name →
     ``{rows, keep_rate, target}``.
@@ -264,7 +312,10 @@ def mix_corpora(
         raise ValueError(f"weights must sum to 1, got {total_w}")
     if any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be positive")
-    counts = {name: ds.count() for name, ds in sources.items()}
+    if counts is None:
+        counts = {name: ds.count() for name, ds in sources.items()}
+    elif set(counts) != set(sources):
+        raise ValueError("counts and sources must have identical keys")
     t_total = min(counts[n] / weights[n] for n in sources)
     mix_seed = splitmix64(np.array([np.uint64(seed + 2)], np.uint64))[0]
 
@@ -291,6 +342,37 @@ def mix_corpora(
     for p in parts[1:]:
         mixed = mixed.union(p)
     return mixed, plan
+
+
+def mix_export(
+    sources: dict,
+    weights: dict[str, float],
+    out_dir: str,
+    *,
+    id_col: str,
+    seed: int = 0,
+    num_shards: int = 64,
+    source_col: str = "source",
+    counts: dict[str, int] | None = None,
+):
+    """Fused weighted-mixture + interleaved shuffled export: tag + thin
+    each source map-side (:func:`mix_corpora`), union, and run ONE
+    list-packed payload all-to-all (:func:`shuffle_export`) — the whole
+    pre-training data-mixing step with a single shuffle in the plan.
+    Interleaving falls out of the shuffle: within every output shard,
+    sources appear in seeded-permutation order, so a trainer streaming
+    shards sees the mixture proportions locally, not source-by-source.
+
+    Returns ``(manifest_table, plan)``.
+    """
+    mixed, plan = mix_corpora(
+        sources, weights, id_col=id_col, seed=seed,
+        source_col=source_col, counts=counts,
+    )
+    manifest = shuffle_export(
+        mixed, out_dir, id_col=id_col, seed=seed, num_shards=num_shards
+    )
+    return manifest, plan
 
 
 def read_export(out_dir: str, columns: list[str] | None = None):

@@ -317,6 +317,11 @@ def _pack_by_bucket(bucket: np.ndarray, cols: dict, bucket_col: str = "__b") -> 
             {bucket_col: pa.array([], pa.int64()),
              **{n: pa.array([], pa.list_(pa.int64())) for n in cols}}
         )
+    if len(bucket) >= 2**31:  # int32 list offsets below would wrap silently
+        raise ValueError(
+            f"_pack_by_bucket: block of {len(bucket)} rows overflows int32 "
+            "list offsets — repartition to smaller blocks before packing"
+        )
     order = np.argsort(bucket, kind="stable")
     b_s = bucket[order]
     offs = segment_starts(b_s).astype(np.int32)

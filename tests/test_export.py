@@ -114,7 +114,9 @@ def test_null_ids_rejected(ray_session, tmp_path):
     import ray.data
 
     tab = pa.table({"doc_id": pa.array([1, None, 3], pa.int64()), "x": [1.0, 2.0, 3.0]})
-    with pytest.raises((ValueError, Exception)):
+    # the ValueError surfaces wrapped in RayTaskError — pin the message
+    # so only the null-id rejection contract passes, not any crash
+    with pytest.raises(Exception, match="null ids"):
         shuffle_export(
             ray.data.from_arrow(tab), str(tmp_path / "n"), id_col="doc_id", num_shards=2
         )
@@ -210,6 +212,122 @@ def test_mix_corpora_proportions_and_determinism(ray_session, tmp_path):
     ids1 = sorted(r["doc_id"] for r in rows)
     ids2 = sorted(r["doc_id"] for r in mixed2.take_all())
     assert ids1 == ids2
+
+
+def test_split_export_single_pass(ray_session, tmp_path):
+    """The split export's input lineage must execute exactly ONCE — a
+    3-way split that re-reads the corpus per split would be a 3× read
+    at 100 TB (round-3 verdict item #3). Counted by a marker map that
+    tallies every row it sees across the whole run."""
+    import ray
+    import ray.data
+
+    from changesetmd_ray.stages.export import split_export
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(_docs(2000), src)
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def total(self):
+            return self.n
+
+    counter = Counter.remote()
+
+    def tally(batch: pa.Table) -> pa.Table:
+        ray.get(counter.add.remote(len(batch)))
+        return batch
+
+    ds = ray.data.read_parquet(src).map_batches(tally, batch_format="pyarrow")
+    split_export(
+        ds,
+        str(tmp_path / "out"),
+        id_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=3,
+        num_shards=4,
+    )
+    assert ray.get(counter.total.remote()) == 2000  # once, not 3×
+
+
+def test_split_export_matches_filter_then_shuffle(ray_session, tmp_path):
+    """Pin the single-pass rewrite to the original semantics: each
+    split's shard files must be byte-identical to shuffle_export over
+    the hash-filtered subset (the old per-split path)."""
+    import ray.data
+
+    from changesetmd_ray.stages.export import _id_hash64, split_export
+    from changesetmd_ray.text.hashing import splitmix64
+
+    tab = _docs(2500)
+    seed, fractions = 9, {"train": 0.7, "val": 0.3}
+    out = str(tmp_path / "new")
+    split_export(
+        ray.data.from_arrow(tab), out, id_col="doc_id",
+        fractions=fractions, seed=seed, num_shards=4,
+    )
+    # old path: membership by the same split hash, then shuffle_export
+    split_mix = splitmix64(np.array([np.uint64(seed + 1)], np.uint64))[0]
+    h = splitmix64(_id_hash64(tab, "doc_id") ^ split_mix)
+    hi0 = np.uint64(0.7 * float(2**64))
+    old = str(tmp_path / "old")
+    shuffle_export(
+        ray.data.from_arrow(tab.filter(pa.array(h <= hi0))),
+        os.path.join(old, "train"), id_col="doc_id", seed=seed, num_shards=4,
+    )
+    shuffle_export(
+        ray.data.from_arrow(tab.filter(pa.array(h > hi0))),
+        os.path.join(old, "val"), id_col="doc_id", seed=seed, num_shards=4,
+    )
+    for name in fractions:
+        a = _export_tables(os.path.join(out, name))
+        b = _export_tables(os.path.join(old, name))
+        assert len(a) == len(b) > 0
+        assert all(x.equals(y) for x, y in zip(a, b))
+
+
+def test_mix_export_fused_and_interleaved(ray_session, tmp_path):
+    """Fused mixture+export: sources read once, ONE payload shuffle,
+    and every output shard is locally interleaved (both sources appear
+    in proportion inside each shard, not source-by-source)."""
+    import ray.data
+
+    from changesetmd_ray.stages.export import mix_export
+
+    web = _docs(4000)
+    code = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10_000, 11_000, dtype=np.int64)),
+            "score": pa.array(np.zeros(1000)),
+        }
+    )
+    manifest, plan = mix_export(
+        {"web": ray.data.from_arrow(web), "code": ray.data.from_arrow(code)},
+        {"web": 0.5, "code": 0.5},
+        str(tmp_path / "mix"),
+        id_col="doc_id",
+        seed=11,
+        num_shards=4,
+        counts={"web": 4000, "code": 1000},  # precomputed: no count() pass
+    )
+    assert plan["code"]["keep_rate"] == 1.0
+    total = sum(manifest["rows"].to_pylist())
+    # T=2000: 1000 code exactly + ~1000 web (binomial)
+    assert 1850 < total < 2150
+    for t in _export_tables(str(tmp_path / "mix")):
+        srcs = t["source"].to_pylist()
+        n_code = sum(1 for s in srcs if s == "code")
+        # each shard holds a genuine mixture near 50/50
+        assert 0.35 < n_code / len(srcs) < 0.65
+        # interleaved, not grouped: code rows are not contiguous
+        first_code = srcs.index("code")
+        assert "web" in srcs[first_code:]
 
 
 def test_mix_corpora_validation(ray_session):
