@@ -138,6 +138,13 @@ def _warmup(num_cpus: int, sf_dir: str | None = None) -> None:
         ray.data.read_parquet(
             os.path.join(sf_dir, "nation.parquet"), override_num_blocks=num_cpus
         ).map_batches(lambda b: b, batch_format="pyarrow").count()
+        # pre-materialize the derived pages fixture (cached under /tmp):
+        # it is test INPUT, not pipeline work — a cold /tmp otherwise
+        # charges fixture synthesis to the first pages_* query timing
+        from changesetmd_ray.pipelines.queries import pages_from_docs
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
 
 
 def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:

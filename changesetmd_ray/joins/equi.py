@@ -180,6 +180,50 @@ def _tag(ds, key: str, cols: list[str], side: int, num_buckets: int, plan_ref):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def broadcast_join(left, right, *, left_on: str, right_on: str,
+                   left_cols: list[str], right_cols: list[str]):
+    """Inner equi-join with the RIGHT side broadcast: the right table
+    is collected once, key-sorted once, ``ray.put`` once, and every
+    left block probes it with ``searchsorted`` + range expansion —
+    map-only, NO shuffle (the T3 broadcast pattern, same as
+    ``joins/pip.py``). Exact integer keys, so no hash and no collision
+    recheck. Caller guarantees the right side fits a broadcast; use
+    :func:`hash_join` (optionally with ``broadcast_max_rows``) when it
+    may not."""
+    rt = pa.concat_tables(
+        ray.get(right.select_columns(right_cols).to_arrow_refs())
+    ).combine_chunks()
+    rt = rt.filter(pc.is_valid(rt[right_on]))  # null keys never match
+    rk = rt[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(rk, kind="stable")
+    ref = ray.put((rk[order], rt.take(pa.array(order))))
+    out_cols = [*left_cols, *right_cols]
+
+    def probe(batch: pa.Table) -> pa.Table:
+        batch, lk = _clean_keys(batch, left_on, left_cols)
+        rk_s, rtbl = ray.get(ref)  # zero-copy plasma read per task
+        lo = np.searchsorted(rk_s, lk, "left")
+        hi = np.searchsorted(rk_s, lk, "right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {c: pa.nulls(0, (batch.schema.field(c).type if c in left_cols
+                                 else rtbl.schema.field(c).type)) for c in out_cols}
+            )
+        li = np.repeat(np.arange(len(lk)), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        ri = np.repeat(lo, counts) + within
+        out_l = batch.take(pa.array(li))
+        out_r = rtbl.take(pa.array(ri))
+        cols = {c: out_l[c] for c in left_cols}
+        cols.update({c: out_r[c] for c in right_cols})
+        return pa.table(cols)
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 def hash_join(
     left,
     right,
@@ -192,6 +236,7 @@ def hash_join(
     pair_budget: int | None = None,
     salt_max: int = 64,
     hot_track: int = 64,
+    broadcast_max_rows: int | None = None,
 ):
     """Inner equi-join of two Datasets on integer keys → Dataset with
     ``left_cols + right_cols`` (caller avoids name collisions; the join
@@ -201,7 +246,15 @@ def hash_join(
     note the pre-pass executes both inputs' lineage once before the
     join re-executes it, the right trade when inputs are reads (a
     column-pruned extra scan) but worth a ``materialize()`` upstream
-    when the inputs are expensive computed pipelines."""
+    when the inputs are expensive computed pipelines.
+
+    ``broadcast_max_rows`` enables the Spark-style adaptive plan: when
+    the right side counts at or below it, the join runs map-only via
+    :func:`broadcast_join` (no all-to-all at all — at small scale the
+    sort shuffle's fixed cost dominates; at 100 TB the count exceeds
+    the limit and the shuffle plan engages). The count is one
+    ``right.count()`` — metadata-cheap when the right side is a read,
+    a lineage execution otherwise, same caveat as ``pair_budget``."""
     check_pow2(num_buckets)
     if left_on not in left_cols:
         left_cols = [left_on, *left_cols]
@@ -210,6 +263,12 @@ def hash_join(
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"column name collision across sides: {sorted(overlap)}")
+
+    if broadcast_max_rows is not None and right.count() <= broadcast_max_rows:
+        return broadcast_join(
+            left, right, left_on=left_on, right_on=right_on,
+            left_cols=left_cols, right_cols=right_cols,
+        )
 
     plan_ref = None
     if pair_budget is not None:

@@ -860,10 +860,11 @@ group by r_name
 
 
 def q_priority_revenue(sf_dir: str):
-    """J1 large×large distributed hash join (joins/equi.py): lineitem ⋈
-    orders on the order key — neither side broadcast — then revenue per
-    order priority in exact integer 1e-4-dollar units (same parity rule
-    as tpch_q1)."""
+    """J1 parent↔child equi-join (joins/equi.py): lineitem ⋈ orders on
+    the order key through the ADAPTIVE plan — broadcast probe while the
+    pruned orders side fits (bench scale), shuffle hash join above the
+    row limit (100 TB) — then revenue per order priority in exact
+    integer 1e-4-dollar units (same parity rule as tpch_q1)."""
     from changesetmd_ray.joins.equi import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], blocks=16)
@@ -873,6 +874,11 @@ def q_priority_revenue(sf_dir: str):
         left_on="l_orderkey", right_on="o_orderkey",
         left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
         right_cols=["o_orderkey", "o_orderpriority"],
+        # adaptive plan: orders (2 pruned cols) broadcasts below 4 M
+        # rows — at bench scale the sort shuffle's fixed cost dominated
+        # (2.3 s vs 0.4 s); at 100 TB the count exceeds the limit and
+        # the shuffle path engages
+        broadcast_max_rows=4_000_000,
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -900,8 +906,10 @@ def q_priority_revenue(sf_dir: str):
             }
         )
 
+    # fanin=1: the broadcast-joined partials keep the read's 16 blocks
+    # (≤ 5 priority rows each) — one repartition barrier suffices
     return tree_combine(
-        joined.map_batches(partial, batch_format="pyarrow"), combine
+        joined.map_batches(partial, batch_format="pyarrow"), combine, fanin=1
     ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
@@ -1517,49 +1525,57 @@ def pages_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
     1 + doc_id % 3 geo signals with integer-derived coordinates are
     planted in the head. Idempotent: shard files are only written once."""
     os.makedirs(out_dir, exist_ok=True)
+    paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
     docs = _read_small(sf_dir, "documents", ["doc_id", "text", "lang"])
     ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    texts = docs["text"].to_pylist()
-    langs = docs["lang"].to_pylist()
     base = np.datetime64("2021-01-01T00:00:00", "us")
-    paths = []
+
+    # fully vectorized synthesis (numpy %-format + Arrow element-wise
+    # join): the per-row f-string loop this replaces dominated the
+    # first bench call of pages_pipeline/pages_tags at sf0.1
+    def _s(a: np.ndarray) -> pa.Array:  # int array → string array
+        return pa.array(np.char.mod("%d", a))
+
+    gen = pc.binary_join_element_wise(
+        '<meta name="generator" content="gen-', _s(ids % 7), ".", _s(ids % 5), '">', ""
+    )
+    geo_metas = []
+    for jj in range(3):
+        k = ids * 31 + jj * 7
+        lon = ((k * 7919) % 360000) / 1000.0 - 180.0
+        lat = ((k * 104729) % 170000) / 1000.0 - 85.0
+        tag = pc.binary_join_element_wise(
+            '<meta name="geo.position" content="',
+            pa.array(np.char.mod("%.7f", lat)), ";",
+            pa.array(np.char.mod("%.7f", lon)), '">', "",
+        )
+        # doc plants 1 + doc_id % 3 signals: blank out tags past that
+        mask = pa.array(jj < 1 + ids % 3)
+        geo_metas.append(pc.if_else(mask, tag, pa.scalar("", pa.string())))
+    html = pc.binary_join_element_wise(
+        "<html><head>", gen, *geo_metas, "</head><body><p>",
+        docs["text"].combine_chunks(), "</p></body></html>", "",
+    )
+    url = pc.binary_join_element_wise("https://docs.example.org/d", _s(ids), "")
+    ts = base + ids.astype("timedelta64[s]").astype("timedelta64[us]")
+    table = pa.table(
+        {
+            "url": url,
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": html.cast(pa.binary()),
+            "text": docs["text"],
+            "lang": docs["lang"],
+        }
+    )
     shard_of = ids % n_shards
     for s in range(n_shards):
-        p = os.path.join(out_dir, f"part-{s:05d}.parquet")
-        paths.append(p)
-        if os.path.exists(p):
+        if os.path.exists(paths[s]):
             continue
-        sel = np.nonzero(shard_of == s)[0]
-        urls, ts, htmls, txts, lgs = [], [], [], [], []
-        for i in sel:
-            did = int(ids[i])
-            head = [f'<meta name="generator" content="gen-{did % 7}.{did % 5}">']
-            for j in range(1 + did % 3):
-                k = did * 31 + j * 7
-                lon = ((k * 7919) % 360000) / 1000.0 - 180.0
-                lat = ((k * 104729) % 170000) / 1000.0 - 85.0
-                head.append(f'<meta name="geo.position" content="{lat:.7f};{lon:.7f}">')
-            urls.append(f"https://docs.example.org/d{did}")
-            ts.append(base + np.timedelta64(did, "s"))
-            htmls.append(
-                (
-                    f"<html><head>{''.join(head)}</head><body><p>{texts[i]}</p></body></html>"
-                ).encode("utf-8")
-            )
-            txts.append(texts[i])
-            lgs.append(langs[i])
-        pq.write_table(
-            pa.table(
-                {
-                    "url": pa.array(urls, pa.string()),
-                    "warc_ts": pa.array(np.array(ts, dtype="datetime64[us]"), pa.timestamp("us")),
-                    "html": pa.array(htmls, pa.binary()),
-                    "text": pa.array(txts, pa.string()),
-                    "lang": pa.array(lgs, pa.string()),
-                }
-            ),
-            p,
-        )
+        tmp = paths[s] + ".tmp"
+        pq.write_table(table.filter(pa.array(shard_of == s)), tmp)
+        os.replace(tmp, paths[s])
     return paths
 
 

@@ -99,8 +99,16 @@ def tree_combine(partials, combine, *, fanin: int = 16):
     level-1 task's merged rows stay small at scale (1 M input blocks ×
     6 groups / 16 ≈ 375 k tiny rows per task), small enough that a
     small input isn't SPLIT into more tasks than it has blocks
-    (repartition(n) makes n blocks regardless of input count)."""
+    (repartition(n) makes n blocks regardless of input count).
+    ``fanin=1`` collapses the tree to a SINGLE repartition+combine —
+    for callers that bound their partials' block count themselves
+    (each repartition is a barrier with ~0.3 s fixed cost; measured
+    1.02 s → 0.78 s on priority_revenue at sf0.1)."""
 
+    if fanin == 1:
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
     p = partials.repartition(fanin).map_batches(
         combine, batch_format="pyarrow", batch_size=None
     )

@@ -309,3 +309,28 @@ def test_pack_by_bucket_roundtrip(ray_session):
     empty = pack_by_bucket(b.slice(0, 0), "__bucket", ["v", "k"], scalar_cols=("side",))
     assert empty.num_rows == 0
     assert empty.schema.equals(packed.schema)
+
+
+def test_broadcast_path_matches_shuffle_path(join_inputs):
+    """The adaptive broadcast plan (broadcast_max_rows) must produce
+    exactly the shuffle hash join's rows — including duplicate-key
+    expansion and null-key drops."""
+    left, right = join_inputs
+    kw = dict(left_on="lk", right_on="rk",
+              left_cols=["lk", "lval"], right_cols=["rk", "rname"])
+    shuf = hash_join(
+        ray.data.from_arrow(left).repartition(5),
+        ray.data.from_arrow(right).repartition(3), num_buckets=16, **kw)
+    bcast = hash_join(
+        ray.data.from_arrow(left).repartition(5),
+        ray.data.from_arrow(right).repartition(3),
+        broadcast_max_rows=10_000, **kw)
+    a = _sorted_df(pa.Table.from_pandas(shuf.to_pandas(), preserve_index=False))
+    b = _sorted_df(pa.Table.from_pandas(bcast.to_pandas(), preserve_index=False))
+    pd.testing.assert_frame_equal(a, b)
+    # below the limit the shuffle path must engage (0 forces it)
+    forced = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        broadcast_max_rows=0, **kw)
+    c = _sorted_df(pa.Table.from_pandas(forced.to_pandas(), preserve_index=False))
+    pd.testing.assert_frame_equal(a, c)
