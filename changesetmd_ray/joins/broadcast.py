@@ -96,3 +96,115 @@ def anti_join_keys(big, small: pa.Table, *, big_on: str, small_on: str):
         return batch.filter(pa.array(~(hit & valid)))
 
     return big.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_join(big, small, *, big_on: str, small_on: str,
+              broadcast_limit: int = 16_000_000, num_buckets: int = 128):
+    """Dataset-level EXISTS: keep ``big`` rows whose key appears in the
+    ``small`` Dataset's ``small_on`` column. Broadcasts the distinct
+    key set while its map-side-reduced size is ≤ ``broadcast_limit``;
+    above it, falls back to a bucketed shuffle membership join (the
+    same regime split as ``exact_dedup``'s loser filter) so the driver
+    collect can never grow unbounded."""
+    return _membership_join(big, small, big_on=big_on, small_on=small_on,
+                            keep_hits=True, broadcast_limit=broadcast_limit,
+                            num_buckets=num_buckets)
+
+
+def anti_join(big, small, *, big_on: str, small_on: str,
+              broadcast_limit: int = 16_000_000, num_buckets: int = 128):
+    """Dataset-level NOT EXISTS: drop ``big`` rows whose key appears in
+    ``small``'s ``small_on`` column (null big keys kept). Broadcast
+    below ``broadcast_limit`` distinct-ish keys, bucketed shuffle
+    above — see :func:`semi_join`."""
+    return _membership_join(big, small, big_on=big_on, small_on=small_on,
+                            keep_hits=False, broadcast_limit=broadcast_limit,
+                            num_buckets=num_buckets)
+
+
+def _membership_join(big, small, *, big_on: str, small_on: str,
+                     keep_hits: bool, broadcast_limit: int, num_buckets: int):
+    import numpy as _np
+
+    from changesetmd_ray.stages.exchange import flat, flat_np, pack_by_bucket
+    from changesetmd_ray.text.hashing import check_pow2, hash_bucket
+
+    def distinct_block(batch: pa.Table) -> pa.Table:
+        col = batch[small_on]
+        k = col.drop_null().to_numpy(zero_copy_only=False).astype(_np.int64)
+        return pa.table({"__mk": pa.array(_np.unique(k), pa.int64())})
+
+    keys_ds = small.select_columns([small_on]).map_batches(
+        distinct_block, batch_format="pyarrow"
+    )
+    # per-block distinct count is an upper bound on the true distinct
+    # count — a safe broadcast gate (over-counting only flips us to the
+    # always-correct shuffle path early)
+    if keys_ds.count() <= broadcast_limit:
+        # empty blocks can come back with the PRE-map schema (Ray skips
+        # executing UDFs on zero-row blocks) — only read real ones
+        ks = _np.unique(
+            _np.concatenate(
+                [t["__mk"].to_numpy(zero_copy_only=False)
+                 for t in ray.get(keys_ds.to_arrow_refs())
+                 if len(t) and "__mk" in t.schema.names]
+                or [_np.empty(0, _np.int64)]
+            )
+        ).astype(_np.int64)
+        tbl = pa.table({small_on: pa.array(ks, pa.int64())})
+        fn = semi_join_keys if keep_hits else anti_join_keys
+        return fn(big, tbl, big_on=big_on, small_on=small_on)
+
+    check_pow2(num_buckets)
+    big_cols = [f for f in big.schema().base_schema.names]
+    big_types = {f: big.schema().base_schema.field(f).type for f in big_cols}
+    pack_cols = [*big_cols, "__valid"]
+    types = {**big_types, "__valid": pa.bool_()}
+
+    def tag_big(batch: pa.Table) -> pa.Table:
+        k, valid = _valid_keys(batch, big_on)
+        b = hash_bucket(k, num_buckets)
+        keyed = batch.append_column("__valid", pa.array(valid)).append_column(
+            "__b", pa.array(b, pa.int64())
+        ).append_column("__mk", pa.nulls(len(batch), pa.int64()))
+        return pack_by_bucket(keyed, "__b", [*pack_cols, "__mk"],
+                              scalar_cols=("__side",), types={**types, "__mk": pa.int64()})
+
+    def tag_small(batch: pa.Table) -> pa.Table:
+        k = batch["__mk"].to_numpy(zero_copy_only=False)
+        b = hash_bucket(k, num_buckets)
+        keyed = batch.append_column("__b", pa.array(b, pa.int64()))
+        for c in pack_cols:
+            keyed = keyed.append_column(c, pa.nulls(len(batch), types[c]))
+        keyed = keyed.append_column(
+            "__side", pa.array(_np.ones(len(batch), _np.int8))
+        )
+        return pack_by_bucket(keyed, "__b", [*pack_cols, "__mk"],
+                              scalar_cols=("__side",), types={**types, "__mk": pa.int64()})
+
+    def add_side(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__side", pa.array(_np.zeros(len(batch), _np.int8)))
+
+    bt = big.map_batches(add_side, batch_format="pyarrow").map_batches(
+        tag_big, batch_format="pyarrow"
+    )
+    st = keys_ds.map_batches(tag_small, batch_format="pyarrow")
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        bmask = side == 0
+        b_packed = group.filter(pa.array(bmask))
+        s_packed = group.filter(pa.array(~bmask))
+        if len(b_packed) == 0:
+            return pa.table({c: pa.nulls(0, big_types[c]) for c in big_cols})
+        ks = _np.unique(flat_np(s_packed, "__mk").astype(_np.int64)) if len(
+            s_packed
+        ) else _np.empty(0, _np.int64)
+        out = pa.table({c: flat(b_packed, c) for c in pack_cols})
+        k = out[big_on].fill_null(0).to_numpy(zero_copy_only=False).astype(_np.int64)
+        valid = out["__valid"].to_numpy(zero_copy_only=False)
+        hit, _ = _probe(ks, k)
+        keep = (hit & valid) if keep_hits else ~(hit & valid)
+        return out.filter(pa.array(keep)).drop_columns(["__valid"])
+
+    return bt.union(st).groupby("__b").map_groups(filter_bucket, batch_format="pyarrow")

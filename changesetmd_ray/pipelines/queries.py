@@ -411,35 +411,19 @@ _SQL_SEMI_JOIN = "select distinct o_custkey as c_custkey from orders where o_ord
 
 
 def q_anti_join_customers(sf_dir: str):
-    """J6 anti-join: customers with no 'F' order. The key set of the
-    filtered side is collected once (bounded by #customers) and
-    broadcast; the customer side streams through a vectorized is_in."""
-    f_keys = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-        .filter(expr="o_orderstatus == 'F'")
-        .map_batches(
-            lambda b: pa.table({"k": pa.array(np.unique(b["o_custkey"].to_numpy(zero_copy_only=False)))}),
-            batch_format="pyarrow",
-        )
-        .take_all()
+    """J6 anti-join: customers with no 'F' order, through the
+    size-gated membership join (joins/broadcast.py): the filtered key
+    set broadcasts while its map-side-distinct size is below the
+    limit, and falls back to the bucketed shuffle anti-join above it —
+    the driver collect can never grow unbounded (round-3 verdict #4)."""
+    from changesetmd_ray.joins.broadcast import anti_join
+
+    f_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
+        expr="o_orderstatus == 'F'"
     )
-    have = np.unique(np.array([r["k"] for r in f_keys], dtype=np.int64))
-    have_ref = ray.put(have)
-
-    class AntiFilter:
-        def __init__(self):
-            self.have = ray.get(have_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(self.have) == 0:  # nothing to exclude (numpy & would
-                return batch          # not short-circuit the gather)
-            ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.clip(np.searchsorted(self.have, ck), 0, len(self.have) - 1)
-            hit = self.have[pos] == ck
-            return batch.filter(pa.array(~hit))
-
-    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        lambda b: AntiFilter()(b), batch_format="pyarrow"
+    return anti_join(
+        _read(sf_dir, "customer", ["c_custkey"]), f_orders,
+        big_on="c_custkey", small_on="o_custkey",
     )
 
 
@@ -1808,16 +1792,18 @@ from documents where doc_id % 7 = 3
 
 
 def q_media_pipeline(sf_dir: str):
-    """The full multimodal surface in ONE query (stages/multimodal.py):
-    documents' text bytes stand in as opaque payloads on a MIXED media
-    table (even doc_id → image, odd → video). Images flow through
-    resize → metadata → decode → per-media feature rows; videos pass
-    the resize stage untouched (the passthrough contract) and flow
-    through the 1→N frame sampler. The union of both branches comes
-    back as one table: feature rows carry ``f0``/``payload_bytes`` with
-    null frame columns, frame rows the inverse. Rows-only check (the
-    codec boundary is the marked stub); the branch row counts and
-    passthrough bytes are unit-tested in tests/test_multimodal.py."""
+    """The full multimodal surface in ONE query (stages/multimodal.py),
+    through the REAL codecs (stages/codecs.py): even doc_ids become
+    solid-color 24-bit BMP images (color/dims integer-derived from
+    doc_id), odd doc_ids VID1 video containers (frame count in the
+    header). Images flow resize(64×48, real nearest-neighbor decode →
+    gather → re-encode) → metadata → decode (real pixel-stat
+    features); videos pass the resize stage untouched and flow through
+    the 1→N frame sampler (real header parse). Exactly SQL-oracled:
+    f0 = (r+g+b)/765 of the planted color (solid survives NN resize),
+    payload_bytes = 9270 (the 64×48 BMP size), frames every 2nd index
+    below 1 + doc_id % 60 at 25 fps (ts = 40 ms each)."""
+    from changesetmd_ray.stages.codecs import bmp_encode, vid1_encode
     from changesetmd_ray.stages.multimodal import (
         decode_media,
         resize_media,
@@ -1825,23 +1811,34 @@ def q_media_pipeline(sf_dir: str):
     )
 
     def to_media(batch: pa.Table) -> pa.Table:
-        payload = pa.array(
-            [t.encode("utf-8") if t else b"" for t in batch["text"].to_pylist()], pa.binary()
-        )
         did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        payloads = []
+        for d, t in zip(did, texts):
+            if d % 2 == 0:
+                px = np.full(
+                    (int(3 + d % 7), int(4 + d % 9), 3),
+                    (d % 256, (d * 7) % 256, (d * 13) % 256),
+                    np.uint8,
+                )
+                payloads.append(bmp_encode(px))
+            else:
+                payloads.append(
+                    vid1_encode(int(1 + d % 60), 25, (t or "").encode("utf-8")[:16])
+                )
         mtype = np.where(did % 2 == 0, "image", "video")
         return pa.table(
             {
                 "media_id": batch["doc_id"],
                 "media_type": pa.array(mtype.tolist(), pa.string()),
-                "payload": payload,
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8).map_batches(
         to_media, batch_format="pyarrow"
     )
-    resized = resize_media(ds, width=64, height=48, batch_size=256)
+    resized = resize_media(ds, width=64, height=48, codec="bmp", batch_size=256)
 
     def images_only(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -1850,7 +1847,7 @@ def q_media_pipeline(sf_dir: str):
 
     feats = decode_media(
         resized.map_batches(images_only, batch_format="pyarrow"),
-        feat_dim=16, codec="fake", batch_size=256,
+        feat_dim=16, codec="bmp", batch_size=256,
     )
 
     def feat_rows(batch: pa.Table) -> pa.Table:
@@ -1868,7 +1865,7 @@ def q_media_pipeline(sf_dir: str):
             }
         )
 
-    frames = sample_frames(resized, stride=2, batch_size=256)
+    frames = sample_frames(resized, stride=2, codec="vid1", batch_size=256)
 
     def frame_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -1886,6 +1883,30 @@ def q_media_pipeline(sf_dir: str):
     return feats.map_batches(feat_rows, batch_format="pyarrow").union(
         frames.map_batches(frame_rows, batch_format="pyarrow")
     )
+
+
+# the planted media truths, reproduced in SQL: solid colors survive the
+# real nearest-neighbor resize, so the decoded per-channel means ARE the
+# planted colors; 9270 = 54-byte header + 48 rows × 192 padded bytes of
+# the resized 64×48 BMP; VID1 headers carry 1 + doc_id % 60 frames at
+# 25 fps (stride 2 → even frame_idx, ts exactly 40 ms per frame)
+_SQL_MEDIA_PIPELINE = """
+select doc_id as media_id, 'feature' as kind,
+       cast(null as bigint) as frame_idx, cast(null as bigint) as ts_ms,
+       cast(9270 as bigint) as payload_bytes,
+       -- feature vectors are stored float32 (the ML convention); the
+       -- REAL cast reproduces that rounding exactly
+       cast(cast(cast((doc_id % 256) + ((doc_id * 7) % 256)
+                      + ((doc_id * 13) % 256) as double) / 765.0
+                 as real) as double) as f0
+from documents where doc_id % 2 = 0
+union all
+select doc_id as media_id, 'frame' as kind, f as frame_idx,
+       f * 40 as ts_ms, cast(null as bigint) as payload_bytes,
+       cast(null as double) as f0
+from documents cross join (select unnest(range(0, 60, 2)) as f) fr
+where doc_id % 2 = 1 and f < 1 + doc_id % 60
+"""
 
 
 def _dup_pairs_ds(sf_dir: str):
@@ -2206,15 +2227,56 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate cosine top-k (rows-only; recall < 1 by
-    construction)."""
+    """LSH-bucketed approximate cosine top-k, driver-gated on recall:
+    the query ALSO runs the exact brute-force top-k (ann_cosine's
+    kernel) and asserts per-query recall ≥ 0.6 and mean recall ≥ 0.8 —
+    the deterministic floor of this configuration (n_bits=16,
+    max_mismatch=8, fixed seed: measured min-recall 0.6/0.8/0.6 and
+    mean 0.87/0.90/0.85 at sf 0.001/0.01/0.1). The returned assertion
+    rows are exact-SQL-expressible, so the battery check is a real
+    rows+schema+hash match, not rows-only: a recall regression below
+    the documented bound raises inside the query."""
+    k = 5
     emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
     queries = emb.filter(pc.less(emb["vec_id"], 8))
-    res = ann_lsh_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"],
-              blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024)), queries, 5, max_mismatch=6
+
+    def corpus():
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                     blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024))
+
+    approx = ann_lsh_topk(corpus(), queries, k, n_bits=16, max_mismatch=8)
+    exact = ann_cosine_topk(corpus(), queries, k)
+    lsh_sets: dict[int, set] = {}
+    for r in approx.select_columns(["query_id", "neighbor_id"]).take_all():
+        lsh_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact_sets: dict[int, set] = {}
+    for r in exact.select_columns(["query_id", "neighbor_id"]).take_all():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = {
+        q: len(lsh_sets.get(q, set()) & s) / len(s) for q, s in exact_sets.items()
+    }
+    bad = {q: r for q, r in recalls.items() if r < 0.6}
+    if bad:
+        raise AssertionError(f"ann_lsh per-query recall below 0.6: {bad}")
+    mean = sum(recalls.values()) / len(recalls)
+    if mean < 0.8:
+        raise AssertionError(f"ann_lsh mean recall {mean:.3f} below 0.8")
+    qs = sorted(recalls)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "k": pa.array([k] * len(qs), pa.int64()),
+            "recall_bound": pa.array([0.6] * len(qs), pa.float64()),
+            "recall_ok": pa.array([True] * len(qs), pa.bool_()),
+        }
     )
-    return res.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+_SQL_ANN_LSH = """
+select vec_id as query_id, cast(5 as bigint) as k,
+       0.6 as recall_bound, true as recall_ok
+from embeddings where vec_id < 8
+"""
 
 
 # --------------------------------------------------------------- registry
@@ -2325,6 +2387,10 @@ ORACLE_SQL = {
     "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
     "docs_simhash_neardup": _sql_docs_simhash(),
     "docs_fingerprint": _SQL_DOCS_FINGERPRINT,
-    # rows-only (non-SQL-expressible): ann_lsh (recall < 1 by
-    # construction), media_pipeline (stubbed codec)
+    "media_pipeline": _SQL_MEDIA_PIPELINE,
+    "ann_lsh": _SQL_ANN_LSH,
+    # every registered query is exactly oracled: ann_lsh returns
+    # recall-assertion rows (the approximate neighbor set itself is not
+    # SQL-expressible, its ≥-bound contract is), media_pipeline decodes
+    # planted BMP/VID1 media through the real codecs
 }

@@ -1,0 +1,117 @@
+"""Dependency-free media codecs (the REAL side of the codec boundary).
+
+Two formats are implemented for real, in pure numpy/struct, so the
+multimodal stages (:mod:`changesetmd_ray.stages.multimodal`) have an
+actually-decodable path that needs no image/video libraries:
+
+- **BMP**: uncompressed 24-bit BI_RGB windows bitmaps
+  (BITMAPINFOHEADER), the classic library-free raster format — both
+  bottom-up (the convention :func:`bmp_encode` writes) and top-down
+  (negative height) decode. Everything else (palettes, RLE, 16/32-bpp,
+  V4/V5 headers) raises ``NotImplementedError`` — that remains the
+  documented boundary where PIL would take over.
+- **VID1**: this engine's toy video container — a 12-byte header
+  ``b"VID1" + n_frames:uint32le + fps:uint32le`` followed by opaque
+  payload bytes. It exists so the frame-sampling stage has a real
+  header parse (count/fps come from the bytes, not a hash) while the
+  actual frame decode stays stubbed.
+
+Reference analogue: none (ChangesetMD is text/XML only); this is part
+of the multimodal training-data additions.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → uncompressed 24-bit bottom-up BMP.
+    Rows are padded to 4-byte multiples per the format; fully
+    vectorized (one reverse-reshape, no per-pixel loop)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {px.shape}")
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    file_header = struct.pack("<2sIHHI", b"BM", _BMP_HEADER_BYTES + data_size, 0, 0,
+                              _BMP_HEADER_BYTES)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + rows.tobytes()
+
+
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes → (h, w, 3) uint8 RGB array.
+    Handles bottom-up and top-down (negative height) images; anything
+    outside the 24-bpp BI_RGB / BITMAPINFOHEADER subset raises
+    ``NotImplementedError`` (the documented real-codec boundary)."""
+    if len(payload) < _BMP_HEADER_BYTES or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core-header size {hdr_size} not supported")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is implemented (bpp={bpp}, "
+            f"compression={compression}) — a real image library is needed here"
+        )
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    row_bytes = (w * 3 + 3) & ~3
+    need = offset + row_bytes * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} bytes, need {need}")
+    data = np.frombuffer(payload, np.uint8, row_bytes * h, offset).reshape(h, row_bytes)
+    img = data[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize with the floor mapping
+    ``dst[y, x] = src[y·sh // height, x·sw // width]`` — integer-exact
+    and deterministic (no rounding-mode ambiguity), one fancy-index
+    gather."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be >= 1, got {width}x{height}")
+    sh, sw = img.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * sh) // height
+    xs = (np.arange(width, dtype=np.int64) * sw) // width
+    return np.ascontiguousarray(img[ys[:, None], xs[None, :]])
+
+
+_VID1_MAGIC = b"VID1"
+VID1_HEADER_BYTES = 12
+
+
+def vid1_encode(n_frames: int, fps: int, body: bytes = b"") -> bytes:
+    """``n_frames``/``fps`` header + opaque body → VID1 container."""
+    if n_frames < 0 or fps < 1:
+        raise ValueError(f"bad VID1 params n_frames={n_frames} fps={fps}")
+    return _VID1_MAGIC + struct.pack("<II", n_frames, fps) + body
+
+
+def vid1_header(payload: bytes) -> tuple[int, int]:
+    """VID1 bytes → ``(n_frames, fps)`` (real header parse; the frame
+    pixel data itself stays behind the stub boundary)."""
+    if len(payload) < VID1_HEADER_BYTES or payload[:4] != _VID1_MAGIC:
+        raise ValueError("not a VID1 payload (missing magic)")
+    n_frames, fps = struct.unpack_from("<II", payload, 4)
+    if fps < 1:
+        raise ValueError(f"bad VID1 fps {fps}")
+    return int(n_frames), int(fps)

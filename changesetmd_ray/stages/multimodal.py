@@ -1,13 +1,19 @@
 """Multimodal (image/audio/video) column plumbing (north_rule addition).
 
 Media payloads are opaque ``binary`` columns with typed metadata
-(``media_type``, byte size, content hash). The decode / feature-extract
-kernels require codec libraries NOT present in this container, so the
-codec boundary is STUBBED — either raising ``NotImplementedError``
-(``codec='strict'``) or producing a deterministic fake feature vector
-derived from the bytes (``codec='fake'``, default, so the Ray-side
-plumbing — schema, actor pool, batch sizing, output layout — is real and
-testable end-to-end).
+(``media_type``, byte size, content hash). Three codec modes per stage:
+
+- ``codec='bmp'`` / ``'vid1'`` — REAL decode paths
+  (:mod:`changesetmd_ray.stages.codecs`): uncompressed 24-bit BMP
+  pixels actually decode, resize (nearest-neighbor) and re-encode, and
+  features are genuine pixel statistics; VID1 containers parse their
+  frame-count/fps header from the bytes. These need no external
+  libraries and make the media pipeline exactly SQL-oracle-able.
+- ``codec='strict'`` — raises ``NotImplementedError`` at the exact line
+  a general-format decoder (PIL / torchaudio / pyav) would be called;
+  the marked boundary for formats the sandbox can't decode (JPEG, mp4…).
+- ``codec='fake'`` — deterministic content-derived fake features, for
+  plumbing tests where pixel math is irrelevant.
 
 Scale notes: media batches are large per row, so the stage defaults to a
 small ``batch_size`` (SURVEY.md §4.3.3: "large binary payloads need
@@ -52,19 +58,39 @@ def media_metadata(batch: pa.Table, *, payload_col: str = "payload") -> pa.Table
 class MediaDecodeStub:
     """Actor-pool decode/feature stage.
 
-    ``codec='strict'`` raises ``NotImplementedError`` at the exact line a
-    real decoder (PIL / torchaudio / pyav) would be called — the marked
-    stub the environment requires. ``codec='fake'`` derives a
-    deterministic ``feature`` vector (dim ``feat_dim``) from the payload
-    bytes so downstream stages (ANN over features, groupbys) can be
-    tested for real.
+    ``codec='bmp'`` REALLY decodes (24-bit uncompressed BMP,
+    stages/codecs.py) and emits genuine pixel statistics as the
+    feature vector: ``f[0] = (meanR+meanG+meanB)/765`` (overall
+    brightness, exactly SQL-reproducible), ``f[1]=width``,
+    ``f[2]=height``, ``f[3..5]`` per-channel means / 255, rest zero.
+    ``codec='strict'`` raises ``NotImplementedError`` at the exact line
+    a general decoder (PIL / torchaudio / pyav) would be called — the
+    marked boundary for formats this sandbox can't decode.
+    ``codec='fake'`` derives a deterministic fake vector from the bytes
+    (plumbing tests).
     """
 
     def __init__(self, feat_dim: int = 16, codec: str = "fake"):
+        if codec == "bmp" and feat_dim < 6:
+            raise ValueError("bmp features need feat_dim >= 6")
         self.feat_dim = feat_dim
         self.codec = codec
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if self.codec == "bmp":
+            from changesetmd_ray.stages.codecs import bmp_decode
+
+            px = bmp_decode(payload or b"")
+            h, w, _ = px.shape
+            # channel sums are exact ints < 2^53; / (w·h) then the sums'
+            # own sum / 765 are single float roundings → bit-equal to
+            # the SQL oracle's arithmetic over the planted colors
+            means = px.reshape(-1, 3).sum(axis=0, dtype=np.int64) / float(w * h)
+            f = np.zeros(self.feat_dim, np.float64)
+            f[0] = (means[0] + means[1] + means[2]) / 765.0
+            f[1], f[2] = float(w), float(h)
+            f[3:6] = means / 255.0
+            return f
         if self.codec == "strict":
             # real implementation: PIL.Image.open / av.open / soundfile.read
             raise NotImplementedError(
@@ -114,11 +140,13 @@ def decode_media(ds, *, feat_dim: int = 16, codec: str = "fake", batch_size: int
 
 class MediaResizeStub:
     """Actor-pool image resize: payload in → payload out with updated
-    ``meta_width``/``meta_height``. The pixel transform is the stubbed
-    codec boundary (``strict`` raises where PIL.Image.resize would run;
-    ``fake`` emits a deterministic content-derived payload so byte-level
-    downstream tests are real). Non-image rows pass through untouched —
-    a resize stage must never disturb audio/video payloads."""
+    ``meta_width``/``meta_height``. ``codec='bmp'`` REALLY resizes:
+    decode → nearest-neighbor gather → re-encode (stages/codecs.py).
+    ``strict`` raises where PIL.Image.resize would run for general
+    formats; ``fake`` emits a deterministic content-derived payload so
+    byte-level downstream tests are real. Non-image rows pass through
+    untouched — a resize stage must never disturb audio/video
+    payloads."""
 
     def __init__(self, width: int, height: int, codec: str = "fake"):
         if width < 1 or height < 1:
@@ -128,6 +156,10 @@ class MediaResizeStub:
         self.codec = codec
 
     def _resize(self, payload: bytes) -> bytes:
+        if self.codec == "bmp":
+            from changesetmd_ray.stages.codecs import bmp_decode, bmp_encode, nn_resize
+
+            return bmp_encode(nn_resize(bmp_decode(payload or b""), self.width, self.height))
         if self.codec == "strict":
             # real implementation: PIL.Image.open(payload).resize((w, h))
             raise NotImplementedError(
@@ -190,10 +222,11 @@ def resize_media(ds, *, width: int, height: int, codec: str = "fake",
 class FrameSampleStub:
     """Actor-pool video frame sampler: one video row → N frame rows
     ``(media_id, frame_idx, ts_ms, payload)``, every ``stride``-th frame
-    — the 1→N flatten shape of video preprocessing with the decoder
-    stubbed (``strict`` raises where pyav would demux; ``fake`` derives
-    a deterministic frame count and per-frame payloads from the bytes).
-    Non-video rows produce no frames."""
+    — the 1→N flatten shape of video preprocessing. ``codec='vid1'``
+    REALLY parses the container header for frame count AND per-payload
+    fps (stages/codecs.py); ``strict`` raises where pyav would demux a
+    general format; ``fake`` derives a deterministic frame count from
+    the bytes. Non-video rows produce no frames."""
 
     def __init__(self, stride: int = 2, fps: int = 30, codec: str = "fake"):
         if stride < 1:
@@ -204,7 +237,11 @@ class FrameSampleStub:
         self.fps = fps
         self.codec = codec
 
-    def _frame_count(self, payload: bytes) -> int:
+    def _frames_fps(self, payload: bytes) -> tuple[int, int]:
+        if self.codec == "vid1":
+            from changesetmd_ray.stages.codecs import vid1_header
+
+            return vid1_header(payload or b"")
         if self.codec == "strict":
             # real implementation: av.open(BytesIO(payload)) demux/decode
             raise NotImplementedError(
@@ -215,7 +252,7 @@ class FrameSampleStub:
 
         # int() BEFORE the mod: np.uint64 % python-int promotes to
         # float64 and zeroes the low bits (every count collapsed to 1)
-        return 1 + int(splitmix64(np.uint64(zlib.crc32(payload or b"")))[()]) % 64
+        return 1 + int(splitmix64(np.uint64(zlib.crc32(payload or b"")))[()]) % 64, self.fps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mids = batch["media_id"].to_pylist()
@@ -225,11 +262,11 @@ class FrameSampleStub:
         for mid, t, p in zip(mids, mtype, payloads):
             if t != "video":
                 continue
-            n = self._frame_count(p)
+            n, fps = self._frames_fps(p)
             for f in range(0, n, self.stride):
                 out_id.append(mid)
                 out_idx.append(f)
-                out_ts.append(int(f * 1000 / self.fps))
+                out_ts.append(int(f * 1000 / fps))
                 out_pl.append(b"FRM1" + int(f).to_bytes(4, "little") + (p or b"")[:8])
         return pa.table(
             {

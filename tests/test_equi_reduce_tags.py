@@ -334,3 +334,41 @@ def test_broadcast_path_matches_shuffle_path(join_inputs):
         broadcast_max_rows=0, **kw)
     c = _sorted_df(pa.Table.from_pandas(forced.to_pandas(), preserve_index=False))
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_hot_key_spread_thin_documented_gap(ray_session):
+    """Pin the DOCUMENTED heavy-hitter detection regime (equi.py
+    _hot_key_counts): a key that is globally hot but appears ≤ once per
+    block on both sides evades the per-block ≥2 tracker — no salting
+    engages, output stays correct, and the worst case is bounded by
+    blocks_l × blocks_r pairs in one bucket. Decision (round-3 verdict
+    #7): keep the pre-pass as-is; a count-min sketch over full
+    per-block counts would close the gap at the cost of shuffling every
+    distinct key once, for a failure mode that is performance-only.
+    This test keeps the regime measured: if the tracker ever starts
+    seeing such keys (or stops seeing genuinely dense ones), it fails."""
+    from changesetmd_ray.joins.equi import _hot_key_counts, _salt_plan
+
+    n_blocks = 8
+    # key 7 once per block (spread thin); key 9 four times per block (dense)
+    blocks = [
+        pa.table({"k": pa.array([7, 9, 9, 9, 9, i + 100, i + 200], pa.int64())})
+        for i in range(n_blocks)
+    ]
+    ds = ray.data.from_arrow(blocks)
+    counts = _hot_key_counts(ds, "k", hot_track=64)
+    assert 7 not in counts          # the documented gap: ≤1/block evades
+    assert counts.get(9) == 4 * n_blocks  # dense keys are always seen
+    plan = _salt_plan(counts, counts, pair_budget=100, salt_max=8)
+    assert 7 not in plan["keys"].tolist()
+    assert 9 in plan["keys"].tolist()
+    # correctness is unaffected in the evaded regime: join output exact
+    rblocks = [b.rename_columns(["rk"]) for b in blocks]
+    out = hash_join(
+        ds, ray.data.from_arrow(rblocks), left_on="k", right_on="rk",
+        left_cols=["k"], right_cols=["rk"], pair_budget=100,
+    )
+    left = pa.concat_tables(blocks).to_pandas()
+    right = pa.concat_tables(rblocks).to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")
+    assert len(out.to_pandas()) == len(exp)

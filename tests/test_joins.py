@@ -551,3 +551,67 @@ def test_bbox_join_wrapped_coveredby_and_contains(ray_session):
     got_c = bbox_join(ray.data.from_arrow(big), ray.data.from_arrow(small),
                       zoom=4, predicate="contains", left_id="id", right_id="id").to_pandas()
     assert set(zip(got_c["l_id"], got_c["r_id"])) == {(b, a) for a, b in exp}
+
+
+def test_membership_join_broadcast_matches_bucketed(ray_session):
+    """semi_join/anti_join must be identical through BOTH regimes: the
+    broadcast fast path and the bucketed shuffle fallback that
+    broadcast_limit=0 forces (round-3 verdict #4 — the driver collect
+    must be size-gated). Null big keys: kept by anti, dropped by semi;
+    null small keys ignored."""
+    from changesetmd_ray.joins.broadcast import anti_join, semi_join
+
+    rng = np.random.RandomState(11)
+    big = pa.table(
+        {
+            "k": pa.array(
+                [None if i % 17 == 0 else int(v) for i, v in
+                 enumerate(rng.randint(0, 400, 900))], pa.int64()
+            ),
+            "payload": pa.array([f"p{i}" for i in range(900)]),
+        }
+    )
+    small = pa.table(
+        {"sk": pa.array([None, *rng.randint(0, 300, 250).tolist()], pa.int64())}
+    )
+    have = set(v for v in small["sk"].to_pylist() if v is not None)
+
+    def run(fn, limit):
+        out = fn(
+            ray.data.from_arrow(big).repartition(7),
+            ray.data.from_arrow(small).repartition(3),
+            big_on="k", small_on="sk", broadcast_limit=limit, num_buckets=16,
+        ).take_all()
+        return sorted((r["k"] if r["k"] is not None else -1, r["payload"]) for r in out)
+
+    exp_anti = sorted(
+        ((k if k is not None else -1), p)
+        for k, p in zip(big["k"].to_pylist(), big["payload"].to_pylist())
+        if k is None or k not in have
+    )
+    exp_semi = sorted(
+        (k, p)
+        for k, p in zip(big["k"].to_pylist(), big["payload"].to_pylist())
+        if k is not None and k in have
+    )
+    assert run(anti_join, 10**9) == exp_anti        # broadcast regime
+    assert run(anti_join, 0) == exp_anti            # forced bucketed regime
+    assert run(semi_join, 10**9) == exp_semi
+    assert run(semi_join, 0) == exp_semi
+
+
+def test_membership_join_empty_small_side(ray_session):
+    from changesetmd_ray.joins.broadcast import anti_join, semi_join
+
+    big = pa.table({"k": pa.array([1, 2, None], pa.int64()),
+                    "v": pa.array([1.0, 2.0, 3.0])})
+    empty = pa.table({"sk": pa.array([], pa.int64())})
+    for limit in (10**9, 0):
+        anti = anti_join(ray.data.from_arrow(big), ray.data.from_arrow(empty),
+                         big_on="k", small_on="sk", broadcast_limit=limit,
+                         num_buckets=4).take_all()
+        assert len(anti) == 3  # nothing to exclude
+        semi = semi_join(ray.data.from_arrow(big), ray.data.from_arrow(empty),
+                         big_on="k", small_on="sk", broadcast_limit=limit,
+                         num_buckets=4).take_all()
+        assert len(semi) == 0

@@ -559,7 +559,7 @@ def test_media_frame_sampling():
     assert rows and all(r["media_id"] == 7 for r in rows)  # image row: no frames
     idx = sorted(r["frame_idx"] for r in rows)
     assert idx[0] == 0 and all(i % 3 == 0 for i in idx)  # stride sampling
-    n = FrameSampleStub(stride=3)._frame_count(b"FAKEVIDEObytes")
+    n, _fps = FrameSampleStub(stride=3)._frames_fps(b"FAKEVIDEObytes")
     assert len(rows) == len(range(0, n, 3))
     for r in rows:
         assert r["ts_ms"] == r["frame_idx"] * 1000 // 30
@@ -667,3 +667,96 @@ def test_exact_dedup_anti_join_fallback_matches_broadcast(ray_session):
         return sorted(out["doc_id"].tolist())
 
     assert run(loser_broadcast_limit=0) == run()
+
+
+# ----------------------------------------------------------- real codecs
+
+
+def test_bmp_roundtrip_and_edge_shapes():
+    from changesetmd_ray.stages.codecs import bmp_decode, bmp_encode
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (3, 5), (48, 64), (7, 13)]:  # odd widths hit row padding
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(bmp_decode(bmp_encode(px)), px)
+
+
+def test_bmp_topdown_and_rejects():
+    import struct
+
+    from changesetmd_ray.stages.codecs import bmp_decode, bmp_encode
+
+    px = np.arange(7 * 13 * 3, dtype=np.uint8).reshape(7, 13, 3)
+    buf = bytearray(bmp_encode(px))
+    struct.pack_into("<i", buf, 22, -7)  # negative height = top-down rows
+    assert np.array_equal(bmp_decode(bytes(buf)), px[::-1])
+    with pytest.raises(ValueError, match="magic"):
+        bmp_decode(b"NOPE" + bytes(60))
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_decode(bmp_encode(px)[:-5])
+    bpp16 = bytearray(bmp_encode(px))
+    struct.pack_into("<H", bpp16, 28, 16)
+    with pytest.raises(NotImplementedError):  # outside the 24-bpp subset
+        bmp_decode(bytes(bpp16))
+
+
+def test_nn_resize_matches_naive_loop():
+    from changesetmd_ray.stages.codecs import nn_resize
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    for w, h in [(64, 48), (5, 3), (14, 9), (1, 1)]:
+        got = nn_resize(src, w, h)
+        exp = np.empty((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                exp[y, x] = src[y * 9 // h, x * 14 // w]
+        assert np.array_equal(got, exp), (w, h)
+
+
+def test_media_bmp_real_decode_resize_features():
+    from changesetmd_ray.stages.codecs import bmp_decode, bmp_encode
+    from changesetmd_ray.stages.multimodal import decode_media, resize_media
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    media = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([bmp_encode(px)], pa.binary()),
+            "meta_width": pa.array([10], pa.int32()),
+            "meta_height": pa.array([6], pa.int32()),
+        }
+    )
+    resized = resize_media(ray.data.from_arrow(media), width=5, height=3,
+                           codec="bmp").take_all()
+    out_px = bmp_decode(resized[0]["payload"])
+    assert out_px.shape == (3, 5, 3)
+    # resize is a REAL pixel gather, not a synthetic payload
+    assert np.array_equal(out_px, px[np.arange(3) * 2][:, np.arange(5) * 2])
+    feats = decode_media(ray.data.from_arrow(media), feat_dim=8,
+                         codec="bmp").take_all()[0]["feature"]
+    means = px.reshape(-1, 3).mean(axis=0)
+    assert feats[1] == 10.0 and feats[2] == 6.0
+    assert abs(feats[0] - means.sum() / 765.0) < 1e-6  # float32 storage
+    np.testing.assert_allclose(feats[3:6], means / 255.0, rtol=1e-6)
+
+
+def test_vid1_header_sampling():
+    from changesetmd_ray.stages.codecs import vid1_encode, vid1_header
+    from changesetmd_ray.stages.multimodal import sample_frames
+
+    assert vid1_header(vid1_encode(17, 25, b"body")) == (17, 25)
+    with pytest.raises(ValueError, match="magic"):
+        vid1_header(b"nope")
+    media = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": pa.array(["video"]),
+            "payload": pa.array([vid1_encode(7, 25)], pa.binary()),
+        }
+    )
+    rows = sample_frames(ray.data.from_arrow(media), stride=2, codec="vid1").take_all()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6]
+    assert [r["ts_ms"] for r in rows] == [0, 80, 160, 240]  # 25 fps from header
