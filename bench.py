@@ -384,6 +384,9 @@ def main() -> None:
                     help="points for the scaling headline")
     ap.add_argument("--trials", type=int, default=2,
                     help="scaling trials per leg (best-of-N)")
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this file "
+                         "(e.g. SCALING_r4.json for the per-round artifact)")
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -392,8 +395,12 @@ def main() -> None:
         return
 
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir, args.n_points, args.cpus_lo, args.cpus_hi,
-                                     args.trials)))
+        res = run_scaling(args.sf_dir, args.n_points, args.cpus_lo, args.cpus_hi,
+                          args.trials)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(res, f, indent=1)
+        print(json.dumps(res))
         return
 
     import ray
