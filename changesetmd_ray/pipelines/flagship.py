@@ -27,7 +27,6 @@ Scale design notes:
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import time
@@ -45,6 +44,48 @@ from changesetmd_ray.state.manifest import Manifest
 
 def _shard_of(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
+
+
+@ray.remote
+def _shard_meta(data_dir: str, points_dir: str, pid: str) -> dict:
+    """Manifest metrics for one finished partition from parquet FOOTERS
+    only — no data read-back: parent rows + warc_ts watermark come from
+    file metadata / column statistics, and the points count is the sum
+    of the child files' row counts (child rows ARE the flattened
+    points). This still validates that the claimed rows are physically
+    on disk (footer row counts describe the bytes actually written)
+    while costing milliseconds per shard instead of re-reading the
+    wave's data (measured ~3.3 s of the 1 M-page flagship run). Files
+    whose row groups lack stats fall back to reading just the warc_ts
+    column."""
+    import glob as _glob
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    rows = 0
+    wm = None
+    for f in sorted(_glob.glob(os.path.join(data_dir, f"shard_id={pid}", "*.parquet"))):
+        md = _pq.read_metadata(f)
+        rows += md.num_rows
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if "warc_ts" not in names or md.num_rows == 0:
+            continue
+        ci = names.index("warc_ts")
+        stats = [md.row_group(r).column(ci).statistics for r in range(md.num_row_groups)]
+        if any(s is None or not s.has_min_max for s in stats):
+            col = _pq.read_table(f, columns=["warc_ts"])["warc_ts"]
+            mx = _pc.max(col).as_py()
+        else:
+            mx = max(s.max for s in stats)
+        if mx is not None and (wm is None or mx > wm):
+            wm = mx
+    points = sum(
+        _pq.read_metadata(f).num_rows
+        for f in _glob.glob(os.path.join(points_dir, f"shard_id={pid}", "*.parquet"))
+    )
+    return {"rows": rows, "points": points,
+            "watermark": str(wm) if wm is not None else None}
 
 
 def _attach_shard_id(batch: pa.Table) -> pa.Table:
@@ -292,54 +333,21 @@ def _run_waves(manifest, pending, skipped, by_shard, *, data_dir, points_dir,
         # measure-don't-guess rule): first lines of ds.stats()
         wave_stats = "\n".join(ds.stats().splitlines()[:30])
 
-        # manifest metrics from a cheap pruned read-back of the wave's
-        # output (validates the write; reference tracked rows + max
-        # timestamp the same way, changesetmd.py:255-263)
-        wave_files = [
-            f
-            for pid in wave
-            for f in glob.glob(os.path.join(data_dir, f"shard_id={pid}", "*.parquet"))
-        ]
-        if not wave_files:
-            # a wave can legitimately produce zero output (e.g. a
-            # lang filter matching nothing): mark its partitions
-            # done with zero rows instead of crashing the read-back
-            for pid in wave:
-                manifest.mark_done(pid, {
-                    "input": by_shard[pid], "rows": 0, "points": 0,
-                    "watermark": None, "wave_secs": wave_secs,
-                    "stage_config": {
-                        "s2_level": s2_level, "hex_res": hex_res,
-                        "grid_zoom": grid_zoom, "batch_size": batch_size,
-                    },
-                    "wave_stats": wave_stats,
-                })
-            continue
-        back = ray.data.read_parquet(
-            wave_files, columns=["n_points", "warc_ts"], include_paths=True
+        # manifest metrics from a parallel FOOTER-ONLY scan of the
+        # wave's output (validates the write — footer row counts
+        # describe the bytes on disk; reference tracked rows + max
+        # timestamp the same way, changesetmd.py:255-263). Zero-output
+        # partitions (e.g. a lang filter matching nothing) naturally
+        # report rows=0 — no special case.
+        metas = ray.get(
+            [_shard_meta.remote(data_dir, points_dir, pid) for pid in wave]
         )
-
-        def per_shard(batch: pa.Table) -> pa.Table:
-            sid = pc.replace_substring_regex(batch["path"], r"^.*shard_id=([^/]+)/.*$", r"\1")
-            t = batch.set_column(batch.schema.get_field_index("path"), "shard_id", sid)
-            g = t.group_by("shard_id").aggregate(
-                [("n_points", "sum"), ("n_points", "count"), ("warc_ts", "max")]
-            )
-            return g
-
-        partials = back.map_batches(per_shard, batch_format="pyarrow").to_pandas()
-        agg = partials.groupby("shard_id").agg(
-            points=("n_points_sum", "sum"),
-            rows=("n_points_count", "sum"),
-            watermark=("warc_ts_max", "max"),
-        )
-        for pid in wave:
-            row = agg.loc[pid] if pid in agg.index else None
+        for pid, meta in zip(wave, metas):
             entry = {
                 "input": by_shard[pid],
-                "rows": int(row["rows"]) if row is not None else 0,
-                "points": int(row["points"]) if row is not None else 0,
-                "watermark": str(row["watermark"]) if row is not None else None,
+                "rows": int(meta["rows"]),
+                "points": int(meta["points"]),
+                "watermark": meta["watermark"],
                 "wave_secs": wave_secs,
                 "stage_config": {
                     "s2_level": s2_level,
