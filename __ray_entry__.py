@@ -41,10 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per SQL-expressible query (keys missing
-    here are rows-only checks: own-spec cell ids, MinHash/SimHash LSH,
-    heuristic language-ID, Python-regex tokenization, approximate ANN,
-    and the html-extraction pipeline)."""
+    """DuckDB-equivalent SQL for EVERY registered query (50/50 —
+    value-exact; ann_lsh via in-query recall assertions against the
+    exact top-k, media via the real BMP/VID1 codecs over planted
+    payloads; see queries.py for the float-parity rules)."""
     from changesetmd_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
