@@ -1,0 +1,112 @@
+"""Sequence-packing plans: coverage, budget, determinism, layout
+invariance (stages/packing.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from changesetmd_ray.stages.packing import chunk_sequences, pack_sequences
+
+
+def _docs(n: int, seed: int = 3) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_tok": pa.array(rng.integers(1, 900, n).astype(np.int64)),
+        }
+    )
+
+
+def _rows(ds) -> list[dict]:
+    return sorted(ds.take_all(), key=lambda r: (r["shard"], r["seq"], r["pos"]))
+
+
+def test_pack_sequences_budget_and_coverage(ray_session):
+    tab = _docs(3000)
+    out = _rows(pack_sequences(
+        ray.data.from_arrow(tab), id_col="doc_id", len_col="n_tok",
+        max_tokens=2048, seed=1, num_shards=8,
+    ))
+    assert sorted(r["doc_id"] for r in out) == list(range(3000))  # exactly once
+    lens = dict(zip(tab["doc_id"].to_pylist(), tab["n_tok"].to_pylist()))
+    seqs: dict[tuple, list] = {}
+    for r in out:
+        assert r["n_tokens"] == lens[r["doc_id"]]
+        seqs.setdefault((r["shard"], r["seq"]), []).append(r)
+    for members in seqs.values():
+        members.sort(key=lambda r: r["pos"])
+        total = sum(r["n_tokens"] for r in members)
+        assert total <= 2048 or len(members) == 1  # budget / singleton overlong
+        # pos is the running token offset
+        run = 0
+        for r in members:
+            assert r["pos"] == run
+            run += r["n_tokens"]
+    # first-fit is tight: a sequence (except each shard's last) plus the
+    # NEXT doc must overflow — verified implicitly by pos/budget above;
+    # here just check packing actually combines docs
+    assert any(len(m) > 1 for m in seqs.values())
+
+
+def test_pack_sequences_overlong_singleton(ray_session):
+    tab = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "n_tok": pa.array([5000, 10, 20], pa.int64())}
+    )
+    out = _rows(pack_sequences(
+        ray.data.from_arrow(tab), id_col="doc_id", len_col="n_tok",
+        max_tokens=100, num_shards=1,
+    ))
+    by_seq: dict[int, list] = {}
+    for r in out:
+        by_seq.setdefault(r["seq"], []).append(r)
+    big = [m for m in by_seq.values() if any(r["doc_id"] == 1 for r in m)]
+    assert len(big[0]) == 1  # the 5000-token doc packs alone
+
+
+def test_pack_layout_invariant_and_seeded(ray_session):
+    tab = _docs(1200)
+    a = _rows(pack_sequences(ray.data.from_arrow(tab), id_col="doc_id",
+                             len_col="n_tok", max_tokens=1024, seed=7, num_shards=4))
+    b = _rows(pack_sequences(ray.data.from_arrow(tab).repartition(11),
+                             id_col="doc_id", len_col="n_tok",
+                             max_tokens=1024, seed=7, num_shards=4))
+    assert a == b  # block layout cannot change the plan
+    c = _rows(pack_sequences(ray.data.from_arrow(tab), id_col="doc_id",
+                             len_col="n_tok", max_tokens=1024, seed=8, num_shards=4))
+    assert a != c  # the seed does
+
+
+def test_chunk_sequences_contiguous_stream(ray_session):
+    tab = _docs(800)
+    out = _rows(chunk_sequences(ray.data.from_arrow(tab), id_col="doc_id",
+                                len_col="n_tok", max_tokens=512, num_shards=4))
+    assert sorted(r["doc_id"] for r in out) == list(range(800))
+    # per shard: docs tile the concatenated stream exactly — global
+    # offset = seq*512 + pos increases by exactly n_tokens each step
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: (r["seq"], r["pos"]))
+        off = 0
+        for r in members:
+            assert r["seq"] * 512 + r["pos"] == off
+            exp_span = (off + r["n_tokens"] - 1) // 512 - off // 512 + 1
+            assert r["n_seqs_spanned"] == exp_span
+            off += r["n_tokens"]
+
+
+def test_packing_validation(ray_session):
+    tab = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "n_tok": pa.array([0], pa.int64())})
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_arrow(_docs(4)), id_col="doc_id",
+                       len_col="n_tok", max_tokens=0)
+    with pytest.raises(Exception, match="positive"):
+        pack_sequences(ray.data.from_arrow(tab), id_col="doc_id",
+                       len_col="n_tok", max_tokens=64).take_all()
