@@ -170,14 +170,12 @@ class _Explode:
 _WRAPPED_SENTINEL = -1  # compact cells are iy·nx+ix ≥ 0, so -1 is free
 
 
-def _cell_counts(ds, cols: tuple, zoom: int) -> tuple[dict[int, int], bool]:
-    """Per-compact-cell covering counts for one side, plus whether any
-    box wraps the antimeridian (folded into this pass so wrap detection
-    costs no extra input scan). A column-pruned pass combined
-    DISTRIBUTED first (one level of the repartition tree), so the
-    driver only ever receives ≤ 32 × |distinct touched cells| rows —
-    never blocks × cells (which grows with input size)."""
-    from changesetmd_ray.stages.reduce import _combine_table
+def _count_partial(cols: tuple, zoom: int, side: int):
+    """Per-block covering-count partial for one side; the output key
+    folds the side into the compact cell (``cell*2 + side`` — compact
+    cells are < 2^56 at the zoom cap, so the shift cannot overflow;
+    the -1 wrapped sentinel folds to -2/-1) so BOTH sides' partials
+    combine through one distributed pass."""
 
     def partial(batch: pa.Table) -> pa.Table:
         box = [batch[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in cols]
@@ -191,19 +189,46 @@ def _cell_counts(ds, cols: tuple, zoom: int) -> tuple[dict[int, int], bool]:
         if n_wrapped:
             u = np.concatenate([[np.int64(_WRAPPED_SENTINEL)], u])
             n = np.concatenate([[np.int64(n_wrapped)], n])
-        return pa.table({"cell": pa.array(u, pa.int64()), "n": pa.array(n, pa.int64())})
+        return pa.table(
+            {"cell": pa.array(u * 2 + side, pa.int64()), "n": pa.array(n, pa.int64())}
+        )
 
-    partials = ds.select_columns(list(cols)).map_batches(
-        partial, batch_format="pyarrow", batch_size=None
+    return partial
+
+
+def _cell_counts_both(
+    left, right, left_cols: tuple, right_cols: tuple, zoom: int
+) -> tuple[dict[int, int], bool, dict[int, int], bool]:
+    """Per-compact-cell covering counts for BOTH sides in ONE dataset
+    execution (the pre-pass used to run once per side — two executor
+    startups + two repartition barriers for the same information), plus
+    per-side antimeridian-wrap flags (folded in so wrap detection costs
+    no extra input scan). Column-pruned and combined DISTRIBUTED first
+    (one level of the repartition tree), so the driver only ever
+    receives ≤ 32 × |distinct touched cells| rows — never blocks ×
+    cells (which grows with input size)."""
+    from changesetmd_ray.stages.reduce import _combine_table
+
+    lp = left.select_columns(list(left_cols)).map_batches(
+        _count_partial(left_cols, zoom, 0), batch_format="pyarrow", batch_size=None
     )
-    combined = partials.repartition(32).map_batches(
+    rp = right.select_columns(list(right_cols)).map_batches(
+        _count_partial(right_cols, zoom, 1), batch_format="pyarrow", batch_size=None
+    )
+    combined = lp.union(rp).repartition(32).map_batches(
         lambda b: _combine_table(b, "cell", "n"), batch_format="pyarrow", batch_size=None
     )
-    out: dict[int, int] = {}
+    out = ({}, {})
     for row in combined.take_all():
-        out[row["cell"]] = out.get(row["cell"], 0) + row["n"]
-    wrapped = out.pop(_WRAPPED_SENTINEL, 0) > 0
-    return out, wrapped
+        key = row["cell"]
+        side = key & 1 if key >= 0 else key + 2
+        cell = key >> 1 if key >= 0 else _WRAPPED_SENTINEL
+        d = out[side]
+        d[cell] = d.get(cell, 0) + row["n"]
+    cl, cr = out
+    wl = cl.pop(_WRAPPED_SENTINEL, 0) > 0
+    wr = cr.pop(_WRAPPED_SENTINEL, 0) > 0
+    return cl, wl, cr, wr
 
 
 def _salting_plan(
@@ -427,9 +452,9 @@ def bbox_join(
 
     if salting:
         # wrapped-box detection is folded into the salting pre-pass
-        # (same pruned columns) — no extra input scan
-        cl, wl = _cell_counts(left.select_columns(list(left_cols)), left_cols, zoom)
-        cr, wr = _cell_counts(right.select_columns(list(right_cols)), right_cols, zoom)
+        # (same pruned columns) — no extra input scan; both sides ride
+        # ONE execution
+        cl, wl, cr, wr = _cell_counts_both(left, right, left_cols, right_cols, zoom)
         wrapped = wl or wr
         plan = _salting_plan(cl, cr, pair_budget)
     else:

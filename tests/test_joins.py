@@ -295,7 +295,7 @@ def test_salting_bounds_group_pair_work(ray_session):
     import pandas as pd
 
     from changesetmd_ray.joins import bbox_join
-    from changesetmd_ray.joins.bbox import SALT_BITS, _Explode, _cell_counts, _salting_plan
+    from changesetmd_ray.joins.bbox import SALT_BITS, _Explode, _cell_counts_both, _salting_plan
 
     # hot cell: 600 left + 400 right boxes piled into one ~small area
     rng = np.random.RandomState(13)
@@ -311,8 +311,8 @@ def test_salting_bounds_group_pair_work(ray_session):
 
     left = ray.data.from_arrow(left_t)
     right = ray.data.from_arrow(right_t)
-    cl, _ = _cell_counts(left, ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
-    cr, _ = _cell_counts(right, ("min_lon", "min_lat", "max_lon", "max_lat"), zoom)
+    cols4 = ("min_lon", "min_lat", "max_lon", "max_lat")
+    cl, _, cr, _ = _cell_counts_both(left, right, cols4, cols4, zoom)
     unsalted_max = max(nl * cr.get(c, 0) for c, nl in cl.items())
     assert unsalted_max > budget * 10  # genuinely skewed input
 
