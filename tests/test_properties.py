@@ -173,3 +173,69 @@ def test_sessionize_invariants(ray_session, rows):
                 gap = (r["session_start"] - prev_end).value // 1000  # ns → us
                 assert gap > gap_us
             prev_end = r["session_end"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    from changesetmd_ray.stages.codecs import bmp_decode, bmp_encode
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(px)), px)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_nn_resize_matches_naive_property(sh, sw, th, tw, seed):
+    from changesetmd_ray.stages.codecs import nn_resize
+
+    src = np.random.default_rng(seed).integers(0, 256, (sh, sw, 3), dtype=np.uint8)
+    got = nn_resize(src, tw, th)
+    assert got.shape == (th, tw, 3)
+    for y in (0, th // 2, th - 1):
+        for x in (0, tw // 2, tw - 1):
+            assert (got[y, x] == src[y * sh // th, x * sw // tw]).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=600),
+)
+def test_greedy_pack_cutpoints_property(lens_list, budget):
+    """The per-shard greedy cut kernel (searchsorted form, as in
+    packing.pack_sequences): every sequence fits the budget unless it
+    is a singleton over-long doc, packing is tight (the next doc would
+    overflow), and docs partition exactly."""
+    lens = np.asarray(lens_list, dtype=np.int64)
+    csum = np.cumsum(lens)
+    n = len(lens)
+    seq = np.empty(n, np.int64)
+    i = s = 0
+    while i < n:
+        base = csum[i - 1] if i else 0
+        j = int(np.searchsorted(csum, base + budget, side="right"))
+        if j == i:
+            j = i + 1
+        seq[i:j] = s
+        s += 1
+        i = j
+    assert (np.diff(seq) >= 0).all() and seq[0] == 0  # contiguous runs
+    for g in range(seq.max() + 1):
+        members = lens[seq == g]
+        total = members.sum()
+        assert total <= budget or len(members) == 1
+        # tightness: adding the next doc (if any) would overflow
+        last = np.nonzero(seq == g)[0][-1]
+        if last + 1 < n and total <= budget:
+            assert total + lens[last + 1] > budget
