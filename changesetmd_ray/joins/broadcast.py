@@ -134,9 +134,13 @@ def _membership_join(big, small, *, big_on: str, small_on: str,
         k = col.drop_null().to_numpy(zero_copy_only=False).astype(_np.int64)
         return pa.table({"__mk": pa.array(_np.unique(k), pa.int64())})
 
+    # materialized once: the gate's count() and the path taken after it
+    # (driver collect OR shuffle) would otherwise each re-execute the
+    # small side's lineage. Size is bounded by per-block distinct keys
+    # — exactly what the shuffle path must hold in flight anyway.
     keys_ds = small.select_columns([small_on]).map_batches(
         distinct_block, batch_format="pyarrow"
-    )
+    ).materialize()
     # per-block distinct count is an upper bound on the true distinct
     # count — a safe broadcast gate (over-counting only flips us to the
     # always-correct shuffle path early)
