@@ -304,3 +304,59 @@ def test_child_sink_retry_idempotent(tmp_path):
     files = glob.glob(os.path.join(d, "shard_id=s0", "part-*.parquet"))
     assert len(files) == 1  # overwritten, not duplicated
     assert not glob.glob(os.path.join(d, "shard_id=s0", "*.tmp"))
+
+
+def test_replication_loop_new_partitions(ray_session, tmp_path):
+    """The reference's continuous-replication mode (changesetmd.py:
+    290-300: poll state, fetch NEW sequence files, apply): new shards
+    appearing between runs are the only work the next run does, and the
+    incrementally-built output is identical to a fresh full run."""
+    import shutil
+
+    import pandas as pd
+
+    from changesetmd_ray import fixtures
+    from changesetmd_ray.pipelines.flagship import read_points_output
+    from changesetmd_ray.sources.pages import discover_partitions, source_watermark
+
+    src = str(tmp_path / "incoming")
+    fixtures.write_pages_dir(src, n_shards=3, rows_per_shard=80, seed=21)
+    out = str(tmp_path / "repl_out")
+
+    files = list(discover_partitions(src).values())
+    s1 = run_flagship(files, out, batch_size=64, concurrency=2, wave_size=2)
+    assert s1["partitions"] == 3
+    wm1 = source_watermark(src)
+
+    # two new sequence files arrive (ids continue past the watermark)
+    more = str(tmp_path / "more")
+    fixtures.write_pages_dir(more, n_shards=5, rows_per_shard=80, seed=21)
+    for s in (3, 4):
+        shutil.copy(
+            os.path.join(more, f"part-{s:05d}.parquet"),
+            os.path.join(src, f"part-{s:05d}.parquet"),
+        )
+    assert source_watermark(src) > wm1
+
+    files = list(discover_partitions(src).values())
+    s2 = run_flagship(files, out, batch_size=64, concurrency=2, wave_size=2)
+    assert s2["partitions"] == 2 and s2["skipped"] == 3  # only the new work
+
+    # incremental result == fresh full run over all 5 shards
+    fresh_out = str(tmp_path / "fresh_out")
+    run_flagship(
+        [os.path.join(more, f) for f in sorted(os.listdir(more))],
+        fresh_out, batch_size=64, concurrency=2, wave_size=2,
+    )
+
+    def canon(df):
+        return df.sort_values(["shard_id", "url"]).reset_index(drop=True)
+
+    inc = canon(read_output(out).to_pandas())
+    full = canon(read_output(fresh_out).to_pandas())
+    pd.testing.assert_frame_equal(inc, full)
+    inc_pts = read_points_output(out).to_pandas().sort_values(
+        ["shard_id", "url", "seq"]).reset_index(drop=True)
+    full_pts = read_points_output(fresh_out).to_pandas().sort_values(
+        ["shard_id", "url", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(inc_pts, full_pts)
