@@ -77,3 +77,50 @@ def test_full_training_pipeline(ray_session, tmp_path):
     # shard files exist and are the resume units
     files = glob.glob(str(tmp_path / "out" / "train" / "shard-*.parquet"))
     assert files and sum(len(pq.read_table(f)) for f in files) == n_train
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata not present")
+def test_training_pipeline_pack_and_mix_export(ray_session, tmp_path):
+    """Round-4 tail of the pipeline: the fused single-shuffle
+    mix_export and a sequence-packing plan over the exported shards —
+    the hand-off a trainer actually consumes."""
+    import ray.data
+
+    from changesetmd_ray.stages.export import mix_export, read_export
+    from changesetmd_ray.stages.packing import pack_sequences
+    from changesetmd_ray.text.analysis import quality_features
+    from changesetmd_ray.text.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    kept = (
+        exact_dedup(docs, key_col="text", id_col="doc_id")
+        .map_batches(quality_features, batch_format="pyarrow")
+        .filter(expr="n_tokens_ws >= 5")
+        .materialize()
+    )
+    major = kept.filter(expr="lang == 'en'").materialize()
+    rest = kept.filter(expr="lang != 'en'").materialize()
+    manifest, plan = mix_export(
+        {"en": major, "other": rest}, {"en": 0.6, "other": 0.4},
+        str(tmp_path / "mix"), id_col="doc_id", seed=13, num_shards=4,
+        counts={"en": major.count(), "other": rest.count()},
+    )
+    total = sum(manifest["rows"].to_pylist())
+    assert total > 0
+
+    exported = read_export(str(tmp_path / "mix"))
+    packed = pack_sequences(
+        exported.map_batches(quality_features, batch_format="pyarrow"),
+        id_col="doc_id", len_col="n_tokens_ws", max_tokens=256, num_shards=4,
+    )
+    rows = packed.take_all()
+    assert len(rows) == total  # every exported doc planned exactly once
+    seq_tot: dict[tuple, int] = {}
+    seq_n: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["shard"], r["seq"])
+        seq_tot[key] = seq_tot.get(key, 0) + r["n_tokens"]
+        seq_n[key] = seq_n.get(key, 0) + 1
+    assert all(t <= 256 or seq_n[k] == 1 for k, t in seq_tot.items())
