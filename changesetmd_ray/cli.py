@@ -4,7 +4,7 @@ reference user can switch flag-for-flag:
 
 | reference flag | here |
 |---|---|
-| ``-f/--file`` (bulk load)            | ``--input`` shard dir (or explicit ``--files``) |
+| ``-f/--file`` (bulk load)            | ``--input`` shard dir (or explicit ``--files``); ``.osm``/``.osm.bz2`` inputs load through the XML source exactly like the reference |
 | ``-c/--create`` + ``-t/--truncate``  | ``--fresh`` (clear output data + manifest first) |
 | ``-r/--replicate`` (incremental)     | the DEFAULT: resume via the manifest diff |
 | ``-F --fromseq --toseq`` (partial)   | ``--from-part/--to-part`` (explicit range, manifest still written) |
@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rows per extract batch (reference --bulkrows)")
     ap.add_argument("--langs", default=None,
                     help="comma-separated lang allow-list (reference -k shape)")
+    ap.add_argument("--contributors", default=None,
+                    help="comma-separated uid allow-list for .osm inputs "
+                         "(the reference -k/--kid filter, literally)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="ray.init num_cpus when starting a fresh session")
     return ap
@@ -61,10 +64,51 @@ def main(argv: list[str] | None = None) -> int:
     if args.files:
         files = list(args.files)
     elif args.input:
-        files = list(discover_partitions(args.input).values())
+        import glob as _glob
+        import os as _os
+
+        xml = sorted(
+            _glob.glob(_os.path.join(args.input, "*.osm"))
+            + _glob.glob(_os.path.join(args.input, "*.osm.bz2"))
+        ) if _os.path.isdir(args.input) else []
+        if _os.path.isfile(args.input) or xml:
+            files = xml or [args.input]
+        else:
+            files = list(discover_partitions(args.input).values())
     else:
         print("error: provide --input or --files", file=sys.stderr)
         return 2
+
+    if files and all(f.endswith((".osm", ".osm.bz2")) for f in files):
+        # the reference's literal bulk load: changeset XML → the
+        # two-table parquet layout (one parse pass per file)
+        from changesetmd_ray.malloc_tuning import tune_malloc
+
+        tune_malloc()
+        import ray
+
+        if not ray.is_initialized():
+            kwargs = {"include_dashboard": False}
+            if args.num_cpus:
+                kwargs["num_cpus"] = args.num_cpus
+            ray.init(address="local", **kwargs)
+        from changesetmd_ray.sources.osm_xml import load_changesets_xml
+
+        if args.fresh:
+            shutil.rmtree(args.out, ignore_errors=True)
+        counts = load_changesets_xml(
+            files, args.out,
+            contributors=args.contributors.split(",") if args.contributors else None,
+        )
+        print(json.dumps(
+            {
+                "files": len(counts),
+                "changesets": int(sum(counts["changesets"].to_pylist())),
+                "comments": int(sum(counts["comments"].to_pylist())),
+                "out_dir": args.out,
+            }
+        ))
+        return 0
 
     if args.from_part is not None or args.to_part is not None:
         # partial range (reference -F --fromseq --toseq): selected by the

@@ -121,3 +121,25 @@ def test_parent_child_join_over_loaded_tables(ray_session, tmp_path):
     ).take_all()
     assert len(j) == 40  # every comment has its parent changeset
     assert all(r["comment_changeset_id"] == r["id"] for r in j)
+
+
+def test_cli_xml_input(ray_session, tmp_path):
+    """Flag-for-flag reference parity: `-f changesets.osm[.bz2]` —
+    the CLI detects XML inputs and runs the two-table bulk load, with
+    --contributors as the literal -k uid filter."""
+    import json
+
+    from changesetmd_ray.cli import main
+
+    out = str(tmp_path / "cli_osm")
+    rc = main(["--input", FIXTURE, "--out", out])
+    assert rc == 0
+    import ray.data
+
+    assert ray.data.read_parquet(os.path.join(out, "changesets")).count() == 1264
+
+    out2 = str(tmp_path / "cli_osm_k")
+    rc = main(["--files", FIXTURE, "--out", out2, "--contributors", "204045"])
+    assert rc == 0
+    t = ray.data.read_parquet(os.path.join(out2, "changesets")).take_all()
+    assert {r["user_id"] for r in t} == {204045}
