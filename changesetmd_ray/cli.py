@@ -43,8 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--s2-level", type=int, default=12)
     ap.add_argument("--hex-res", type=int, default=9)
     ap.add_argument("--grid-zoom", type=int, default=7)
-    ap.add_argument("--batch-size", type=int, default=2048,
-                    help="rows per extract batch (reference --bulkrows)")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="rows per extract batch, or rows per in-flight XML "
+                         "chunk on .osm inputs (reference --bulkrows; "
+                         "defaults: 2048 extract / 100000 XML)")
     ap.add_argument("--langs", default=None,
                     help="comma-separated lang allow-list (reference -k shape)")
     ap.add_argument("--contributors", default=None,
@@ -82,6 +84,27 @@ def main(argv: list[str] | None = None) -> int:
     if files and all(f.endswith((".osm", ".osm.bz2")) for f in files):
         # the reference's literal bulk load: changeset XML → the
         # two-table parquet layout (one parse pass per file)
+        if args.from_part is not None or args.to_part is not None:
+            print("error: --from-part/--to-part select parquet part ids; "
+                  "pass --files to pick specific .osm inputs", file=sys.stderr)
+            return 2
+        if args.langs:
+            print("error: --langs applies to the pages table; .osm inputs "
+                  "take --contributors (reference -k/--kid)", file=sys.stderr)
+            return 2
+        # x.osm + x.osm.bz2 twins (the reference fixture dir ships both)
+        # would load the same data twice into one output stem — keep the
+        # uncompressed copy, which parses without the bz2 layer
+        import os as _os
+
+        def _stem(p):
+            b = _os.path.basename(p)
+            for ext in (".bz2", ".osm", ".xml"):
+                b = b[: -len(ext)] if b.endswith(ext) else b
+            return b
+
+        plain = {_stem(p) for p in files if not p.endswith(".bz2")}
+        files = [p for p in files if not (p.endswith(".bz2") and _stem(p) in plain)]
         from changesetmd_ray.malloc_tuning import tune_malloc
 
         tune_malloc()
@@ -99,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         counts = load_changesets_xml(
             files, args.out,
             contributors=args.contributors.split(",") if args.contributors else None,
+            batch_rows=args.batch_size or 100_000,
         )
         print(json.dumps(
             {
@@ -151,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
         s2_level=args.s2_level,
         hex_res=args.hex_res,
         grid_zoom=args.grid_zoom,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size or 2048,
         resume=not args.no_resume,
         langs=args.langs.split(",") if args.langs else None,
     )

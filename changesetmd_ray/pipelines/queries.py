@@ -1791,53 +1791,73 @@ from documents where doc_id % 7 = 3
 """
 
 
+def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
+    """Deterministic media fixture derived from documents, cached to
+    parquet shards once (the pages_from_docs pattern): even doc_ids
+    become solid-color 24-bit BMPs (color/dims integer-derived from
+    doc_id), odd doc_ids VID1 containers (frame count in the header).
+    The per-row codec encodes are Python-level, so they must run only
+    at fixture-build time — queries and bench read the parquet."""
+    from changesetmd_ray.stages.codecs import bmp_encode, vid1_encode
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    docs = _read_small(sf_dir, "documents", ["doc_id", "text"])
+    did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = docs["text"].to_pylist()
+    payloads = []
+    for d, t in zip(did, texts):
+        if d % 2 == 0:
+            px = np.full(
+                (int(3 + d % 7), int(4 + d % 9), 3),
+                (d % 256, (d * 7) % 256, (d * 13) % 256),
+                np.uint8,
+            )
+            payloads.append(bmp_encode(px))
+        else:
+            payloads.append(
+                vid1_encode(int(1 + d % 60), 25, (t or "").encode("utf-8")[:16])
+            )
+    mtype = np.where(did % 2 == 0, "image", "video")
+    table = pa.table(
+        {
+            "media_id": docs["doc_id"],
+            "media_type": pa.array(mtype.tolist(), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    shard_of = did % n_shards
+    for s in range(n_shards):
+        if os.path.exists(paths[s]):
+            continue
+        tmp = paths[s] + ".tmp"
+        pq.write_table(table.filter(pa.array(shard_of == s)), tmp)
+        os.replace(tmp, paths[s])
+    return paths
+
+
 def q_media_pipeline(sf_dir: str):
     """The full multimodal surface in ONE query (stages/multimodal.py),
-    through the REAL codecs (stages/codecs.py): even doc_ids become
-    solid-color 24-bit BMP images (color/dims integer-derived from
-    doc_id), odd doc_ids VID1 video containers (frame count in the
-    header). Images flow resize(64×48, real nearest-neighbor decode →
-    gather → re-encode) → metadata → decode (real pixel-stat
-    features); videos pass the resize stage untouched and flow through
-    the 1→N frame sampler (real header parse). Exactly SQL-oracled:
-    f0 = (r+g+b)/765 of the planted color (solid survives NN resize),
-    payload_bytes = 9270 (the 64×48 BMP size), frames every 2nd index
-    below 1 + doc_id % 60 at 25 fps (ts = 40 ms each)."""
-    from changesetmd_ray.stages.codecs import bmp_encode, vid1_encode
+    through the REAL codecs (stages/codecs.py) over the cached media
+    fixture (:func:`media_from_docs`). Images flow resize(64×48, real
+    nearest-neighbor decode → gather → re-encode) → metadata → decode
+    (real pixel-stat features); videos pass the resize stage untouched
+    and flow through the 1→N frame sampler (real header parse).
+    Exactly SQL-oracled: f0 = (r+g+b)/765 of the planted color (solid
+    survives NN resize), payload_bytes = 9270 (the 64×48 BMP size),
+    frames every 2nd index below 1 + doc_id % 60 at 25 fps (ts = 40 ms
+    each)."""
     from changesetmd_ray.stages.multimodal import (
         decode_media,
         resize_media,
         sample_frames,
     )
 
-    def to_media(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
-        payloads = []
-        for d, t in zip(did, texts):
-            if d % 2 == 0:
-                px = np.full(
-                    (int(3 + d % 7), int(4 + d % 9), 3),
-                    (d % 256, (d * 7) % 256, (d * 13) % 256),
-                    np.uint8,
-                )
-                payloads.append(bmp_encode(px))
-            else:
-                payloads.append(
-                    vid1_encode(int(1 + d % 60), 25, (t or "").encode("utf-8")[:16])
-                )
-        mtype = np.where(did % 2 == 0, "image", "video")
-        return pa.table(
-            {
-                "media_id": batch["doc_id"],
-                "media_type": pa.array(mtype.tolist(), pa.string()),
-                "payload": pa.array(payloads, pa.binary()),
-            }
-        )
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], blocks=8).map_batches(
-        to_media, batch_format="pyarrow"
-    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v1_{tag}")
+    ds = ray.data.read_parquet(paths)
     resized = resize_media(ds, width=64, height=48, codec="bmp", batch_size=256)
 
     def images_only(batch: pa.Table) -> pa.Table:

@@ -215,6 +215,27 @@ def load_changesets_xml(paths: list[str], out_dir: str, *,
     import ray.data
 
     allow = set(contributors) if contributors else None
+
+    def _stem(path: str) -> str:
+        s = os.path.basename(path)
+        for ext in (".bz2", ".osm", ".xml"):
+            if s.endswith(ext):
+                s = s[: -len(ext)]
+        return s
+
+    # two inputs collapsing onto one output stem (x.osm + x.osm.bz2)
+    # would have parallel tasks racing on the same <stem>.parquet.tmp —
+    # corrupting the file and double-counting rows. Refuse up front
+    # (mirrors run_flagship's duplicate-shard-basename guard).
+    stems: dict[str, str] = {}
+    for p in paths:
+        s = _stem(p)
+        if s in stems:
+            raise ValueError(
+                f"inputs {stems[s]!r} and {p!r} both write {s}.parquet; "
+                "drop one copy or rename it"
+            )
+        stems[s] = p
     cs_dir = os.path.join(out_dir, "changesets")
     cm_dir = os.path.join(out_dir, "comments")
     os.makedirs(cs_dir, exist_ok=True)
@@ -225,10 +246,7 @@ def load_changesets_xml(paths: list[str], out_dir: str, *,
 
         out = {"file": [], "changesets": [], "comments": []}
         for path in batch["path"].to_pylist():
-            stem = os.path.basename(path)
-            for ext in (".bz2", ".osm", ".xml"):
-                if stem.endswith(ext):
-                    stem = stem[: -len(ext)]
+            stem = _stem(path)
             cs_rows: list[dict] = []
             cm_rows: list[dict] = []
             cs_parts: list[pa.Table] = []

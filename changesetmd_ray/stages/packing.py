@@ -52,9 +52,17 @@ def _keyed(ds, id_col: str, len_col: str, seed: int, num_shards: int):
     seed_mix = splitmix64(np.array([np.uint64(seed)], np.uint64))[0]
 
     def key_batch(batch: pa.Table) -> pa.Table:
+        if batch[len_col].null_count:
+            raise ValueError(f"{len_col}: null token lengths")
         lens = batch[len_col].to_numpy(zero_copy_only=False)
         if len(lens) and (not np.issubdtype(lens.dtype, np.number) or (lens <= 0).any()):
             raise ValueError(f"{len_col}: token lengths must be positive integers")
+        if len(lens) and np.issubdtype(lens.dtype, np.floating) and (
+            not np.all(np.mod(lens, 1) == 0)
+        ):
+            # NaN and fractions both fail here; astype(int64) below
+            # would otherwise turn them into garbage plans silently
+            raise ValueError(f"{len_col}: token lengths must be integral")
         k = splitmix64(_id_hash64(batch, id_col) ^ seed_mix)
         shards = (
             np.zeros(len(k), np.int64)

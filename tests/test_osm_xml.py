@@ -96,6 +96,12 @@ def test_bulk_load_one_pass_two_tables(ray_session, tmp_path):
     counts2 = load_changesets_xml([FIXTURE, TAGS_FIXTURE], out)
     assert counts.equals(counts2)
     assert ray.data.read_parquet(os.path.join(out, "changesets")).count() == 1272
+    # x.osm + x.osm.bz2 collapse onto one output stem: parallel tasks
+    # would race on the same .tmp file — must refuse up front
+    import pytest
+
+    with pytest.raises(ValueError, match="both write"):
+        load_changesets_xml([FIXTURE, FIXTURE + ".bz2"], out)
 
 
 def test_parent_child_join_over_loaded_tables(ray_session, tmp_path):

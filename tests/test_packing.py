@@ -110,3 +110,14 @@ def test_packing_validation(ray_session):
     with pytest.raises(Exception, match="positive"):
         pack_sequences(ray.data.from_arrow(tab), id_col="doc_id",
                        len_col="n_tok", max_tokens=64).take_all()
+    # null and fractional lengths must fail loudly, not astype to garbage
+    nulled = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                       "n_tok": pa.array([4, None], pa.int64())})
+    with pytest.raises(Exception, match="null token lengths"):
+        pack_sequences(ray.data.from_arrow(nulled), id_col="doc_id",
+                       len_col="n_tok", max_tokens=64).take_all()
+    frac = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "n_tok": pa.array([4.0, 2.5], pa.float64())})
+    with pytest.raises(Exception, match="integral"):
+        pack_sequences(ray.data.from_arrow(frac), id_col="doc_id",
+                       len_col="n_tok", max_tokens=64).take_all()

@@ -30,6 +30,37 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _expand_input(spec: str) -> list[str]:
+    """Expand --input into shard paths. Local dirs go through
+    discover_partitions, local globs through glob.glob; URI specs
+    (s3://, gs://, hdfs://) are listed via pyarrow.fs — glob.glob
+    would silently return [] for them — with fnmatch on the basename
+    when the last path segment carries a wildcard."""
+    from changesetmd_ray.sources.pages import discover_partitions
+
+    if "://" in spec:
+        import fnmatch
+
+        from pyarrow import fs as pafs
+
+        base, pattern = spec, "*.parquet"
+        last = spec.rsplit("/", 1)[-1]
+        if any(ch in last for ch in "*?["):
+            base, pattern = spec.rsplit("/", 1)
+        filesystem, root = pafs.FileSystem.from_uri(base)
+        scheme = base.split("://", 1)[0]
+        infos = filesystem.get_file_info(pafs.FileSelector(root, recursive=False))
+        return sorted(
+            f"{scheme}://{i.path}"
+            for i in infos
+            if i.type == pafs.FileType.File
+            and fnmatch.fnmatch(i.path.rsplit("/", 1)[-1], pattern)
+        )
+    if os.path.isdir(spec):
+        return list(discover_partitions(spec).values())
+    return sorted(glob.glob(spec))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
@@ -48,17 +79,23 @@ def main() -> int:
 
     if not ray.is_initialized():
         # under `ray job submit` RAY_ADDRESS is set by the job server;
-        # standalone runs fall back to a local session
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 include_dashboard=False, ignore_reinit_error=True)
+        # standalone runs with no cluster fall back to a local session
+        # (address="auto" raises ConnectionError when nothing is up)
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr:
+            ray.init(address=addr, include_dashboard=False,
+                     ignore_reinit_error=True)
+        else:
+            try:
+                ray.init(address="auto", include_dashboard=False,
+                         ignore_reinit_error=True)
+            except ConnectionError:
+                ray.init(address="local", include_dashboard=False,
+                         ignore_reinit_error=True)
 
     from changesetmd_ray.pipelines.flagship import run_flagship
-    from changesetmd_ray.sources.pages import discover_partitions
 
-    if os.path.isdir(args.input):
-        files = list(discover_partitions(args.input).values())
-    else:
-        files = sorted(glob.glob(args.input))
+    files = _expand_input(args.input)
     if not files:
         print(f"no input files match {args.input!r}", file=sys.stderr)
         return 2
