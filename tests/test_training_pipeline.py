@@ -1,8 +1,8 @@
 """End-to-end training-data pipeline: the composition a 100-TB corpus
 run would execute, chained over the real sf0.001 fixtures —
 
-    read → exact_dedup → quality filter → mix_corpora →
-    split_export(train/val) → read_export
+    read → exact_dedup → quality filter → repetition filter →
+    decontaminate → mix_corpora → split_export(train/val) → read_export
 
 Each operator is unit-tested on its own; this test pins the seams:
 schemas survive every hop, dedup's winners feed the mixer, split
@@ -41,6 +41,29 @@ def test_full_training_pipeline(ray_session, tmp_path):
     kept = scored.filter(expr="n_tokens_ws >= 5").materialize()
     n_kept = kept.count()
     assert 0 < n_kept <= n_dedup
+
+    # Gopher repetition rule: the fixture docs are clean prose, so the
+    # filter must be a (verified) no-op here — the spam-dropping
+    # behavior is pinned in tests/test_text_filters.py
+    from changesetmd_ray.text.repetition import repetition_filter
+
+    kept = repetition_filter(kept).materialize()
+    n_rep = kept.count()
+    assert 0 < n_rep <= n_kept
+
+    # benchmark decontamination: plant 3 of the corpus docs as the
+    # "eval set" — exactly those must drop, nothing else
+    import ray as _ray
+
+    from changesetmd_ray.text.bloom import build_ngram_bloom, decontaminate
+
+    bench = kept.limit(3).materialize()
+    bench_ids = {r["doc_id"] for r in bench.select_columns(["doc_id"]).take_all()}
+    bloom = build_ngram_bloom(bench, n=13, m_bits=1 << 18)
+    kept = decontaminate(kept, _ray.put(bloom), n=13).materialize()
+    surv_ids = {r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all()}
+    assert kept.count() == n_rep - len(bench_ids)
+    assert not (surv_ids & bench_ids)
 
     major = kept.filter(expr="lang == 'en'").materialize()
     rest = kept.filter(expr="lang != 'en'").materialize()
