@@ -1,6 +1,8 @@
-"""Repetition filter (Gopher rules) and Bloom-filter decontamination —
-each pinned against an independent driver-side oracle built straight
-from the feature definitions (no shared code paths beyond tokenize)."""
+"""Repetition filter (Gopher rules), Bloom-filter decontamination, and
+PII scrubbing — each pinned against an independent driver-side oracle
+built straight from the feature definitions (no shared code paths
+beyond tokenize; the PII oracle re-runs the patterns through Python's
+``re``, checking the Arrow re2 kernels agree)."""
 
 import numpy as np
 import pyarrow as pa
@@ -170,3 +172,63 @@ def test_decontaminate_flags_planted_overlap(ray_session):
     kept = decontaminate(corpus, bloom_ref, n=13).to_pandas()
     assert set(kept["doc_id"]) == set(range(40))
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+# ----------------------------------------------------------------- pii
+
+
+PII_CASES = [
+    "contact me at john.doe+spam@example.co.uk for details",
+    "call +1 555 123 4567 or (030) 1234-5678 today",
+    "server at 192.168.0.1 and 8.8.8.8 responded",
+    "no pii here, just the number 123456789 and v1.2.3.4000",
+    "dates 2024-12-31 and ranges 100-200-300 stay",
+    "mixed: a@b.io, 10.0.0.255, 555-123-4567",
+    "octets out of range 999.999.999.999 don't match",
+    "",
+]
+
+
+def test_pii_features_match_re_oracle():
+    import re
+
+    from changesetmd_ray.text.pii import PII_PATTERNS, pii_features
+
+    batch = pa.table({"text": pa.array(PII_CASES, pa.string())})
+    feat = pii_features(batch)
+    for kind, pattern in PII_PATTERNS.items():
+        rx = re.compile(pattern)
+        for i, t in enumerate(PII_CASES):
+            exp = len(rx.findall(t))
+            assert feat[f"n_{kind}"][i].as_py() == exp, (kind, t)
+    # the no-PII rows are exactly rows 3, 4, 6, 7
+    assert feat["has_pii"].to_pylist() == [
+        True, True, True, False, False, True, False, False
+    ]
+
+
+def test_scrub_pii_redacts_and_preserves_clean(ray_session):
+    import re
+
+    from changesetmd_ray.text.pii import (
+        PII_PATTERNS,
+        REDACTION_TOKENS,
+        scrub_pii,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(PII_CASES)), pa.int64()),
+                  "text": pa.array(PII_CASES, pa.string())})
+    ).repartition(2)
+    out = scrub_pii(ds).to_pandas().sort_values("doc_id")
+    for i, (orig, got) in enumerate(zip(PII_CASES, out["text"])):
+        exp = orig
+        for kind, pattern in PII_PATTERNS.items():
+            exp = re.sub(pattern, REDACTION_TOKENS[kind], exp)
+        assert got == exp, (i, orig)
+        # nothing PII-shaped survives
+        for pattern in PII_PATTERNS.values():
+            assert not re.search(pattern, got), (i, got)
+    # clean rows byte-identical
+    assert out["text"].iloc[3] == PII_CASES[3]
+    assert out["text"].iloc[4] == PII_CASES[4]
