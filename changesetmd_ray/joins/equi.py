@@ -67,10 +67,10 @@ def _hot_key_counts(ds, key: str, hot_track: int) -> dict[int, int]:
     blocks_left × blocks_right pairs in one bucket; keys that are ≥ 2×
     denser than the block grain (every genuinely pathological hot key —
     a key worth salting appears thousands of times per block at scale)
-    are always seen. A count-min sketch over full per-block counts
-    would close the gap at the cost of shuffling every distinct key
-    once; not worth it for a pre-pass whose failure mode is
-    performance, not correctness."""
+    are always seen. Closing the gap costs shuffling every distinct
+    key once — not worth it BY DEFAULT for a pre-pass whose failure
+    mode is performance, not correctness; callers that need the
+    guarantee pass ``hot_exact=True`` (see :func:`_exact_hot_counts`)."""
     from changesetmd_ray.stages.reduce import _combine_table
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -94,6 +94,60 @@ def _hot_key_counts(ds, key: str, hot_track: int) -> dict[int, int]:
     for row in combined.take_all():
         out[row["key"]] = out.get(row["key"], 0) + row["n"]
     return out
+
+
+def _exact_hot_counts(left, right, left_on: str, right_on: str,
+                      pair_budget: int) -> tuple[dict[int, int], dict[int, int]]:
+    """EXACT global per-key counts restricted to budget violators —
+    the ``hot_exact=True`` path that closes the sampler's documented
+    spread-thin gap (a key ≤ once per block on both sides).
+
+    Shape: each side runs a keys-only per-block count partial through
+    the list-packed bucketed sum (one keys-only all-to-all per side —
+    the cost the sampler avoids), then the two count tables — one row
+    per distinct key, unique keys by construction so the inner join
+    below cannot itself skew — hash-join distributed, and only keys
+    with ``n_l × n_r > pair_budget`` reach the driver. That collect is
+    self-bounding: each violator accounts for > pair_budget pairs of
+    join output, so #violators ≤ total_join_pairs / pair_budget."""
+    from changesetmd_ray.stages.reduce import bucket_sum
+
+    def counts(ds, key: str, out_key: str, out_n: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            _, k = _clean_keys(batch, key, [key])
+            u, c = np.unique(k, return_counts=True)
+            return pa.table({out_key: pa.array(u, pa.int64()),
+                             out_n: pa.array(c, pa.int64())})
+
+        return bucket_sum(
+            ds.select_columns([key]).map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            ),
+            key_col=out_key, val_col=out_n,
+        )
+
+    joined = hash_join(
+        counts(left, left_on, "__hk_l", "__n_l"),
+        counts(right, right_on, "__hk_r", "__n_r"),
+        left_on="__hk_l", right_on="__hk_r",
+        left_cols=["__hk_l", "__n_l"], right_cols=["__hk_r", "__n_r"],
+        num_buckets=64,
+    )
+
+    def violators(batch: pa.Table) -> pa.Table:
+        nl = batch["__n_l"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nr = batch["__n_r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # float compare: exact counts can overflow an int64 product
+        return batch.filter(pa.array(nl * nr > float(pair_budget)))
+
+    cl: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for row in joined.map_batches(
+        violators, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        cl[row["__hk_l"]] = row["__n_l"]
+        cr[row["__hk_l"]] = row["__n_r"]
+    return cl, cr
 
 
 def _salt_plan(cl: dict[int, int], cr: dict[int, int], pair_budget: int,
@@ -237,6 +291,7 @@ def hash_join(
     salt_max: int = 64,
     hot_track: int = 64,
     broadcast_max_rows: int | None = None,
+    hot_exact: bool = False,
 ):
     """Inner equi-join of two Datasets on integer keys → Dataset with
     ``left_cols + right_cols`` (caller avoids name collisions; the join
@@ -247,6 +302,12 @@ def hash_join(
     join re-executes it, the right trade when inputs are reads (a
     column-pruned extra scan) but worth a ``materialize()`` upstream
     when the inputs are expensive computed pipelines.
+
+    ``hot_exact=True`` swaps the lossy per-block heavy-hitter sampler
+    for exact global counts (one keys-only packed all-to-all per side
+    + a distributed count join; only budget violators reach the
+    driver) — pay it when the key distribution may hide hot keys
+    spread ≤ once per block, the one regime the sampler misses.
 
     ``broadcast_max_rows`` enables the Spark-style adaptive plan: when
     the right side counts at or below it, the join runs map-only via
@@ -272,8 +333,15 @@ def hash_join(
 
     plan_ref = None
     if pair_budget is not None:
-        cl = _hot_key_counts(left, left_on, hot_track)
-        cr = _hot_key_counts(right, right_on, hot_track)
+        if hot_exact:
+            # exact global counts (one keys-only packed all-to-all per
+            # side): catches spread-thin hot keys the sampler's
+            # per-block ≥2 cut misses — see _exact_hot_counts
+            cl, cr = _exact_hot_counts(left, right, left_on, right_on,
+                                       pair_budget)
+        else:
+            cl = _hot_key_counts(left, left_on, hot_track)
+            cr = _hot_key_counts(right, right_on, hot_track)
         plan = _salt_plan(cl, cr, pair_budget, salt_max)
         plan_ref = ray.put(plan)
 

@@ -372,3 +372,23 @@ def test_hot_key_spread_thin_documented_gap(ray_session):
     right = pa.concat_tables(rblocks).to_pandas()
     exp = left.merge(right, left_on="k", right_on="rk")
     assert len(out.to_pandas()) == len(exp)
+
+    # hot_exact=True closes the gap: exact global counts see key 7
+    # (8×8=64 pairs < budget 100? no — budget 30 makes both violate)
+    from changesetmd_ray.joins.equi import _exact_hot_counts
+
+    rds = ray.data.from_arrow(rblocks)
+    cl, cr = _exact_hot_counts(ds, rds, "k", "rk", pair_budget=30)
+    assert cl.get(7) == n_blocks and cr.get(7) == n_blocks  # spread-thin CAUGHT
+    assert cl.get(9) == 4 * n_blocks
+    exact_plan = _salt_plan(cl, cr, pair_budget=30, salt_max=8)
+    assert 7 in exact_plan["keys"].tolist()
+    assert 9 in exact_plan["keys"].tolist()
+    # keys under the budget never reach the driver
+    assert all(cl[k] * cr[k] > 30 for k in cl)
+    # and the exact-mode join output stays exact
+    out2 = hash_join(
+        ds, rds, left_on="k", right_on="rk",
+        left_cols=["k"], right_cols=["rk"], pair_budget=30, hot_exact=True,
+    )
+    assert len(out2.to_pandas()) == len(exp)
