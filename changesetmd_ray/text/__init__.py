@@ -9,7 +9,9 @@ exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
   winnowing fingerprints.
 - :mod:`ann`      — cosine top-k similarity search (brute-force exact +
   LSH-bucketed approximate).
+- :mod:`semdedup` — SemDeDup cluster-bucketed semantic dedup.
 """
 
 from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401
 from changesetmd_ray.text.ann import ann_cosine_topk  # noqa: F401
+from changesetmd_ray.text.semdedup import semdedup, semdedup_decisions  # noqa: F401
