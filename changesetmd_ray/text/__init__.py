@@ -10,6 +10,8 @@ exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
 - :mod:`ann`      — cosine top-k similarity search (brute-force exact +
   LSH-bucketed approximate).
 - :mod:`semdedup` — SemDeDup cluster-bucketed semantic dedup.
+- :mod:`classifier` — fastText-style hashed n-gram quality classifier
+  (bounded driver-side training, broadcast weights, batched scoring).
 """
 
 from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401
