@@ -60,6 +60,32 @@ def systematic_sample(ds, *, key_col: str, rate: float):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def weighted_sample(ds, *, key_col: str, weight_col: str,
+                    scale: float = 1.0, power: float = 1.0):
+    """Per-row importance resampling: keep a row iff ``hash32(key) <
+    clamp(scale · w^power, 0, 1) · 2³²`` where ``w`` is the row's
+    ``weight_col`` value — the standard way to shape a corpus from a
+    quality/classifier score (``power`` is the temperature knob:
+    < 1 flattens, > 1 sharpens the score distribution). Deterministic,
+    map-only, same SQL-reproducible hash as :func:`systematic_sample`.
+    Null / negative / non-finite weights are never kept."""
+    if scale < 0:
+        raise ValueError(f"scale must be ≥ 0, got {scale}")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h, valid = _key_hash32(batch, key_col)
+        wcol = batch[weight_col]
+        wvalid = ~np.asarray(pc.is_null(wcol).combine_chunks())
+        w = wcol.fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = wvalid & np.isfinite(w) & (w >= 0)
+        with np.errstate(invalid="ignore"):
+            p = np.clip(scale * np.power(np.where(ok, w, 0.0), power), 0.0, 1.0)
+        thr = (p * float(_MOD32)).astype(np.uint64)
+        return batch.filter(pa.array(valid & ok & (h < thr)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds,
     *,

@@ -497,6 +497,48 @@ def test_stratified_sample_rates_and_edge_groups():
                           rates={"a": 1.5})
 
 
+def test_weighted_sample_matches_sql_and_reference():
+    import duckdb
+
+    from changesetmd_ray.stages.sample import weighted_sample
+
+    n = 20_000
+    rng = np.random.default_rng(5)
+    w = rng.uniform(0, 1, n)
+    w[::97] = np.nan  # non-finite → dropped
+    w[::89] = -0.5    # negative → dropped
+    wl = w.tolist()
+    for i in range(0, n, 101):
+        wl[i] = None  # null → dropped
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "w": pa.array(wl, pa.float64())})
+    out = weighted_sample(
+        ray.data.from_arrow(t).repartition(4), key_col="k", weight_col="w",
+        scale=0.8, power=2.0,
+    ).take_all()
+    got = sorted(r["k"] for r in out)
+    # driver-side reference
+    h = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    wv = np.array([x if x is not None else np.nan for x in wl])
+    ok = np.isfinite(wv) & (wv >= 0)
+    p = np.clip(0.8 * np.where(ok, wv, 0.0) ** 2.0, 0, 1)
+    want = sorted(np.nonzero(ok & (h < (p * 2.0**32).astype(np.uint64)))[0].tolist())
+    assert got == want
+    assert 0 < len(got) < n * 0.5  # E[p] = 0.8·E[w²] ≈ 0.27
+    # the same rule is ANSI-SQL-expressible (the battery-hash pattern)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    sql = con.sql(
+        "select k from t where w is not null and w >= 0 and isfinite(w) and "
+        "(k * 2654435761) % 4294967296 < "
+        "cast(least(0.8 * w * w, 1.0) * 4294967296.0 as ubigint)"
+    ).fetchall()
+    assert sorted(r[0] for r in sql) == want
+    with pytest.raises(ValueError):
+        weighted_sample(ray.data.from_arrow(t), key_col="k", weight_col="w",
+                        scale=-1.0)
+
+
 def test_media_decode_stub():
     media = pa.table(
         {
