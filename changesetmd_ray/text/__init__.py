@@ -12,6 +12,8 @@ exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
 - :mod:`semdedup` — SemDeDup cluster-bucketed semantic dedup.
 - :mod:`classifier` — fastText-style hashed n-gram quality classifier
   (bounded driver-side training, broadcast weights, batched scoring).
+- :mod:`domains`  — per-domain hygiene: host extraction, stats,
+  suffix blocklist, per-domain cap.
 """
 
 from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401
