@@ -1,0 +1,217 @@
+"""End-to-end corpus curation recipe — the FineWeb/RefinedWeb-shaped
+composition of the engine's hygiene operators into ONE configurable
+flow (north_rule capstone; every stage is an existing, individually
+tested operator):
+
+    blocklist → language → Gopher quality rule → Gopher repetition
+    → classifier score/threshold → exact dedup → MinHash cluster dedup
+    → benchmark decontamination → per-domain cap → PII scrub
+    → (optional) score-weighted resampling
+
+Scale shape: the map-only stages (blocklist, language, quality,
+repetition, classifier, decontaminate probe, PII, resample) FUSE into
+the streaming pass; the shuffling stages (exact dedup, MinHash, cap)
+each move only thin projections — keys, band pairs, (host, hash) —
+never the text payload (see each operator's own docstring). With
+``report=False`` (the 100-TB setting) nothing materializes until the
+sink; ``report=True`` materializes after every stage to record
+retention counts — a debugging/audit mode, priced accordingly.
+
+Output schema = input schema, plus ``quality_prob`` when a classifier
+is configured (stage helper columns are dropped in-stage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from changesetmd_ray.text.analysis import LangId, quality_features
+
+
+@dataclass
+class CurationConfig:
+    """Stage knobs; ``None``/``False`` skips a stage entirely."""
+
+    blocklist: list | None = None          # blocked host suffixes
+    langs: tuple | None = ("en",)          # allowed languages (None = keep all)
+    quality_rule: bool = True              # Gopher-style quality_ok cut
+    repetition: bool = True                # Gopher repetition rule
+    classifier_model: object | None = None  # HashedNgramModel
+    classifier_threshold: float | None = None  # None = score only, no cut
+    exact_dedup: bool = True
+    minhash: bool = True
+    minhash_threshold: float = 0.8
+    minhash_kwargs: dict = field(default_factory=dict)
+    benchmark_texts: object | None = None  # Dataset with text_col → decontaminate
+    contam_ngram: int = 13
+    domain_cap: int | None = None          # needs url_col
+    pii_scrub: bool = True
+    resample_power: float | None = None    # needs classifier_model
+
+
+@dataclass
+class CurationResult:
+    dataset: object                         # the curated ray.data.Dataset
+    report: dict                            # stage → rows remaining (report=True)
+
+
+def curate(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    lang_col: str | None = None,
+    config: CurationConfig | None = None,
+    report: bool = False,
+):
+    """Run the configured curation flow over ``ds``. ``lang_col``
+    reuses an existing language column; otherwise the n-gram LangId
+    stage predicts one in-flight. ``report=True`` materializes stage
+    boundaries and returns per-stage retention counts (audit mode —
+    each count is a full execution barrier)."""
+    cfg = config or CurationConfig()
+    if cfg.domain_cap is not None and url_col is None:
+        raise ValueError("domain_cap requires url_col")
+    if cfg.blocklist is not None and url_col is None:
+        raise ValueError("blocklist requires url_col")
+    if cfg.resample_power is not None and cfg.classifier_model is None:
+        raise ValueError("resample_power requires classifier_model")
+
+    stages: dict = {}
+
+    def checkpoint(name: str, d):
+        if report:
+            d = d.materialize()
+            stages[name] = d.count()
+        return d
+
+    stages["input"] = ds.count() if report else None
+
+    if cfg.blocklist is not None:
+        from changesetmd_ray.text.domains import blocklist_filter
+
+        ds = checkpoint("blocklist", blocklist_filter(
+            ds, cfg.blocklist, url_col=url_col))
+
+    if cfg.langs is not None:
+        allowed = frozenset(cfg.langs)
+        if lang_col is not None:
+            def lang_keep(batch: pa.Table) -> pa.Table:
+                keep = pa.array(
+                    [v in allowed for v in batch[lang_col].to_pylist()]
+                )
+                return batch.filter(keep)
+
+            ds = checkpoint("language", ds.map_batches(
+                lang_keep, batch_format="pyarrow"))
+        else:
+            stage = LangId(text_col=text_col)
+
+            def lang_pred_keep(batch: pa.Table) -> pa.Table:
+                out = stage(batch)
+                keep = pa.array(
+                    [v in allowed for v in out["lang_pred"].to_pylist()]
+                )
+                return out.filter(keep).select(batch.schema.names)
+
+            ds = checkpoint("language", ds.map_batches(
+                lang_pred_keep, batch_format="pyarrow"))
+
+    if cfg.quality_rule:
+        def quality_keep(batch: pa.Table) -> pa.Table:
+            feat = quality_features(batch, text_col=text_col)
+            return feat.filter(feat["quality_ok"]).select(batch.schema.names)
+
+        ds = checkpoint("quality", ds.map_batches(
+            quality_keep, batch_format="pyarrow"))
+
+    if cfg.repetition:
+        from changesetmd_ray.text.repetition import repetition_filter
+
+        ds = checkpoint("repetition", repetition_filter(ds, text_col=text_col))
+
+    if cfg.classifier_model is not None:
+        from changesetmd_ray.text.classifier import classifier_score
+
+        ds = classifier_score(ds, cfg.classifier_model, text_col=text_col)
+        if cfg.classifier_threshold is not None:
+            thr = float(cfg.classifier_threshold)
+
+            def score_keep(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return batch.filter(
+                    pc.greater_equal(batch["quality_prob"], thr)
+                )
+
+            ds = ds.map_batches(score_keep, batch_format="pyarrow")
+        ds = checkpoint("classifier", ds)
+
+    if cfg.exact_dedup:
+        from changesetmd_ray.text.dedup import exact_dedup
+
+        ds = checkpoint("exact_dedup", exact_dedup(
+            ds, key_col=text_col, id_col=id_col))
+
+    if cfg.minhash:
+        from changesetmd_ray.joins.broadcast import anti_join
+        from changesetmd_ray.text.dedup import (
+            duplicate_clusters_dataset,
+            minhash_lsh_candidates,
+        )
+
+        pairs = minhash_lsh_candidates(
+            ds, text_col=text_col, id_col=id_col,
+            threshold=cfg.minhash_threshold, **cfg.minhash_kwargs,
+        )
+        clusters = duplicate_clusters_dataset(pairs)
+
+        def losers_only(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.not_equal(batch["doc_id"], batch["rep_id"])
+            return pa.table({id_col: batch.filter(keep)["doc_id"]})
+
+        losers = clusters.map_batches(losers_only, batch_format="pyarrow")
+        ds = checkpoint("minhash_dedup", anti_join(
+            ds, losers, big_on=id_col, small_on=id_col))
+
+    if cfg.benchmark_texts is not None:
+        import ray
+
+        from changesetmd_ray.text.bloom import build_ngram_bloom, decontaminate
+
+        bloom = build_ngram_bloom(
+            cfg.benchmark_texts, text_col=text_col, n=cfg.contam_ngram)
+        in_cols = ds.schema().names
+
+        def drop_contam_cols(batch: pa.Table) -> pa.Table:
+            return batch.select(in_cols)
+
+        ds = checkpoint("decontaminate", decontaminate(
+            ds, ray.put(bloom), text_col=text_col, n=cfg.contam_ngram,
+        ).map_batches(drop_contam_cols, batch_format="pyarrow"))
+
+    if cfg.domain_cap is not None:
+        from changesetmd_ray.text.domains import domain_cap
+
+        ds = checkpoint("domain_cap", domain_cap(
+            ds, key_col=id_col, url_col=url_col,
+            max_per_host=cfg.domain_cap))
+
+    if cfg.pii_scrub:
+        from changesetmd_ray.text.pii import scrub_pii
+
+        ds = checkpoint("pii_scrub", scrub_pii(ds, text_col=text_col))
+
+    if cfg.resample_power is not None:
+        from changesetmd_ray.stages.sample import weighted_sample
+
+        ds = checkpoint("resample", weighted_sample(
+            ds, key_col=id_col, weight_col="quality_prob",
+            power=cfg.resample_power))
+
+    return CurationResult(dataset=ds, report=stages)

@@ -1,0 +1,143 @@
+"""End-to-end curation recipe (pipelines/curation.py): every stage
+removes exactly its planted artifact class; schema and report shape."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from changesetmd_ray.pipelines.curation import CurationConfig, CurationResult, curate
+
+_EN = ("the study found that analysis of the data shows clear results and "
+       "the method was described in detail with careful sources given")
+
+
+def _corpus():
+    """ids partitioned by planted class (see asserts)."""
+    rows = []
+
+    def add(i, text, url=None):
+        rows.append((i, text, url or f"https://h{i % 7}.example/d{i}"))
+
+    # 0-39: clean English base docs — each tail is mostly doc-unique so
+    # base docs do NOT near-dup-match each other (trigram Jaccard ≈ 0.3)
+    def base_text(i):
+        tail = " ".join(f"token{i}x{j}" for j in range(15))
+        return f"{_EN} {tail}"
+
+    for i in range(40):
+        add(i, base_text(i))
+    # 40-44: German → language stage
+    for i in range(40, 45):
+        add(i, "der hund und die katze das haus ist nicht mit einem von zu "
+               "der die das und ist nicht mit ein von zu der die das und ist")
+    # 45-49: too short → quality stage
+    for i in range(45, 50):
+        add(i, "tiny doc")
+    # 50-54: one line repeated → repetition stage
+    for i in range(50, 55):
+        add(i, ("the cat sat on the mat and looked around slowly\n" * 15))
+    # 55-57: exact duplicates of doc 0..2 → exact dedup keeps the smaller id
+    for i in range(55, 58):
+        add(i, base_text(i - 55))
+    # 58-60: near-duplicates of docs 3..5 → minhash keeps the smaller id
+    for i in range(58, 61):
+        add(i, base_text(i - 55) + " slightly changed")
+    # 61-62: contain the benchmark 13-gram → decontaminate
+    bench = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu")
+    for i in range(61, 63):
+        add(i, f"{_EN} and then the benchmark text {bench} appears inside")
+    # 63-64: carry an email → survive, scrubbed
+    for i in range(63, 65):
+        tail = " ".join(f"mail{i}y{j}" for j in range(12))
+        add(i, f"{_EN} {tail} contact us at someone{i}@example.com today")
+    # 65-69: blocked host → blocklist stage
+    for i in range(65, 70):
+        add(i, f"{_EN} hosted on a blocked domain variant {i}",
+            url=f"https://ads.blocked.example/d{i}")
+    ids, texts, urls = zip(*rows)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "url": pa.array(urls, pa.string()),
+        }
+    ), bench
+
+
+def test_curate_full_flow(ray_session):
+    import ray.data
+
+    tbl, bench = _corpus()
+    bench_ds = ray.data.from_arrow(
+        pa.table({"text": pa.array([f"question: {bench} answer: yes"])})
+    )
+    cfg = CurationConfig(
+        blocklist=["blocked.example"],
+        benchmark_texts=bench_ds,
+        minhash_kwargs={"batch_size": 64},
+    )
+    res = curate(
+        ray.data.from_arrow(tbl).repartition(5),
+        url_col="url", config=cfg, report=True,
+    )
+    assert isinstance(res, CurationResult)
+    out = {r["doc_id"]: r for r in res.dataset.take_all()}
+    survivors = set(out)
+
+    assert survivors & set(range(40)) == set(range(40)) - set()  # base kept
+    assert not survivors & set(range(40, 45))   # German dropped
+    assert not survivors & set(range(45, 50))   # short dropped
+    assert not survivors & set(range(50, 55))   # repetitive dropped
+    assert not survivors & set(range(55, 58))   # exact dups dropped (0-2 kept)
+    assert not survivors & set(range(58, 61))   # near dups dropped (3-5 kept)
+    assert not survivors & set(range(61, 63))   # contaminated dropped
+    assert survivors & {63, 64} == {63, 64}     # email docs kept...
+    assert "[EMAIL]" in out[63]["text"] or "@" not in out[63]["text"]
+    assert not survivors & set(range(65, 70))   # blocked hosts dropped
+
+    # report: monotone non-increasing, all stages present
+    order = ["input", "blocklist", "language", "quality", "repetition",
+             "exact_dedup", "minhash_dedup", "decontaminate", "pii_scrub"]
+    assert list(res.report) == order
+    counts = list(res.report.values())
+    assert counts == sorted(counts, reverse=True)
+    assert res.report["input"] == 70 and res.report["pii_scrub"] == len(survivors)
+    # schema unchanged (no classifier configured)
+    assert set(res.dataset.schema().names) == {"doc_id", "text", "url"}
+
+
+def test_curate_classifier_and_resample(ray_session):
+    import ray.data
+
+    from changesetmd_ray.text.classifier import train_classifier
+
+    tbl, _ = _corpus()
+    model = train_classifier(
+        [f"{_EN} pos {i}" for i in range(20)],
+        ["spam click buy now free " * 4 for _ in range(20)],
+        n_buckets=1 << 12,
+    )
+    cfg = CurationConfig(
+        langs=None, quality_rule=False, repetition=False, minhash=False,
+        pii_scrub=False, classifier_model=model, classifier_threshold=0.5,
+        resample_power=0.5,
+    )
+    res = curate(ray.data.from_arrow(tbl), config=cfg, report=True)
+    rows = res.dataset.take_all()
+    assert rows and all("quality_prob" in r for r in rows)
+    assert all(r["quality_prob"] >= 0.5 for r in rows)
+    assert list(res.report) == ["input", "classifier", "exact_dedup", "resample"]
+
+
+def test_curate_validation(ray_session):
+    import ray.data
+
+    tbl, _ = _corpus()
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="url_col"):
+        curate(ds, config=CurationConfig(domain_cap=5))
+    with pytest.raises(ValueError, match="url_col"):
+        curate(ds, config=CurationConfig(blocklist=["x.com"]))
+    with pytest.raises(ValueError, match="classifier_model"):
+        curate(ds, config=CurationConfig(resample_power=1.0))
