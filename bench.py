@@ -255,6 +255,27 @@ def flagship_bench(num_cpus: int) -> dict:
             "pages_per_sec": metrics["rows"] / secs if secs > 0 else 0.0}
 
 
+def curation_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Timed end-to-end curation recipe over the documents table
+    (language → quality → repetition → exact dedup → MinHash cluster
+    dedup → PII scrub, streaming mode): the corpus-hygiene capstone as
+    one pipeline, the shape a 100 TB pre-training run executes."""
+    import ray.data
+
+    from changesetmd_ray.pipelines.curation import CurationConfig, curate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=num_cpus,
+    )
+    t0 = time.perf_counter()
+    res = curate(ds, lang_col="lang", config=CurationConfig())
+    n_out = res.dataset.count()
+    secs = time.perf_counter() - t0
+    return {"secs": secs, "rows_out": n_out}
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -272,6 +293,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         rows[name] = _consume(QUERIES[name](sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+    cu = curation_bench(sf_dir, num_cpus)
+    timings["curation_docs"] = round(cu["secs"], 3)
+    rows["curation_docs"] = cu["rows_out"]
     fl = flagship_bench(num_cpus)
     timings["flagship_1m"] = round(fl["secs"], 3)
     rows["flagship_1m"] = fl["rows"]

@@ -49,6 +49,14 @@ class CurationConfig:
     domain_cap: int | None = None          # needs url_col
     pii_scrub: bool = True
     resample_power: float | None = None    # needs classifier_model
+    # The dedup stages are MULTI-PASS consumers (exact-dedup keys,
+    # MinHash bands, MinHash verify each execute their input's
+    # lineage once). Snapshotting the filtered corpus to the object
+    # store first makes those passes re-read cached blocks instead of
+    # re-running the Python-heavy filter chain 3-4× — the same trade
+    # hash_join documents for pair_budget. Spill-backed, so it holds
+    # at 100 TB; disable to trade recompute for zero footprint.
+    snapshot_before_dedup: bool = True
 
 
 @dataclass
@@ -149,6 +157,9 @@ def curate(
 
             ds = ds.map_batches(score_keep, batch_format="pyarrow")
         ds = checkpoint("classifier", ds)
+
+    if cfg.snapshot_before_dedup and (cfg.exact_dedup or cfg.minhash):
+        ds = ds.materialize()
 
     if cfg.exact_dedup:
         from changesetmd_ray.text.dedup import exact_dedup
