@@ -14,6 +14,8 @@ exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
   (bounded driver-side training, broadcast weights, batched scoring).
 - :mod:`domains`  — per-domain hygiene: host extraction, stats,
   suffix blocklist, per-domain cap.
+- :mod:`bpe`      — BPE tokenizer: distributed word counts, driver
+  training on the bounded frequency table, broadcast cached encode.
 """
 
 from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401

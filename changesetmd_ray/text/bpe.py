@@ -1,0 +1,274 @@
+"""Byte-pair-encoding tokenizer (Sennrich et al. 2016,
+arXiv:1508.07909) — real subword tokenization so token budgets
+(packing plans, mixture weights, export shard sizing) can use actual
+BPE counts instead of the regex approximation in
+:class:`changesetmd_ray.text.analysis.TokenCount`.
+
+Shape (north_rule addition; no reference counterpart):
+
+- **Word frequencies** (:func:`word_counts`): the combiner-first
+  exploded-token aggregation (same shape as the top-tokens vocabulary
+  query) — per-batch Counter partials, one bucketed list-packed
+  shuffle of (token, n) partial rows, never one row per occurrence.
+  The driver receives only the top ``max_words`` table: BPE trains on
+  the word-frequency TABLE, not the corpus (Sennrich's own protocol),
+  so the driver working set is bounded regardless of corpus size.
+- **Training** (:func:`train_bpe`): classic greedy merges over the
+  (word → symbols) map with incremental pair-count maintenance
+  (subword-nmt's index structure). Fully deterministic: ties break on
+  (count desc, pair lexicographic asc); identical counts → identical
+  model.
+- **Encoding** (:func:`bpe_encode`): merge ranks broadcast once via
+  ``ray.put``; each actor keeps a word → ids cache (Zipf makes the
+  hit rate ≈ 1 after the first batches), so per-batch work is a
+  dict lookup per DISTINCT word plus one list concat per doc.
+
+Token definition is the engine's shared ``tokenize`` (lowercased word
+stream), so ``decode(encode(text)) == " ".join(tokenize(text))`` —
+the documented round-trip contract (raw-byte fidelity is the PII/
+extract layer's job, not the tokenizer's).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from changesetmd_ray.text.hashing import hash_bytes64, tokenize
+
+END = "</w>"
+
+
+def word_counts(ds, *, text_col: str = "text", max_words: int = 100_000,
+                num_buckets: int = 64):
+    """Top-``max_words`` (word, n) pairs by (n desc, word asc) —
+    driver-side list of tuples, bounded by ``max_words``."""
+    from changesetmd_ray.stages.exchange import flat, pack_by_bucket
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for tok in tokenize(t or ""):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts)
+        h = np.fromiter(
+            (hash_bytes64(t.encode()) for t in toks), np.uint64, len(toks)
+        )
+        tbl = pa.table(
+            {
+                "__b": pa.array((h & np.uint64(num_buckets - 1)).astype(np.int64)),
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array([counts[t] for t in toks], pa.int64()),
+            }
+        )
+        return pack_by_bucket(tbl, "__b", ["token", "n"],
+                              types={"token": pa.string(), "n": pa.int64()})
+
+    def combine(packed: pa.Table) -> pa.Table:
+        group = pa.table({c: flat(packed, c) for c in ("token", "n")})
+        g = group.group_by("token").aggregate([("n", "sum")])
+        return pa.table({"token": g["token"], "n": g["n_sum"]})
+
+    agg = (
+        ds.select_columns([text_col])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    top = agg.sort(key=["n", "token"], descending=[True, False]).limit(max_words)
+    return [(r["token"], r["n"]) for r in top.take_all()]
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """Ordered merges + the derived symbol vocabulary (base chars
+    first — sorted — then merged symbols in merge order)."""
+
+    merges: tuple
+    vocab: dict  # symbol → id
+
+    def ranks(self) -> dict:
+        return {pair: i for i, pair in enumerate(self.merges)}
+
+    @property
+    def id_to_symbol(self) -> list:
+        out = [None] * len(self.vocab)
+        for s, i in self.vocab.items():
+            out[i] = s
+        return out
+
+
+def train_bpe(counts, *, vocab_size: int, min_pair_freq: int = 2) -> BpeModel:
+    """Greedy BPE over a (word, freq) list (from :func:`word_counts`).
+    Stops at ``vocab_size`` symbols or when no pair reaches
+    ``min_pair_freq``. Deterministic (see module docstring)."""
+    words = [tuple(w) + (END,) for w, _ in counts]
+    freqs = [int(n) for _, n in counts]
+
+    base = sorted({s for w in words for s in w})
+    n_merges = vocab_size - len(base)
+
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for wi, (w, f) in enumerate(zip(words, freqs)):
+        for p in zip(w, w[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
+
+    def merge_word(w: tuple, pair: tuple, joined: str) -> tuple:
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and (w[i], w[i + 1]) == pair:
+                out.append(joined)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        return tuple(out)
+
+    merges = []
+    for _ in range(max(n_merges, 0)):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < min_pair_freq:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for wi in list(pair_words.get(best, ())):
+            old, f = words[wi], freqs[wi]
+            new = merge_word(old, best, joined)
+            words[wi] = new
+            old_pairs: dict = {}
+            for p in zip(old, old[1:]):
+                old_pairs[p] = old_pairs.get(p, 0) + 1
+            new_pairs: dict = {}
+            for p in zip(new, new[1:]):
+                new_pairs[p] = new_pairs.get(p, 0) + 1
+            for p in set(old_pairs) | set(new_pairs):
+                d = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+                if d:
+                    c = pair_counts.get(p, 0) + d * f
+                    if c > 0:
+                        pair_counts[p] = c
+                    else:
+                        pair_counts.pop(p, None)
+                if new_pairs.get(p, 0) == 0:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(wi)
+                        if not s:
+                            pair_words.pop(p, None)
+                elif old_pairs.get(p, 0) == 0:
+                    pair_words.setdefault(p, set()).add(wi)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+
+    vocab: dict = {}
+    for s in base:
+        vocab[s] = len(vocab)
+    for a, b in merges:
+        s = a + b
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    return BpeModel(merges=tuple(merges), vocab=vocab)
+
+
+def encode_word(word: str, ranks: dict) -> tuple:
+    """One word → its BPE symbol tuple (GPT-2-style lowest-rank-first
+    merge loop)."""
+    w = tuple(word) + (END,)
+    while len(w) > 1:
+        pairs = set(zip(w, w[1:]))
+        best, best_rank = None, None
+        for p in pairs:
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = p, r
+        if best is None:
+            break
+        joined = best[0] + best[1]
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and (w[i], w[i + 1]) == best:
+                out.append(joined)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        w = tuple(out)
+    return w
+
+
+def encode_text(text: str, ranks: dict, vocab: dict, cache: dict) -> list:
+    """Token-id list for one document; unknown symbols (chars outside
+    the training set) are SKIPPED, documented open-vocab behavior."""
+    ids: list = []
+    for tok in tokenize(text or ""):
+        got = cache.get(tok)
+        if got is None:
+            got = [vocab[s] for s in encode_word(tok, ranks) if s in vocab]
+            cache[tok] = got
+        ids.extend(got)
+    return ids
+
+
+def decode(ids, model: BpeModel) -> str:
+    """ids → space-joined word stream (the round-trip contract)."""
+    syms = model.id_to_symbol
+    return "".join(syms[i] for i in ids).replace(END, " ").strip()
+
+
+class BpeEncoder:
+    """Actor stage: ranks/vocab fetched zero-copy once per actor;
+    word → ids cache shared across its batches."""
+
+    def __init__(self, model_ref, text_col: str = "text",
+                 out_col: str = "token_ids", counts_only: bool = False):
+        m = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
+        self.ranks = m.ranks()
+        self.vocab = m.vocab
+        self.text_col = text_col
+        self.out_col = out_col
+        self.counts_only = counts_only
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        if self.counts_only:
+            n = np.fromiter(
+                (len(encode_text(t, self.ranks, self.vocab, self.cache))
+                 for t in texts),
+                np.int64, len(texts),
+            )
+            return batch.append_column(self.out_col, pa.array(n, pa.int64()))
+        ids = [encode_text(t, self.ranks, self.vocab, self.cache) for t in texts]
+        offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in ids], out=offs[1:])
+        flat = np.fromiter(
+            (i for x in ids for i in x), np.int64, int(offs[-1])
+        )
+        return batch.append_column(
+            self.out_col,
+            pa.ListArray.from_arrays(pa.array(offs, pa.int64()).cast(pa.int32()),
+                                     pa.array(flat, pa.int64())),
+        )
+
+
+def bpe_encode(ds, model: BpeModel, *, text_col: str = "text",
+               out_col: str = "token_ids", counts_only: bool = False,
+               batch_size: int = 512, concurrency=(1, 8)):
+    """Append BPE token ids (``list<int64>``) — or just the count with
+    ``counts_only=True`` (feeds the packing/export budget columns) —
+    to every row. Model ships once; encoding is cached per actor."""
+    ref = ray.put(model)
+    return ds.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(ref, text_col, out_col, counts_only),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
