@@ -16,6 +16,8 @@ exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
   suffix blocklist, per-domain cap.
 - :mod:`bpe`      — BPE tokenizer: distributed word counts, driver
   training on the bounded frequency table, broadcast cached encode.
+- :mod:`lm`       — byte-n-gram LM perplexity scoring (the CCNet
+  quality signal): exact distributed counting, broadcast scoring.
 """
 
 from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401
