@@ -81,7 +81,7 @@ def test_distributed_score_parity_and_filter(ray_session):
     assert kept == sorted(i for i, w in enumerate(want) if w <= thr)
 
 
-def test_validation():
+def test_validation(ray_session):
     with pytest.raises(ValueError, match="n must be"):
         import ray.data
 
