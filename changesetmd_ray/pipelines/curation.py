@@ -105,13 +105,13 @@ def curate(
             ds, cfg.blocklist, url_col=url_col))
 
     if cfg.langs is not None:
-        allowed = frozenset(cfg.langs)
+        allowed = pa.array(sorted(set(cfg.langs)), pa.string())
         if lang_col is not None:
             def lang_keep(batch: pa.Table) -> pa.Table:
-                keep = pa.array(
-                    [v in allowed for v in batch[lang_col].to_pylist()]
-                )
-                return batch.filter(keep)
+                import pyarrow.compute as pc
+
+                keep = pc.is_in(batch[lang_col], value_set=allowed)
+                return batch.filter(keep.fill_null(False))
 
             ds = checkpoint("language", ds.map_batches(
                 lang_keep, batch_format="pyarrow"))
@@ -119,11 +119,12 @@ def curate(
             stage = LangId(text_col=text_col)
 
             def lang_pred_keep(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
                 out = stage(batch)
-                keep = pa.array(
-                    [v in allowed for v in out["lang_pred"].to_pylist()]
-                )
-                return out.filter(keep).select(batch.schema.names)
+                keep = pc.is_in(out["lang_pred"], value_set=allowed)
+                return out.filter(keep.fill_null(False)).select(
+                    batch.schema.names)
 
             ds = checkpoint("language", ds.map_batches(
                 lang_pred_keep, batch_format="pyarrow"))
@@ -197,14 +198,11 @@ def curate(
 
         bloom = build_ngram_bloom(
             cfg.benchmark_texts, text_col=text_col, n=cfg.contam_ngram)
-        in_cols = ds.schema().names
-
-        def drop_contam_cols(batch: pa.Table) -> pa.Table:
-            return batch.select(in_cols)
-
+        # decontaminate's default (keep_contaminated=False) already
+        # drops flagged rows AND its contam_* working columns — no
+        # re-select (and no schema() execution barrier) needed here
         ds = checkpoint("decontaminate", decontaminate(
-            ds, ray.put(bloom), text_col=text_col, n=cfg.contam_ngram,
-        ).map_batches(drop_contam_cols, batch_format="pyarrow"))
+            ds, ray.put(bloom), text_col=text_col, n=cfg.contam_ngram))
 
     if cfg.domain_cap is not None:
         from changesetmd_ray.text.domains import domain_cap

@@ -136,12 +136,15 @@ def _child_sink(batch: pa.Table, points_dir: str) -> pa.Table:
     directory only — identical to what ``write_parquet(partition_cols)``
     produced when the child table was a separate read-back pass), then
     returns the batch unchanged for the parent sink. One file per
-    (block, shard), named DETERMINISTICALLY from the block's content
-    (first/last parent key + row count) and committed with
-    tmp + ``os.replace``: a Ray task retry or lineage re-execution
-    re-processes the same input block, produces the same name, and
-    overwrites instead of appending a duplicate — in-run idempotency
-    on top of the wave-level rmtree."""
+    (block, shard), named DETERMINISTICALLY from the block's FULL
+    content (a hash over every (url, warc_ts, seq) in the part — not
+    just boundary rows, which can coincide across blocks when parent
+    keys repeat) and committed with tmp + ``os.replace``: a Ray task
+    retry or lineage re-execution re-processes the same input block,
+    produces the same name, and overwrites instead of appending a
+    duplicate — in-run idempotency on top of the wave-level rmtree —
+    while two DIFFERENT blocks of the same shard can never collide on
+    a name and silently clobber each other's rows."""
     import pyarrow.parquet as pq
 
     from changesetmd_ray.text.hashing import hash_bytes64
@@ -154,13 +157,21 @@ def _child_sink(batch: pa.Table, points_dir: str) -> pa.Table:
         part = child.filter(pc.equal(sids, sid)).drop_columns(["shard_id"])
         d = os.path.join(points_dir, f"shard_id={sid}")
         os.makedirs(d, exist_ok=True)
-        ident = "\x00".join(
+        urls = part["url"].combine_chunks()
+        # StringArray buffers: [validity, offsets, data] — offsets+data
+        # together pin the full column content
+        ubufs = urls.buffers()
+        ident = b"\x00".join(
             (
-                part["url"][0].as_py(), str(part["warc_ts"][0].as_py()),
-                part["url"][-1].as_py(), str(part["warc_ts"][-1].as_py()),
-                str(len(part)),
+                ubufs[1].to_pybytes() if ubufs[1] else b"",
+                ubufs[2].to_pybytes() if ubufs[2] else b"",
+                part["warc_ts"].combine_chunks().to_numpy(
+                    zero_copy_only=False).tobytes(),
+                part["seq"].combine_chunks().to_numpy(
+                    zero_copy_only=False).tobytes(),
+                str(len(part)).encode(),
             )
-        ).encode("utf-8")
+        )
         name = f"part-{hash_bytes64(ident) & 0xFFFFFFFFFFFFFFFF:016x}.parquet"
         tmp = os.path.join(d, name + ".tmp")
         pq.write_table(part, tmp)

@@ -151,6 +151,18 @@ def _comment_table(rows: list[dict]) -> pa.Table:
     )
 
 
+def _paths_ds(paths: list[str]):
+    """One single-row block PER path so each dump file parses in its
+    own Ray task (``from_arrow`` with one table = ONE block = serial
+    parse no matter the cluster size; a list of tables = one block
+    each, so a 10^5-file dump fans out with backpressure)."""
+    import ray.data
+
+    return ray.data.from_arrow(
+        [pa.table({"path": pa.array([p], pa.string())}) for p in sorted(paths)]
+    )
+
+
 def read_changesets_xml(paths: list[str], *, contributors: list[str] | None = None,
                         batch_rows: int = 4096):
     """Dataset over the changeset (parent) table of one or more dump
@@ -172,9 +184,9 @@ def read_changesets_xml(paths: list[str], *, contributors: list[str] | None = No
             if buf:
                 yield _changeset_table(buf)
 
-    return ray.data.from_arrow(
-        pa.table({"path": pa.array(sorted(paths), pa.string())})
-    ).map_batches(parse, batch_format="pyarrow", batch_size=1)
+    return _paths_ds(paths).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
 
 
 def read_changeset_comments_xml(paths: list[str], *,
@@ -197,9 +209,9 @@ def read_changeset_comments_xml(paths: list[str], *,
             if buf:
                 yield _comment_table(buf)
 
-    return ray.data.from_arrow(
-        pa.table({"path": pa.array(sorted(paths), pa.string())})
-    ).map_batches(parse, batch_format="pyarrow", batch_size=1)
+    return _paths_ds(paths).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
 
 
 def load_changesets_xml(paths: list[str], out_dir: str, *,
@@ -280,7 +292,7 @@ def load_changesets_xml(paths: list[str], out_dir: str, *,
         )
 
     counts = (
-        ray.data.from_arrow(pa.table({"path": pa.array(sorted(paths), pa.string())}))
+        _paths_ds(paths)
         .map_batches(load_one, batch_format="pyarrow", batch_size=1)
         .take_all()
     )  # bounded by the input file count

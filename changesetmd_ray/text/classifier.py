@@ -165,15 +165,33 @@ def classifier_score(
     text_col: str = "text",
     out_col: str = "quality_prob",
     batch_size: int = 1024,
+    concurrency=(1, 8),
 ):
     """Append the classifier probability to every row. The weight
-    vector ships to the cluster ONCE (``ray.put``), never per batch."""
+    vector ships to the cluster ONCE (``ray.put``) and is fetched once
+    per ACTOR in ``ClassifierScore.__init__`` — an actor pool, so no
+    per-batch ``ray.get``/deserialize of the model."""
     ref = ray.put(model)
     return ds.map_batches(
-        lambda b: ClassifierScore(ref, text_col, out_col)(b),
+        ClassifierScore,
+        fn_constructor_args=(ref, text_col, out_col),
         batch_format="pyarrow",
         batch_size=batch_size,
+        concurrency=concurrency,
     )
+
+
+class ClassifierFilter(ClassifierScore):
+    """Actor-pool threshold filter: score with the once-per-actor model
+    and keep rows ≥ ``threshold`` without retaining the score column."""
+
+    def __init__(self, model_ref, threshold: float, text_col: str = "text"):
+        super().__init__(model_ref, text_col)
+        self.threshold = float(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scores = _score_docs(batch[self.text_col].to_pylist(), self.model)
+        return batch.filter(pa.array(scores >= self.threshold))
 
 
 def classifier_filter(
@@ -183,16 +201,16 @@ def classifier_filter(
     *,
     text_col: str = "text",
     batch_size: int = 1024,
+    concurrency=(1, 8),
 ):
     """Keep rows scoring ≥ ``threshold`` — the DCLM-style hard quality
-    cut. Score column is not retained (pure filter)."""
+    cut. Score column is not retained (pure filter). Same
+    fetch-once-per-actor pattern as :func:`classifier_score`."""
     ref = ray.put(model)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        scores = _score_docs(
-            batch[text_col].to_pylist(),
-            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref,
-        )
-        return batch.filter(pa.array(scores >= threshold))
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(
+        ClassifierFilter,
+        fn_constructor_args=(ref, threshold, text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -306,6 +306,44 @@ def test_child_sink_retry_idempotent(tmp_path):
     assert not glob.glob(os.path.join(d, "shard_id=s0", "*.tmp"))
 
 
+def test_child_sink_distinct_blocks_never_collide(tmp_path):
+    """Two DIFFERENT blocks sharing boundary rows and row count (the
+    duplicate-parent-key edge) must write two distinct child files —
+    a boundary-only name would collide and silently clobber one
+    block's rows (round-4 review finding)."""
+    import glob
+
+    import pyarrow as pa
+
+    from changesetmd_ray.pipelines.flagship import _child_sink
+
+    pt = pa.list_(pa.struct([("lon", pa.float64()), ("lat", pa.float64())]))
+
+    def block(mid_url: str) -> pa.Table:
+        return pa.table(
+            {
+                # same first row, same last row, same length — only the
+                # middle row differs between the two blocks
+                "url": ["https://a.example/x", mid_url, "https://z.example/w"],
+                "warc_ts": pa.array([1, 2, 3], pa.int64()),
+                "points": pa.array(
+                    [[{"lon": 1.0, "lat": 2.0}]] * 3, pt
+                ),
+                "shard_id": ["s0", "s0", "s0"],
+            }
+        )
+
+    d = str(tmp_path / "points")
+    _child_sink(block("https://m1.example/a"), d)
+    _child_sink(block("https://m2.example/b"), d)
+    files = glob.glob(os.path.join(d, "shard_id=s0", "part-*.parquet"))
+    assert len(files) == 2  # distinct content -> distinct names
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 6  # no block's rows were clobbered
+
+
 def test_replication_loop_new_partitions(ray_session, tmp_path):
     """The reference's continuous-replication mode (changesetmd.py:
     290-300: poll state, fetch NEW sequence files, apply): new shards

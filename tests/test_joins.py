@@ -615,3 +615,26 @@ def test_membership_join_empty_small_side(ray_session):
                          big_on="k", small_on="sk", broadcast_limit=limit,
                          num_buckets=4).take_all()
         assert len(semi) == 0
+
+
+def test_membership_join_zero_row_premap_blocks(ray_session):
+    """A small side where a filter empties one block entirely: Ray
+    skips UDFs on zero-row blocks, so those blocks reach the bucketed
+    shuffle union with their PRE-map schema (no __b / __mk columns).
+    Ray 2.49's groupby tolerates them; this pins that tolerance so a
+    Ray upgrade that stops dropping mismatched zero-row blocks fails
+    loudly here instead of deep in a curation run (round-4 review)."""
+    from changesetmd_ray.joins.broadcast import anti_join, semi_join
+
+    big = ray.data.from_arrow(pa.table({"k": pa.array(range(20), pa.int64())}))
+    s1 = pa.table({"sk": pa.array([3, 4, 5], pa.int64())})
+    s2 = pa.table({"sk": pa.array([1000, 1001], pa.int64())})
+    # second block filters to 0 rows and keeps the {'sk'} schema
+    small = ray.data.from_arrow([s1, s2]).filter(lambda r: r["sk"] < 100)
+    for limit in (10**9, 0):  # broadcast regime, forced shuffle regime
+        semi = semi_join(big, small, big_on="k", small_on="sk",
+                         broadcast_limit=limit, num_buckets=4)
+        assert sorted(r["k"] for r in semi.take_all()) == [3, 4, 5]
+        anti = anti_join(big, small, big_on="k", small_on="sk",
+                         broadcast_limit=limit, num_buckets=4)
+        assert len(anti.take_all()) == 17
