@@ -4,9 +4,10 @@ flow (north_rule capstone; every stage is an existing, individually
 tested operator):
 
     blocklist → language → Gopher quality rule → Gopher repetition
-    → classifier score/threshold → exact dedup → MinHash cluster dedup
-    → benchmark decontamination → per-domain cap → PII scrub
-    → (optional) score-weighted resampling
+    → classifier score/threshold → corpus-wide line dedup (optional)
+    → exact dedup → MinHash cluster dedup → benchmark decontamination
+    → per-domain cap → PII scrub → (optional) score-weighted
+    resampling
 
 Scale shape: the map-only stages (blocklist, language, quality,
 repetition, classifier, decontaminate probe, PII, resample) FUSE into
@@ -40,6 +41,8 @@ class CurationConfig:
     repetition: bool = True                # Gopher repetition rule
     classifier_model: object | None = None  # HashedNgramModel
     classifier_threshold: float | None = None  # None = score only, no cut
+    line_dedup: bool = False              # corpus-wide line/paragraph dedup
+    line_dedup_kwargs: dict = field(default_factory=dict)
     exact_dedup: bool = True
     minhash: bool = True
     minhash_threshold: float = 0.8
@@ -159,8 +162,18 @@ def curate(
             ds = ds.map_batches(score_keep, batch_format="pyarrow")
         ds = checkpoint("classifier", ds)
 
-    if cfg.snapshot_before_dedup and (cfg.exact_dedup or cfg.minhash):
+    if cfg.snapshot_before_dedup and (
+            cfg.line_dedup or cfg.exact_dedup or cfg.minhash):
         ds = ds.materialize()
+
+    if cfg.line_dedup:
+        # boilerplate lines removed BEFORE whole-doc dedup: docs that
+        # differed only in chrome become identical and dedup away
+        from changesetmd_ray.text.linedup import line_dedup
+
+        ds = checkpoint("line_dedup", line_dedup(
+            ds, text_col=text_col, id_col=id_col,
+            **cfg.line_dedup_kwargs))
 
     if cfg.exact_dedup:
         from changesetmd_ray.text.dedup import exact_dedup

@@ -107,6 +107,33 @@ def test_curate_full_flow(ray_session):
     assert set(res.dataset.schema().names) == {"doc_id", "text", "url"}
 
 
+def test_curate_line_dedup_stage(ray_session):
+    """line_dedup=True strips corpus-wide boilerplate lines before the
+    whole-doc dedup stages, and reports its stage count."""
+    import ray.data
+
+    boiler = "subscribe to the newsletter for updates every single week"
+    rows = []
+    for i in range(12):
+        tail = " ".join(f"token{i}x{j}" for j in range(15))
+        rows.append((i, f"{_EN} {tail}\n{boiler}"))
+    rows.append((12, f"{_EN} solo doc without the chrome line at all"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.asarray([r[0] for r in rows], np.int64)),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    cfg = CurationConfig(line_dedup=True, minhash_kwargs={"batch_size": 64})
+    res = curate(ray.data.from_arrow(tbl).repartition(3), config=cfg,
+                 report=True)
+    out = {r["doc_id"]: r["text"] for r in res.dataset.take_all()}
+    assert boiler not in "\n".join(out.values())
+    assert set(out) == set(range(13))  # unique prose all survives
+    assert "line_dedup" in res.report
+    assert res.report["line_dedup"] == 13
+
+
 def test_curate_classifier_and_resample(ray_session):
     import ray.data
 
