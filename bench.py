@@ -257,9 +257,10 @@ def flagship_bench(num_cpus: int) -> dict:
 
 def curation_bench(sf_dir: str, num_cpus: int) -> dict:
     """Timed end-to-end curation recipe over the documents table
-    (language → quality → repetition → exact dedup → MinHash cluster
-    dedup → PII scrub, streaming mode): the corpus-hygiene capstone as
-    one pipeline, the shape a 100 TB pre-training run executes."""
+    (language → quality → repetition → corpus-wide line dedup →
+    exact dedup → MinHash cluster dedup → PII scrub, streaming mode):
+    the corpus-hygiene capstone as one pipeline, the shape a 100 TB
+    pre-training run executes."""
     import ray.data
 
     from changesetmd_ray.pipelines.curation import CurationConfig, curate
@@ -270,7 +271,8 @@ def curation_bench(sf_dir: str, num_cpus: int) -> dict:
         override_num_blocks=num_cpus,
     )
     t0 = time.perf_counter()
-    res = curate(ds, lang_col="lang", config=CurationConfig())
+    res = curate(ds, lang_col="lang",
+                 config=CurationConfig(line_dedup=True))
     n_out = res.dataset.count()
     secs = time.perf_counter() - t0
     return {"secs": secs, "rows_out": n_out}

@@ -4,7 +4,8 @@ flow (north_rule capstone; every stage is an existing, individually
 tested operator):
 
     blocklist → language → Gopher quality rule → Gopher repetition
-    → classifier score/threshold → corpus-wide line dedup (optional)
+    → classifier score/threshold → LM perplexity score/cut (optional)
+    → corpus-wide line dedup (optional)
     → exact dedup → MinHash cluster dedup → benchmark decontamination
     → per-domain cap → PII scrub → (optional) score-weighted
     resampling
@@ -19,7 +20,8 @@ sink; ``report=True`` materializes after every stage to record
 retention counts — a debugging/audit mode, priced accordingly.
 
 Output schema = input schema, plus ``quality_prob`` when a classifier
-is configured (stage helper columns are dropped in-stage).
+is configured and ``log2_ppl`` when an LM model is configured
+score-only (stage helper columns are dropped in-stage).
 """
 
 from __future__ import annotations
@@ -41,6 +43,8 @@ class CurationConfig:
     repetition: bool = True                # Gopher repetition rule
     classifier_model: object | None = None  # HashedNgramModel
     classifier_threshold: float | None = None  # None = score only, no cut
+    lm_model: object | None = None          # ByteLmModel (CCNet ppl cut)
+    lm_max_log2_ppl: float | None = None    # None = score only, no cut
     line_dedup: bool = False              # corpus-wide line/paragraph dedup
     line_dedup_kwargs: dict = field(default_factory=dict)
     exact_dedup: bool = True
@@ -162,6 +166,17 @@ def curate(
             ds = ds.map_batches(score_keep, batch_format="pyarrow")
         ds = checkpoint("classifier", ds)
 
+    if cfg.lm_model is not None:
+        from changesetmd_ray.text.lm import lm_filter, lm_score
+
+        if cfg.lm_max_log2_ppl is not None:
+            ds = checkpoint("lm_filter", lm_filter(
+                ds, cfg.lm_model, float(cfg.lm_max_log2_ppl),
+                text_col=text_col))
+        else:
+            ds = checkpoint("lm_score", lm_score(
+                ds, cfg.lm_model, text_col=text_col))
+
     if cfg.snapshot_before_dedup and (
             cfg.line_dedup or cfg.exact_dedup or cfg.minhash):
         ds = ds.materialize()
@@ -174,6 +189,11 @@ def curate(
         ds = checkpoint("line_dedup", line_dedup(
             ds, text_col=text_col, id_col=id_col,
             **cfg.line_dedup_kwargs))
+        if cfg.snapshot_before_dedup and (cfg.exact_dedup or cfg.minhash):
+            # the doc-dedup stages are multi-pass consumers; without
+            # this second snapshot each of their passes re-executes
+            # the line-dedup rebuild (measured 18.5 s -> ~7 s at sf0.1)
+            ds = ds.materialize()
 
     if cfg.exact_dedup:
         from changesetmd_ray.text.dedup import exact_dedup

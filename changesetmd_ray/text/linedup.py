@@ -177,9 +177,16 @@ class _RebuildDocs:
     actor (T2/T3 pattern) and strips duplicated units from each doc."""
 
     def __init__(self, dup_ref, text_col, id_col, sep, min_chars,
-                 normalize, keep, with_stats):
-        dup = ray.get(dup_ref) if isinstance(dup_ref, ray.ObjectRef) else dup_ref
-        self.h_sorted, self.win_id, self.win_seq = dup
+                 normalize, keep, with_stats, lazy=False):
+        if lazy:
+            # resolved on first __call__ in the worker (zero-copy,
+            # memoized per worker by plasma)
+            self._ref = dup_ref
+            self.h_sorted = None
+        else:
+            dup = (ray.get(dup_ref) if isinstance(dup_ref, ray.ObjectRef)
+                   else dup_ref)
+            self.h_sorted, self.win_id, self.win_seq = dup
         self.text_col = text_col
         self.id_col = id_col
         self.sep = sep
@@ -189,6 +196,8 @@ class _RebuildDocs:
         self.with_stats = with_stats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.h_sorted is None:
+            self.h_sorted, self.win_id, self.win_seq = ray.get(self._ref)
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         out: list[str] = []
@@ -274,13 +283,15 @@ def line_dedup(
             h_sorted = np.empty(0, np.uint64)
             win_id = win_seq = np.empty(0, np.int64)
         ref = ray.put((h_sorted, win_id, win_seq))
-        out = ds.map_batches(
-            _RebuildDocs,
-            fn_constructor_args=(ref, text_col, id_col, sep, min_chars,
-                                 normalize, keep, with_stats),
-            batch_format="pyarrow",
-            concurrency=concurrency,
+        # stateless TASK map, not an actor pool: the broadcast state is
+        # three plasma-backed numpy arrays, so per-task ray.get is a
+        # zero-copy view and tasks fuse with upstream stages (an actor
+        # pool here pays startup + breaks fusion for no state benefit)
+        rebuild = _RebuildDocs(
+            ref, text_col, id_col, sep, min_chars, normalize, keep,
+            with_stats, lazy=True,
         )
+        out = ds.map_batches(rebuild, batch_format="pyarrow")
     else:
         out = _line_dedup_distributed(
             ds, dup_ds, text_col=text_col, id_col=id_col, sep=sep,

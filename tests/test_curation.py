@@ -157,6 +157,50 @@ def test_curate_classifier_and_resample(ray_session):
     assert list(res.report) == ["input", "classifier", "exact_dedup", "resample"]
 
 
+def test_curate_lm_perplexity_stage(ray_session):
+    """lm_model + lm_max_log2_ppl drops high-perplexity (gibberish)
+    docs; score-only mode appends log2_ppl instead."""
+    import ray.data
+
+    from changesetmd_ray.text.lm import train_byte_lm
+
+    rng = np.random.default_rng(11)
+    fluent = [f"{_EN} extra words {i} for doc variety here" for i in range(20)]
+    junk = ["".join(rng.choice(list("zqxjkvw#@%1"), 80)) for _ in range(5)]
+    train = ray.data.from_arrow(
+        pa.table({"text": pa.array(fluent, pa.string())}))
+    model = train_byte_lm(train, n=3, n_buckets=1 << 14)
+
+    rows = [(i, t) for i, t in enumerate(fluent + junk)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.asarray([r[0] for r in rows], np.int64)),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    from changesetmd_ray.text.lm import score_docs
+
+    cut = float(np.max(score_docs(fluent, model))) + 0.5
+    cfg = CurationConfig(
+        lm_model=model, lm_max_log2_ppl=cut,
+        quality_rule=False, repetition=False, minhash=False,
+        exact_dedup=False, pii_scrub=False, langs=None,
+    )
+    res = curate(ray.data.from_arrow(tbl).repartition(3), config=cfg,
+                 report=True)
+    out = sorted(r["doc_id"] for r in res.dataset.take_all())
+    assert out == list(range(20))  # gibberish dropped, fluent kept
+    assert res.report["lm_filter"] == 20
+
+    # score-only mode appends the column
+    cfg2 = CurationConfig(
+        lm_model=model, quality_rule=False, repetition=False,
+        minhash=False, exact_dedup=False, pii_scrub=False, langs=None,
+    )
+    res2 = curate(ray.data.from_arrow(tbl), config=cfg2)
+    assert "log2_ppl" in res2.dataset.schema().names
+
+
 def test_curate_validation(ray_session):
     import ray.data
 
