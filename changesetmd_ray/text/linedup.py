@@ -86,22 +86,23 @@ def _split(text: str, sep: str) -> list[str]:
     return (text or "").split(sep)
 
 
-def duplicated_units(
+def duplicated_hashes(
     ds,
+    extract,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    sep: str = "\n",
     min_count: int = 2,
-    min_chars: int = 1,
-    normalize: bool = True,
     num_buckets: int = 64,
 ):
-    """Dataset of ``(h, n, min_id, min_seq)`` — one row per unit hash
-    whose corpus-wide occurrence count ≥ ``min_count`` (int64 bit
-    pattern of the uint64 hash; ``min_*`` locate the globally first
-    occurrence). Thin throughout: the exchange carries per-block
-    partial counts, never occurrences."""
+    """Generic corpus-wide duplicated-hash counter: ``extract(text) ->
+    (uint64 hashes, int64 seqs)`` defines the unit (lines here,
+    winnowed window fingerprints in :mod:`spandup`). Returns a Dataset
+    of ``(h, n, min_id, min_seq)`` — one row per hash whose total
+    occurrence count ≥ ``min_count`` (int64 bit pattern; ``min_*``
+    locate the globally first occurrence by ``(id, seq)``). Thin
+    throughout: the exchange carries per-block COMBINED partial
+    counts, never occurrences, and never text."""
     check_pow2(num_buckets)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -110,15 +111,10 @@ def duplicated_units(
         seqs: list[np.ndarray] = []
         id_np = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         for i, t in enumerate(batch[text_col].to_pylist()):
-            units = _split(t, sep)
-            h = _unit_hash_np(units, normalize)
-            ok = np.fromiter(
-                (len(_norm(u, normalize)) >= min_chars for u in units),
-                bool, len(units),
-            )
-            hs.append(h[ok])
-            seqs.append(np.nonzero(ok)[0].astype(np.int64))
-            ids.append(np.full(int(ok.sum()), id_np[i], np.int64))
+            h, sq = extract(t)
+            hs.append(h)
+            seqs.append(sq)
+            ids.append(np.full(len(h), id_np[i], np.int64))
         h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
         di = np.concatenate(ids) if ids else np.empty(0, np.int64)
         sq = np.concatenate(seqs) if seqs else np.empty(0, np.int64)
@@ -169,6 +165,40 @@ def duplicated_units(
         .groupby("__b")
         .map_groups(combine, batch_format="pyarrow")
         .select_columns(cols)
+    )
+
+
+def _line_extract(sep: str, min_chars: int, normalize: bool):
+    def extract(t: str):
+        units = _split(t, sep)
+        h = _unit_hash_np(units, normalize)
+        ok = np.fromiter(
+            (len(_norm(u, normalize)) >= min_chars for u in units),
+            bool, len(units),
+        )
+        return h[ok], np.nonzero(ok)[0].astype(np.int64)
+
+    return extract
+
+
+def duplicated_units(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    min_chars: int = 1,
+    normalize: bool = True,
+    num_buckets: int = 64,
+):
+    """Dataset of ``(h, n, min_id, min_seq)`` over LINE units — see
+    :func:`duplicated_hashes` (``seq`` = unit index within the doc;
+    sub-``min_chars`` units are exempt and never counted)."""
+    return duplicated_hashes(
+        ds, _line_extract(sep, min_chars, normalize),
+        text_col=text_col, id_col=id_col, min_count=min_count,
+        num_buckets=num_buckets,
     )
 
 

@@ -157,6 +157,40 @@ def test_curate_classifier_and_resample(ray_session):
     assert list(res.report) == ["input", "classifier", "exact_dedup", "resample"]
 
 
+def test_curate_span_dedup_stage(ray_session):
+    """span_dedup=True cuts a corpus-wide duplicated passage out of
+    its carriers before whole-doc dedup."""
+    import ray.data
+
+    passage = ("licensed under creative commons attribution share alike "
+               "terms no warranty expressed or implied whatsoever in any "
+               "jurisdiction worldwide forever and ever amen")
+    rows = []
+    for i in range(8):
+        tail = " ".join(f"tok{i}q{j}" for j in range(18))
+        rows.append((i, f"{_EN} {tail} {passage} {_EN} {tail} end{i}"))
+    rows.append((8, f"{_EN} a document with no quoted block at all here"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.asarray([r[0] for r in rows], np.int64)),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    cfg = CurationConfig(
+        span_dedup=True, span_dedup_kwargs={"w": 8, "winnow_k": 4},
+        quality_rule=False, repetition=False, minhash=False, langs=None,
+        minhash_kwargs={"batch_size": 64},
+    )
+    res = curate(ray.data.from_arrow(tbl).repartition(3), config=cfg,
+                 report=True)
+    out = {r["doc_id"]: r["text"] for r in res.dataset.take_all()}
+    assert set(out) == set(range(9))
+    for i in range(8):
+        assert "no warranty expressed or implied" not in out[i]
+        assert f"end{i}" in out[i]  # unique tail survives the cut
+    assert "span_dedup" in res.report
+
+
 def test_curate_lm_perplexity_stage(ray_session):
     """lm_model + lm_max_log2_ppl drops high-perplexity (gibberish)
     docs; score-only mode appends log2_ppl instead."""
