@@ -31,10 +31,15 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash_bytes64(data: bytes) -> int:
-    """Stable 64-bit hash of a byte string (two salted crc32 halves)."""
-    lo = zlib.crc32(data)
-    hi = zlib.crc32(data, 0x9E3779B9)
-    return int(splitmix64(np.uint64((hi << 32) | lo))[()])
+    """Stable 64-bit hash of a byte string (blake2b-8). An earlier
+    build combined two salted crc32 halves, but crc32(b, s1) ^
+    crc32(b, s2) is a constant that depends only on len(b) (crc is
+    affine), so that construction had only 32-bit collision
+    resistance between same-length inputs — a real digest instead."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
 def hash_bytes128(data: bytes) -> tuple[int, int]:

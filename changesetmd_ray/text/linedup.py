@@ -53,7 +53,7 @@ import pyarrow as pa
 import ray
 
 from changesetmd_ray.stages.exchange import flat_np, pack_by_bucket
-from changesetmd_ray.text.hashing import check_pow2, splitmix64
+from changesetmd_ray.text.hashing import check_pow2
 
 _WS = re.compile(r"\s+")
 
@@ -65,21 +65,25 @@ def _norm(unit: str, normalize: bool) -> str:
     return u
 
 
-def _unit_hash_np(units: list[str], normalize: bool) -> np.ndarray:
-    """uint64 hash per unit (crc32 halves → splitmix spread — the
-    engine's stable string-hash chain)."""
-    import zlib
+def _norm_hash_units(units: list[str], normalize: bool, min_chars: int):
+    """One normalization pass per unit → (uint64 blake2b-8 hash per
+    unit, exempt mask). A 64-bit DIGEST, not a crc chain: line dedup
+    deletes content on hash equality, so it needs the same real
+    collision resistance exact_dedup's content key has (crc32-based
+    64-bit composites held only 32 bits between same-length lines)."""
+    import hashlib
 
     n = len(units)
-    if not n:
-        return np.empty(0, np.uint64)
-    raw = np.empty(n, np.uint64)
+    h = np.empty(n, np.uint64)
+    exempt = np.empty(n, bool)
     for i, u in enumerate(units):
-        b = _norm(u, normalize).encode("utf-8")
-        lo = zlib.crc32(b)
-        hi = zlib.crc32(b, 0x9E3779B9)
-        raw[i] = (hi << 32) | lo
-    return splitmix64(raw)
+        nu = _norm(u, normalize)
+        exempt[i] = len(nu) < min_chars
+        h[i] = int.from_bytes(
+            hashlib.blake2b(nu.encode("utf-8"), digest_size=8).digest(),
+            "little",
+        )
+    return h, exempt
 
 
 def _split(text: str, sep: str) -> list[str]:
@@ -147,7 +151,8 @@ def duplicated_hashes(
         tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
         order = np.lexsort((ms, mi, inv))
         cnt = np.bincount(inv)
-        first = np.concatenate([[0], np.cumsum(cnt[:-1])]).astype(np.int64)
+        first = (np.concatenate([[0], np.cumsum(cnt[:-1])]) if len(uh)
+                 else np.empty(0)).astype(np.int64)
         keep = tot >= min_count
         return pa.table(
             {
@@ -171,11 +176,8 @@ def duplicated_hashes(
 def _line_extract(sep: str, min_chars: int, normalize: bool):
     def extract(t: str):
         units = _split(t, sep)
-        h = _unit_hash_np(units, normalize)
-        ok = np.fromiter(
-            (len(_norm(u, normalize)) >= min_chars for u in units),
-            bool, len(units),
-        )
+        h, exempt = _norm_hash_units(units, normalize, min_chars)
+        ok = ~exempt
         return h[ok], np.nonzero(ok)[0].astype(np.int64)
 
     return extract
@@ -203,20 +205,15 @@ def duplicated_units(
 
 
 class _RebuildDocs:
-    """Actor-pool batch rebuilder: fetches the dup-hash arrays ONCE per
-    actor (T2/T3 pattern) and strips duplicated units from each doc."""
+    """Stateless task-map batch rebuilder: the broadcast dup-hash
+    arrays resolve on first ``__call__`` in each worker (zero-copy,
+    memoized per worker by plasma) and duplicated units are stripped
+    from each doc."""
 
     def __init__(self, dup_ref, text_col, id_col, sep, min_chars,
-                 normalize, keep, with_stats, lazy=False):
-        if lazy:
-            # resolved on first __call__ in the worker (zero-copy,
-            # memoized per worker by plasma)
-            self._ref = dup_ref
-            self.h_sorted = None
-        else:
-            dup = (ray.get(dup_ref) if isinstance(dup_ref, ray.ObjectRef)
-                   else dup_ref)
-            self.h_sorted, self.win_id, self.win_seq = dup
+                 normalize, keep, with_stats):
+        self._ref = dup_ref
+        self.h_sorted = None
         self.text_col = text_col
         self.id_col = id_col
         self.sep = sep
@@ -235,18 +232,14 @@ class _RebuildDocs:
         n_drop = np.empty(len(texts), np.int64)
         for i, t in enumerate(texts):
             units = _split(t, self.sep)
-            h = _unit_hash_np(units, self.normalize)
+            h, exempt = _norm_hash_units(units, self.normalize,
+                                         self.min_chars)
             pos = np.searchsorted(self.h_sorted, h)
             pos_c = np.minimum(pos, max(len(self.h_sorted) - 1, 0))
             dup = (
                 (self.h_sorted[pos_c] == h)
                 if len(self.h_sorted)
                 else np.zeros(len(units), bool)
-            )
-            exempt = np.fromiter(
-                (len(_norm(u, self.normalize)) < self.min_chars
-                 for u in units),
-                bool, len(units),
             )
             drop = dup & ~exempt
             if self.keep == "first" and drop.any():
@@ -286,7 +279,9 @@ def line_dedup(
 ):
     """Corpus → corpus with duplicated lines/paragraphs removed. See
     the module docstring for policies and the regime split. The input
-    lineage executes twice (count pass + rebuild pass) — snapshot
+    lineage executes twice in the broadcast regime (count + rebuild)
+    and three times in the distributed one (count, explode,
+    payload-join read) — snapshot
     upstream with ``materialize()`` if it is transform-heavy, as
     :func:`changesetmd_ray.pipelines.curation.curate` does before its
     multi-pass dedup block."""
@@ -307,8 +302,12 @@ def line_dedup(
             h = allt["h"].to_numpy(zero_copy_only=False).view(np.uint64)
             order = np.argsort(h)
             h_sorted = h[order]
-            win_id = allt["min_id"].to_numpy(zero_copy_only=False)[order]
-            win_seq = allt["min_seq"].to_numpy(zero_copy_only=False)[order]
+            if keep == "first":
+                win_id = allt["min_id"].to_numpy(zero_copy_only=False)[order]
+                win_seq = allt["min_seq"].to_numpy(
+                    zero_copy_only=False)[order]
+            else:  # keep='none' never reads winners — don't ship them
+                win_id = win_seq = np.empty(0, np.int64)
         else:
             h_sorted = np.empty(0, np.uint64)
             win_id = win_seq = np.empty(0, np.int64)
@@ -319,7 +318,7 @@ def line_dedup(
         # pool here pays startup + breaks fusion for no state benefit)
         rebuild = _RebuildDocs(
             ref, text_col, id_col, sep, min_chars, normalize, keep,
-            with_stats, lazy=True,
+            with_stats,
         )
         out = ds.map_batches(rebuild, batch_format="pyarrow")
     else:
@@ -382,11 +381,9 @@ def _line_dedup_distributed(
             u_all.extend(units)
             id_r.append(np.full(len(units), ids[i], np.int64))
             sq_r.append(np.arange(len(units), dtype=np.int64))
-            h_r.append(_unit_hash_np(units, normalize).view(np.int64))
-            ex_r.append(np.fromiter(
-                (len(_norm(u, normalize)) < min_chars for u in units),
-                bool, len(units),
-            ))
+            h, exempt = _norm_hash_units(units, normalize, min_chars)
+            h_r.append(h.view(np.int64))
+            ex_r.append(exempt)
         cat = (lambda xs, d: np.concatenate(xs) if xs else np.empty(0, d))
         h = cat(h_r, np.int64)
         t = pa.table(

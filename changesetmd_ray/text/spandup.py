@@ -50,7 +50,6 @@ import ray
 from changesetmd_ray.text.hashing import (
     TOKEN_RE,
     shingle_hashes,
-    splitmix64,
     token_hashes,
 )
 from changesetmd_ray.text.linedup import duplicated_hashes
@@ -91,14 +90,29 @@ def _winnow(win_h: np.ndarray, k: int) -> np.ndarray:
     return np.unique(pos)
 
 
+def _doc_windows(text: str, w: int, k: int):
+    """One tokenize+winnow pass per doc → (fingerprint uint64[],
+    token position int64[], cut_start char int64[], cut_end char
+    int64[]) — the single definition of the window-coverage rule
+    (window at token p covers tokens [p, p+w), clamped so the sub-w
+    whole-doc shingle covers everything), shared by the count, mark
+    and explode phases so the regimes cannot diverge."""
+    tok_h, t_start, t_end = _doc_tokens(text)
+    win = shingle_hashes(tok_h, w)
+    pos = _winnow(win, k)
+    if len(t_start) == 0:
+        z = np.zeros(len(pos), np.int64)
+        return win[pos], pos, z, z
+    last = np.minimum(pos + w - 1, len(t_start) - 1)
+    return win[pos], pos, t_start[pos], t_end[last]
+
+
 def _fingerprints(text: str, w: int, k: int):
     """(fingerprint uint64[], token position int64[]) for one doc.
     Docs shorter than ``w`` tokens emit their whole-sequence shingle
     at position 0 (so short exact dups still count)."""
-    tok_h, _, _ = _doc_tokens(text)
-    win = shingle_hashes(tok_h, w)
-    pos = _winnow(win, k)
-    return win[pos], pos
+    fp, pos, _, _ = _doc_windows(text, w, k)
+    return fp, pos
 
 
 def duplicated_fingerprints(
@@ -147,10 +161,7 @@ def _cut_spans(text: str, starts: np.ndarray, ends: np.ndarray) -> tuple[str, in
 def _mark_doc(text: str, doc_id: int, dup, w: int, k: int, keep: str):
     """Char ranges of this doc's duplicated windows → (starts, ends)."""
     h_sorted, win_id, win_seq = dup
-    tok_h, t_start, t_end = _doc_tokens(text)
-    win = shingle_hashes(tok_h, w)
-    pos = _winnow(win, k)
-    fp = win[pos]
+    fp, pos, cs, ce = _doc_windows(text, w, k)
     if len(h_sorted) == 0 or len(fp) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     at = np.searchsorted(h_sorted, fp)
@@ -159,13 +170,7 @@ def _mark_doc(text: str, doc_id: int, dup, w: int, k: int, keep: str):
     if keep == "first":
         winner = (win_id[at_c] == doc_id) & (win_seq[at_c] == pos)
         hit &= ~winner
-    mpos = pos[hit]
-    if len(mpos) == 0 or len(t_start) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    # window at token position p covers tokens [p, p+w) (clamped: the
-    # sub-w whole-doc shingle covers everything)
-    last = np.minimum(mpos + w - 1, len(t_start) - 1)
-    return t_start[mpos], t_end[last]
+    return cs[hit], ce[hit]
 
 
 class _CutDocs:
@@ -248,10 +253,14 @@ def span_dedup(
         allt = pa.concat_tables(tabs)
         h = allt["h"].to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(h)
+        empty = np.empty(0, np.int64)
         dup = (
             h[order],
-            allt["min_id"].to_numpy(zero_copy_only=False)[order],
-            allt["min_seq"].to_numpy(zero_copy_only=False)[order],
+            # keep='none' never reads winners — don't ship them
+            allt["min_id"].to_numpy(zero_copy_only=False)[order]
+            if keep == "first" else empty,
+            allt["min_seq"].to_numpy(zero_copy_only=False)[order]
+            if keep == "first" else empty,
         )
     else:
         dup = (np.empty(0, np.uint64), np.empty(0, np.int64),
@@ -266,8 +275,12 @@ def _span_dedup_distributed(
 ):
     """Above-limit regime: explode docs to THIN fingerprint rows,
     probe the dup Dataset per bucket (hash-only exchange), collect the
-    surviving cut ranges per doc as a packed list, and apply them in
-    ONE payload join — document text rides exactly one all-to-all."""
+    surviving cut ranges per doc as a packed list (materialized: it is
+    thin and consumed twice), and apply them in ONE payload join.
+    Document text rides one all-to-all in that join; the untouched
+    complement flows through a membership anti-join, which is map-only
+    while the cut-doc id set fits its broadcast gate and becomes a
+    second payload exchange above it."""
     import pyarrow.compute as pc
 
     from changesetmd_ray.joins.equi import hash_join
@@ -295,21 +308,12 @@ def _span_dedup_distributed(
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         id_r, sq_r, h_r, cs_r, ce_r = [], [], [], [], []
         for i, t in enumerate(batch[text_col].to_pylist()):
-            t = t or ""
-            tok_h, t_start, t_end = _doc_tokens(t)
-            win = shingle_hashes(tok_h, w)
-            pos = _winnow(win, k)
-            fp = win[pos]
+            fp, pos, cs, ce = _doc_windows(t or "", w, k)
             id_r.append(np.full(len(fp), ids[i], np.int64))
             sq_r.append(pos)
             h_r.append(fp.view(np.int64))
-            if len(t_start):
-                last = np.minimum(pos + w - 1, len(t_start) - 1)
-                cs_r.append(t_start[pos] if len(pos) else np.empty(0, np.int64))
-                ce_r.append(t_end[last] if len(pos) else np.empty(0, np.int64))
-            else:
-                cs_r.append(np.zeros(len(fp), np.int64))
-                ce_r.append(np.zeros(len(fp), np.int64))
+            cs_r.append(cs)
+            ce_r.append(ce)
         cat = (lambda xs, d: np.concatenate(xs) if xs else np.empty(0, d))
         h = cat(h_r, np.int64)
         t = pa.table(
@@ -386,7 +390,11 @@ def _span_dedup_distributed(
             }
         )
 
-    cuts = marked.groupby("__id").map_groups(pack_doc, batch_format="pyarrow")
+    # thin (one row per cut doc) and consumed TWICE (payload join +
+    # untouched-doc anti-join): snapshot so the explode/probe lineage
+    # does not execute a second time
+    cuts = marked.groupby("__id").map_groups(
+        pack_doc, batch_format="pyarrow").materialize()
 
     all_cols = list(ds.schema().names)
     joined = hash_join(
