@@ -18,8 +18,14 @@ exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
   training on the bounded frequency table, broadcast cached encode.
 - :mod:`lm`       — byte-n-gram LM perplexity scoring (the CCNet
   quality signal): exact distributed counting, broadcast scoring.
+- :mod:`linedup`  — CCNet/Dolma cross-document line/paragraph dedup
+  (thin combined counting exchange; broadcast or bucketed rebuild).
+- :mod:`spandup`  — Lee-et-al exact-substring span dedup via winnowed
+  rolling fingerprints (alignment-robust, char-offset cuts).
 """
 
 from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401
 from changesetmd_ray.text.ann import ann_cosine_topk  # noqa: F401
 from changesetmd_ray.text.semdedup import semdedup, semdedup_decisions  # noqa: F401
+from changesetmd_ray.text.linedup import line_dedup  # noqa: F401
+from changesetmd_ray.text.spandup import span_dedup  # noqa: F401
