@@ -3,7 +3,8 @@ composition of the engine's hygiene operators into ONE configurable
 flow (north_rule capstone; every stage is an existing, individually
 tested operator):
 
-    blocklist → language → Gopher quality rule → Gopher repetition
+    unicode normalize (optional) → blocklist → language → Gopher
+    quality rule → Gopher repetition
     → classifier score/threshold → LM perplexity score/cut (optional)
     → corpus-wide line dedup (optional) → exact-substring span
     dedup (optional)
@@ -38,6 +39,8 @@ from changesetmd_ray.text.analysis import LangId, quality_features
 class CurationConfig:
     """Stage knobs; ``None``/``False`` skips a stage entirely."""
 
+    normalize_text: bool = False           # unicode NFC + control strip
+    normalize_kwargs: dict = field(default_factory=dict)
     blocklist: list | None = None          # blocked host suffixes
     langs: tuple | None = ("en",)          # allowed languages (None = keep all)
     quality_rule: bool = True              # Gopher-style quality_ok cut
@@ -107,6 +110,12 @@ def curate(
         return d
 
     stages["input"] = ds.count() if report else None
+
+    if cfg.normalize_text:
+        from changesetmd_ray.text.normalize import normalize_text
+
+        ds = checkpoint("normalize", normalize_text(
+            ds, text_col=text_col, **cfg.normalize_kwargs))
 
     if cfg.blocklist is not None:
         from changesetmd_ray.text.domains import blocklist_filter

@@ -22,6 +22,8 @@ exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
   (thin combined counting exchange; broadcast or bucketed rebuild).
 - :mod:`spandup`  — Lee-et-al exact-substring span dedup via winnowed
   rolling fingerprints (alignment-robust, char-offset cuts).
+- :mod:`normalize` — unicode NFC/NFKC + control/zero-width stripping
+  (Arrow kernels + is_ascii fast path).
 """
 
 from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401
@@ -29,3 +31,4 @@ from changesetmd_ray.text.ann import ann_cosine_topk  # noqa: F401
 from changesetmd_ray.text.semdedup import semdedup, semdedup_decisions  # noqa: F401
 from changesetmd_ray.text.linedup import line_dedup  # noqa: F401
 from changesetmd_ray.text.spandup import span_dedup  # noqa: F401
+from changesetmd_ray.text.normalize import normalize_text  # noqa: F401
