@@ -239,3 +239,90 @@ def test_greedy_pack_cutpoints_property(lens_list, budget):
         last = np.nonzero(seq == g)[0][-1]
         if last + 1 < n and total <= budget:
             assert total + lens[last + 1] > budget
+
+
+@given(
+    core_n=st.integers(8, 60),
+    pre_a=st.integers(0, 12),
+    pre_b=st.integers(0, 12),
+    k=st.integers(2, 8),
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_winnowing_guarantee_property(core_n, pre_a, pre_b, k, seed):
+    """Any shared token run of >= w + k - 1 tokens yields at least one
+    COMMON winnowed fingerprint regardless of alignment (the MOSS
+    guarantee span_dedup relies on)."""
+    from changesetmd_ray.text.hashing import shingle_hashes
+    from changesetmd_ray.text.spandup import _winnow
+
+    w = 5
+    if core_n < w + k - 1:
+        core_n = w + k - 1
+    rng = np.random.default_rng(seed)
+    core = rng.integers(1, 1 << 60, core_n, dtype=np.uint64)
+
+    def fps(pre):
+        toks = np.concatenate(
+            [rng.integers(1, 1 << 60, pre, dtype=np.uint64), core,
+             rng.integers(1, 1 << 60, 3, dtype=np.uint64)])
+        win = shingle_hashes(toks, w)
+        return set(win[_winnow(win, k)].tolist())
+
+    assert fps(pre_a) & fps(pre_b)
+
+
+@given(
+    text_n=st.integers(0, 60),
+    ranges=st.lists(st.tuples(st.integers(0, 59), st.integers(1, 20)),
+                    max_size=8),
+)
+@settings(max_examples=100, deadline=None)
+def test_cut_spans_invariants(text_n, ranges):
+    """len(out) == len(text) - chars_removed; kept chars appear in
+    original order; no-range input is identity."""
+    from changesetmd_ray.text.spandup import _cut_spans
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(text_n))
+    rs = [(min(s, text_n), min(s + l, text_n)) for s, l in ranges]
+    rs = [(s, e) for s, e in rs if s < e]
+    starts = np.asarray([s for s, _ in rs], np.int64)
+    ends = np.asarray([e for _, e in rs], np.int64)
+    out, n_cuts, removed = _cut_spans(text, starts, ends)
+    assert len(out) == len(text) - removed
+    if not rs:
+        assert out == text and n_cuts == 0 and removed == 0
+        return
+    # kept characters are exactly those outside the union of ranges,
+    # in original order
+    drop = np.zeros(text_n, bool)
+    for s, e in rs:
+        drop[s:e] = True
+    assert out == "".join(c for c, d in zip(text, drop) if not d)
+    assert removed == int(drop.sum())
+
+
+@given(
+    lines=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=8), min_size=1,
+        max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_norm_hash_units_properties(lines):
+    """Exempt iff normalized length < min_chars; hashes depend only on
+    the normalized form; whitespace variants collide, distinct
+    normals don't."""
+    from changesetmd_ray.text.linedup import _norm, _norm_hash_units
+
+    h, exempt = _norm_hash_units(lines, True, 1)
+    for i, u in enumerate(lines):
+        assert exempt[i] == (len(_norm(u, True)) < 1)
+    # doubling internal whitespace must not change any hash
+    h2, _ = _norm_hash_units([u.replace(" ", "  ") for u in lines], True, 1)
+    assert np.array_equal(h, h2)
+    # distinct normalized forms get distinct hashes (64-bit digest)
+    norms = [_norm(u, True) for u in lines]
+    by_norm = {}
+    for n, hv in zip(norms, h.tolist()):
+        assert by_norm.setdefault(n, hv) == hv
+    assert len(set(by_norm.values())) == len(by_norm)
