@@ -296,6 +296,9 @@ def load_changesets_xml(paths: list[str], out_dir: str, *,
         .map_batches(load_one, batch_format="pyarrow", batch_size=1)
         .take_all()
     )  # bounded by the input file count
+    # take_all block order is not deterministic across parallel tasks
+    # (preserve_order is off) — sort so the manifest is stable run-to-run
+    counts.sort(key=lambda r: r["file"])
     return pa.table(
         {
             "file": pa.array([r["file"] for r in counts], pa.string()),
