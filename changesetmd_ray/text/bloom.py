@@ -92,18 +92,25 @@ def doc_ngram_hashes(text: str, n: int) -> np.ndarray:
     """uint64 hash per consecutive word n-gram (position-sensitive
     splitmix chain; same normalization as the analysis stages). Docs
     shorter than n tokens contribute their whole token sequence as one
-    gram, so short benchmark items are still guarded."""
+    gram, so short benchmark items are still guarded.
+
+    The chain is seeded with ``splitmix64(h0)``: a raw first combine
+    ``splitmix64(h0 ^ h1)`` cancels for identical adjacent tokens, so
+    any two grams whose first pairs were identical-token pairs and
+    whose tails matched would collide — measured as spurious
+    decontamination drops on the sf0.001 e2e fixture (same fix as
+    ``repetition._ngram_hashes``)."""
     toks = tokenize(text or "")
     if not toks:
         return np.empty(0, np.uint64)
     h = token_hashes(toks)
     m = len(h) - n + 1
     if m <= 0:
-        acc = h[:1].copy()
+        acc = splitmix64(h[:1])
         for j in range(1, len(h)):
             acc = splitmix64(acc ^ h[j : j + 1])
         return acc
-    acc = h[:m].copy()
+    acc = splitmix64(h[:m])
     for j in range(1, n):
         acc = splitmix64(acc ^ h[j : j + m])
     return acc

@@ -64,6 +64,10 @@ CASES = [
     "spam spam spam spam spam spam ham",  # degenerate 2-grams
     "the quick brown fox jumps over the lazy dog " * 3,  # long-range repeats
     "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    # distinct identical-token pairs: "aa aa" and "bb bb" are DIFFERENT
+    # grams, each occurring once → no repetition mass (regression: a
+    # raw xor-chain first step hashed every such pair to splitmix64(0))
+    "aa aa bb bb cc dd ee ff gg hh",
     "word " * 200,  # catastrophically repetitive
 ]
 
