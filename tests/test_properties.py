@@ -326,3 +326,27 @@ def test_norm_hash_units_properties(lines):
     for n, hv in zip(norms, h.tolist()):
         assert by_norm.setdefault(n, hv) == hv
     assert len(set(by_norm.values())) == len(by_norm)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=60), min_size=1,
+        max_size=10),
+)
+@settings(max_examples=60, deadline=None)
+def test_repetition_features_batch_independence(docs):
+    """The batch-vectorized kernel must give every row the features it
+    would get alone — per-row salting may never leak counts across
+    rows (regression: unsalted identical-token pairs collided
+    batch-wide before the seeded chain fix)."""
+    import pyarrow as pa
+
+    from changesetmd_ray.text.repetition import repetition_features
+
+    batched = repetition_features(pa.table({"text": pa.array(docs, pa.string())}))
+    for i, d in enumerate(docs):
+        single = repetition_features(pa.table({"text": pa.array([d], pa.string())}))
+        for c in batched.schema.names:
+            if c == "text":
+                continue
+            assert single[c][0].as_py() == batched[c][i].as_py(), (i, c, d)
