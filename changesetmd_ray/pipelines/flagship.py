@@ -289,22 +289,25 @@ def _run_waves(manifest, pending, skipped, by_shard, *, data_dir, points_dir,
             shutil.rmtree(os.path.join(points_dir, f"shard_id={pid}"), ignore_errors=True)
 
         ds = ray.data.read_parquet([by_shard[p] for p in wave], include_paths=True)
-        ds = ds.map_batches(_attach_shard_id, batch_format="pyarrow")
-        if langs:
-            # the reference's contributor allow-list shape
-            # (changesetmd.py:215-219): broadcast small set, vectorized is_in
-            allow = pa.array(sorted(langs), pa.string())
-            ds = ds.map_batches(
-                lambda b, _a=allow: b.filter(pc.is_in(b["lang"], value_set=_a)),
-                batch_format="pyarrow",
-            )
+        # the reference's contributor allow-list shape
+        # (changesetmd.py:215-219): broadcast small set, vectorized is_in
+        allow = pa.array(sorted(langs), pa.string()) if langs else None
+
         # task pools, not actor pools: the stage state (compiled
         # regex / lookup tables) rebuilds in microseconds, and
         # autoscaling actor pools ramp too slowly to saturate the
         # node (measured in joins/pip.py; extract was capped at 8
-        # actors before this change)
+        # actors before this change).
+        # shard-id attach + lang filter are FOLDED into this stage, not
+        # separate map_batches: ReadParquet does not fuse with maps in
+        # this Ray version, so each extra operator is another full
+        # object-store crossing of the heavy ``html`` column (~GB/M
+        # pages); folding keeps the payload's plasma hops at the
+        # read boundary only
         def extract_fn(batch):
-            return GeoExtractor()(batch)
+            if allow is not None:
+                batch = batch.filter(pc.is_in(batch["lang"], value_set=allow))
+            return GeoExtractor()(_attach_shard_id(batch))
 
         encoder = CellEncoder(
             s2_level=s2_level, hex_res=hex_res, grid_zoom=grid_zoom
