@@ -34,6 +34,10 @@ import pyarrow as pa
 
 from changesetmd_ray.text.analysis import LangId, quality_features
 
+# stage salt for the resample hash stream (see _key_hash32's coupling
+# note) — any fixed value distinct from other consumers of id_col works
+RESAMPLE_SALT = 0x52534D50  # "RSMP"
+
 
 @dataclass
 class CurationConfig:
@@ -279,8 +283,12 @@ def curate(
     if cfg.resample_power is not None:
         from changesetmd_ray.stages.sample import weighted_sample
 
+        # salted stream: domain_cap keeps the per-host LOWEST
+        # hash32(id) rows, so an unsalted resample on the same id
+        # stream would keep essentially every capped-domain survivor
+        # regardless of quality_prob (stages/sample.py::_key_hash32)
         ds = checkpoint("resample", weighted_sample(
             ds, key_col=id_col, weight_col="quality_prob",
-            power=cfg.resample_power))
+            power=cfg.resample_power, salt=RESAMPLE_SALT))
 
     return CurationResult(dataset=ds, report=stages)

@@ -1575,7 +1575,10 @@ def q_pages_pipeline(sf_dir: str):
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     paths = pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
-    ds = ray.data.read_parquet(paths)
+    # pruned read: the query outputs url + derived columns only, so
+    # `text`/`lang`/`warc_ts` never leave storage (GeoExtractor's
+    # passthrough is presence-optional)
+    ds = ray.data.read_parquet(paths, columns=["url", "html"])
     ds = ds.map_batches(lambda b: GeoExtractor()(b), batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: CellEncoder(s2_level=12, hex_res=8, grid_zoom=7)(b),
@@ -1857,7 +1860,9 @@ def q_media_pipeline(sf_dir: str):
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v1_{tag}")
-    ds = ray.data.read_parquet(paths)
+    # pruned read: the query's outputs derive from the payload alone;
+    # meta_* columns never leave storage
+    ds = ray.data.read_parquet(paths, columns=["media_id", "media_type", "payload"])
     resized = resize_media(ds, width=64, height=48, codec="bmp", batch_size=256)
 
     def images_only(batch: pa.Table) -> pa.Table:

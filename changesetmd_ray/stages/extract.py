@@ -135,11 +135,14 @@ class GeoExtractor:
         def fcol(a):
             return pa.array(a, pa.float64(), from_pandas=True)  # NaN → null
 
-        cols = {
-            "url": batch["url"],
-            "warc_ts": batch["warc_ts"],
-            "text": batch["text"],  # byte-identical passthrough, zero-copy
-            "lang": batch["lang"],
+        cols = {"url": batch["url"]}
+        # byte-identical passthrough, zero-copy — but presence-optional,
+        # so a caller that pruned its read (columns=) to exactly what it
+        # outputs doesn't pay I/O for columns the query never emits
+        for passthrough in ("warc_ts", "text", "lang"):
+            if passthrough in batch.column_names:
+                cols[passthrough] = batch[passthrough]
+        cols |= {
             "points": points,
             "n_points": pa.array(counts, pa.int32()),
             "min_lon": fcol(lo_x),

@@ -47,6 +47,9 @@ def word_counts(ds, *, text_col: str = "text", max_words: int = 100_000,
     """Top-``max_words`` (word, n) pairs by (n desc, word asc) —
     driver-side list of tuples, bounded by ``max_words``."""
     from changesetmd_ray.stages.exchange import flat, pack_by_bucket
+    from changesetmd_ray.text.hashing import check_pow2
+
+    check_pow2(num_buckets)  # `h & (num_buckets-1)` needs a power of two
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}

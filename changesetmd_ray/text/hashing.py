@@ -66,6 +66,35 @@ def token_hashes(tokens: list[str]) -> np.ndarray:
     return splitmix64(raw)
 
 
+def token_hashes64(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token with FULL 64-bit collision resistance
+    (blake2b-8 per distinct token, np.unique-cached). For operators
+    that DELETE content on equality of hashes built from token hashes
+    (span dedup): crc32→splitmix keeps only 32 bits of entropy per
+    token (splitmix64 is a bijection), so two windows identical except
+    one crc-colliding token pair would spuriously share a fingerprint
+    — thousands of such pairs exist at web-scale vocabulary. Signal
+    uses (MinHash/SimHash similarity estimates) keep the cheaper crc
+    chain in :func:`token_hashes`."""
+    import hashlib
+
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for t in uniq
+        ),
+        np.uint64,
+        len(uniq),
+    )
+    return uh[inv]
+
+
 def md5_token_hashes(tokens: list[str]) -> np.ndarray:
     """uint64 hash per token: the high 64 bits of md5 — the SQL-
     expressible token hash (DuckDB: ``('0x'||substr(md5(t),1,16))::ubigint``),

@@ -105,11 +105,38 @@ def semdedup_decisions(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
-    # id-sorted training sample: k-means init indexes into the sample,
-    # so row ORDER feeds the centroids — sorting by id makes decisions
-    # independent of block layout (bit-identical across repartitions
-    # whenever train_size covers the sampled set)
-    train = ds.select_columns([id_col, emb_col]).limit(train_size).take_all()
+    # hash-deterministic training sample: the train_size LOWEST
+    # splitmix64(id) rows (ties broken by id). limit() would depend on
+    # block layout once the corpus exceeds train_size; selecting by a
+    # pure function of the id makes the sampled SET — and therefore
+    # the centroids and every decision — layout-invariant at any
+    # corpus size. Per-block partial top-k keeps the exchange thin
+    # (≤ train_size rows per block); the driver collects exactly
+    # train_size rows after the distributed sort+limit.
+    from changesetmd_ray.text.hashing import splitmix64
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sign-flip so int64 ascending == uint64 ascending: the global
+        # Dataset.sort below compares the stored int64, and the
+        # per-block cut must agree with it exactly
+        h = (splitmix64(ids.view(np.uint64)) ^ np.uint64(1 << 63)).view(np.int64)
+        order = np.lexsort((ids, h))[: min(train_size, len(ids))]
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(order)),
+                emb_col: batch[emb_col].take(pa.array(order)),
+                "__h": pa.array(h[order]),
+            }
+        )
+
+    train = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["__h", id_col])
+        .limit(train_size)
+        .take_all()
+    )
     if not train:
         from ray.data import from_arrow as ray_from_arrow
 

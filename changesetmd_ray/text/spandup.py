@@ -50,7 +50,7 @@ import ray
 from changesetmd_ray.text.hashing import (
     TOKEN_RE,
     shingle_hashes,
-    token_hashes,
+    token_hashes64,
 )
 from changesetmd_ray.text.linedup import duplicated_hashes
 
@@ -66,8 +66,11 @@ def _doc_tokens(text: str):
         starts.append(m.start())
         ends.append(m.end())
         toks.append(m.group(0).lower())
+    # 64-bit digest token hashes, NOT the crc32→splitmix chain: span
+    # dedup deletes content on fingerprint equality, so fingerprints
+    # need real collision resistance (hashing.py::token_hashes64)
     return (
-        token_hashes(toks),
+        token_hashes64(toks),
         np.asarray(starts, np.int64),
         np.asarray(ends, np.int64),
     )

@@ -93,6 +93,24 @@ def test_semdedup_layout_invariant(ray_session):
     assert a == b
 
 
+def test_semdedup_layout_invariant_beyond_train_size(ray_session):
+    """The k-means training sample is hash-selected, not limit()-taken,
+    so decisions stay layout-invariant even when the corpus EXCEEDS
+    train_size (limit() would feed different rows to the centroids per
+    block layout)."""
+    import ray.data
+
+    tbl, _ = _mk_embeddings(n=150, seed=4)
+    kw = dict(KW, train_size=64)
+    a = _decisions_dict(
+        semdedup_decisions(ray.data.from_arrow(tbl).repartition(1), **kw)
+    )
+    b = _decisions_dict(
+        semdedup_decisions(ray.data.from_arrow(tbl).repartition(11), **kw)
+    )
+    assert a == b
+
+
 def test_identical_vectors_one_keeper(ray_session):
     import ray.data
 

@@ -497,6 +497,42 @@ def test_stratified_sample_rates_and_edge_groups():
                           rates={"a": 1.5})
 
 
+def test_salted_sample_decorrelates_from_domain_cap_stream():
+    """domain_cap keeps the per-host LOWEST hash32(key) rows; an
+    UNSALTED resample over those survivors keeps ~all of them
+    regardless of the nominal rate (same hash stream), while a salted
+    resample keeps ~rate — the stage-coupling fix. Also pins the
+    salted stream's SQL expression (xor before the multiply)."""
+    import duckdb
+
+    from changesetmd_ray.stages.sample import (
+        _KNUTH, _MOD32, _SALT_MIX, systematic_sample,
+    )
+
+    n, cap, rate, salt = 200_000, 2_000, 0.05, 0x52534D50
+    keys = np.arange(n, dtype=np.int64)
+    h = (keys.astype(np.uint64) * _KNUTH) % _MOD32
+    # one hot host: domain_cap-style winners = the cap lowest hashes
+    winners = keys[np.argsort(h)[:cap]]
+    t = pa.table({"k": pa.array(np.sort(winners))})
+    unsalted = systematic_sample(ray.data.from_arrow(t), key_col="k",
+                                 rate=rate).count()
+    salted = systematic_sample(ray.data.from_arrow(t), key_col="k",
+                               rate=rate, salt=salt).count()
+    assert unsalted == cap  # fully coupled: every winner re-survives
+    assert abs(salted - cap * rate) < cap * rate * 0.5  # ~rate·cap
+    # the salted rule stays ANSI-SQL-expressible (battery-hash pattern)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    splat = int((np.uint64(salt) * _SALT_MIX) % _MOD32)
+    sql = con.sql(
+        f"select count(*) from t where "
+        f"(cast(xor(k, {splat}) as hugeint) * 2654435761) % 4294967296 < "
+        f"cast({rate} * 4294967296.0 as ubigint)"
+    ).fetchone()[0]
+    assert sql == salted
+
+
 def test_weighted_sample_matches_sql_and_reference():
     import duckdb
 
