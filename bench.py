@@ -51,12 +51,11 @@ BENCH_QUERIES = [
     "geo_pip",
     "geo_bbox_join",
     "geo_knn",
-    "geo_knn_radius",
     "geo_tile_counts",
     "geo_raster_lookup",
     "docs_exact_dedup",
     "docs_minhash_neardup",
-    "docs_quality",
+    "docs_text_analysis",
     "embedding_neardup",
     "priority_revenue",
     "ann_cosine",

@@ -386,10 +386,19 @@ group by c_mktsegment
 """
 
 
-def q_semi_join_customers(sf_dir: str):
-    """J6 semi-join: distinct customer keys having an open ('O') order —
-    a per-batch distinct + one small groupby (no raw-row shuffle)."""
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
+def q_customers_semi_anti(sf_dir: str):
+    """J6 semi- AND anti-join in one battery slot (round-5
+    consolidation). ``side='semi'``: distinct customer keys having an
+    open ('O') order — a per-batch distinct + one small groupby (no
+    raw-row shuffle). ``side='anti'``: customers with no 'F' order,
+    through the size-gated membership join (joins/broadcast.py): the
+    filtered key set broadcasts while its map-side-distinct size is
+    below the limit, and falls back to the bucketed shuffle anti-join
+    above it — the driver collect can never grow unbounded (round-3
+    verdict #4)."""
+    from changesetmd_ray.joins.broadcast import anti_join
+
+    o_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
         expr="o_orderstatus == 'O'"
     )
 
@@ -400,37 +409,35 @@ def q_semi_join_customers(sf_dir: str):
     def one(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    return (
-        ds.map_batches(distinct_batch, batch_format="pyarrow")
+    semi = (
+        o_orders.map_batches(distinct_batch, batch_format="pyarrow")
         .groupby("c_custkey")
         .map_groups(one, batch_format="pyarrow")
     )
 
-
-_SQL_SEMI_JOIN = "select distinct o_custkey as c_custkey from orders where o_orderstatus = 'O'"
-
-
-def q_anti_join_customers(sf_dir: str):
-    """J6 anti-join: customers with no 'F' order, through the
-    size-gated membership join (joins/broadcast.py): the filtered key
-    set broadcasts while its map-side-distinct size is below the
-    limit, and falls back to the bucketed shuffle anti-join above it —
-    the driver collect can never grow unbounded (round-3 verdict #4)."""
-    from changesetmd_ray.joins.broadcast import anti_join
-
     f_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).filter(
         expr="o_orderstatus == 'F'"
     )
-    return anti_join(
+    anti = anti_join(
         _read(sf_dir, "customer", ["c_custkey"]), f_orders,
         big_on="c_custkey", small_on="o_custkey",
     )
 
+    def tag(side: str):
+        return lambda b: b.append_column("side", pa.array([side] * len(b), pa.string()))
 
-_SQL_ANTI_JOIN = (
-    "select c_custkey from customer where not exists "
-    "(select 1 from orders where o_custkey = c_custkey and o_orderstatus = 'F')"
-)
+    return semi.map_batches(tag("semi"), batch_format="pyarrow").union(
+        anti.map_batches(tag("anti"), batch_format="pyarrow")
+    )
+
+
+_SQL_SEMI_ANTI = """
+select distinct o_custkey as c_custkey, 'semi' as side
+from orders where o_orderstatus = 'O'
+union all
+select c_custkey, 'anti' as side from customer where not exists
+  (select 1 from orders where o_custkey = c_custkey and o_orderstatus = 'F')
+"""
 
 
 def q_latest_event_per_user(sf_dir: str):
@@ -483,19 +490,30 @@ select user_id, event_id from (
 
 
 def q_events_by_type(sf_dir: str):
-    """A1/A4 count per predicate group with partial combine."""
-    ds = _read(sf_dir, "events", ["event_type"])
+    """A1/A4 count per predicate group with partial combine, PLUS the
+    A3 watermark (per-type max timestamp) in the same tree — one
+    battery slot covers the grouped count and the max aggregate
+    (round-5 consolidation; the per-partition-partial → combine shape
+    is exactly what the flagship manifest records)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        return batch.group_by("event_type").aggregate([("event_type", "count")])
+        g = batch.group_by("event_type").aggregate(
+            [("event_type", "count"), ("ts", "max")]
+        )
+        return g.rename_columns(["event_type", "n", "max_ts"])
 
     def combine(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("event_type").aggregate([("event_type_count", "sum")])
-        return g.rename_columns(["event_type", "event_type_count"])
+        g = batch.group_by("event_type").aggregate(
+            [("n", "sum"), ("max_ts", "max")]
+        )
+        return g.rename_columns(["event_type", "n", "max_ts"])
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"event_type": batch["event_type"], "n": batch["event_type_count"]}
+            {"event_type": batch["event_type"],
+             "n": batch["n"],
+             "max_ts": batch["max_ts"]}
         )
 
     return tree_combine(
@@ -503,74 +521,59 @@ def q_events_by_type(sf_dir: str):
     ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
-_SQL_EVENTS_BY_TYPE = "select event_type, count(*) as n from events group by event_type"
+_SQL_EVENTS_BY_TYPE = (
+    "select event_type, count(*) as n, max(ts) as max_ts "
+    "from events group by event_type"
+)
 
 
-def q_events_watermark(sf_dir: str):
-    """A3 watermark: global max timestamp + row count (per-partition
-    partial max, driver-side final — what the manifest records)."""
-    ds = _read(sf_dir, "events", ["ts"])
+def q_events_sampling(sf_dir: str):
+    """O3 sampling, both modes in one battery slot (round-5
+    consolidation). ``mode='systematic'``: deterministic
+    multiplicative-hash sample (~5%) — reproducible across
+    engines/runs, unlike random_sample. ``mode='stratified'``:
+    per-stratum deterministic rates (keep ALL rare purchases, thin the
+    noise classes), the class-balancing step of a training-data
+    pipeline (stages/sample.py). Exact integer arithmetic both sides
+    (Knuth multiplicative hash mod 2^32)."""
+    from changesetmd_ray.stages.sample import stratified_sample, systematic_sample
 
-    def partial(batch: pa.Table) -> pa.Table:
+    sys_ds = systematic_sample(
+        _read(sf_dir, "events", ["event_id"]), key_col="event_id", rate=0.05
+    )
+    strat = stratified_sample(
+        _read(sf_dir, "events", ["event_id", "event_type"]),
+        key_col="event_id", group_col="event_type",
+        rates={"purchase": 1.0, "click": 0.1, "view": 0.02}, default_rate=0.05,
+    ).select_columns(["event_id", "event_type"])
+
+    def tag_sys(batch: pa.Table) -> pa.Table:
+        n = len(batch)
         return pa.table(
-            {"max_ts": pa.array([pc.max(batch["ts"]).as_py()], pa.timestamp("us")),
-             "n": pa.array([len(batch)], pa.int64())}
+            {"mode": pa.array(["systematic"] * n, pa.string()),
+             "event_id": batch["event_id"],
+             "event_type": pa.nulls(n, pa.string())}
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    return pa.table(
-        {
-            "max_ts": pa.array([max(r["max_ts"] for r in parts)], pa.timestamp("us")),
-            "n_events": pa.array([sum(r["n"] for r in parts)], pa.int64()),
-        }
+    def tag_strat(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {"mode": pa.array(["stratified"] * n, pa.string()),
+             "event_id": batch["event_id"],
+             "event_type": batch["event_type"]}
+        )
+
+    return sys_ds.map_batches(tag_sys, batch_format="pyarrow").union(
+        strat.map_batches(tag_strat, batch_format="pyarrow")
     )
 
 
-_SQL_EVENTS_WATERMARK = "select max(ts) as max_ts, count(*) as n_events from events"
-
-
-def q_events_sample(sf_dir: str):
-    """O3 sampling — deterministic multiplicative-hash systematic sample
-    (~5%): reproducible across engines/runs, unlike random_sample
-    (which exists for bench subsets). Exact integer arithmetic both
-    sides (Knuth multiplicative hash mod 2^32)."""
-    ds = _read(sf_dir, "events", ["event_id"])
-
-    def pick(batch: pa.Table) -> pa.Table:
-        k = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (k * np.uint64(2654435761)) % np.uint64(4294967296)
-        return batch.filter(pa.array(h < np.uint64(214748365)))  # 5% of 2^32
-
-    return ds.map_batches(pick, batch_format="pyarrow")
-
-
-_SQL_EVENTS_SAMPLE = """
-select event_id from events
-where (cast(event_id as hugeint) * 2654435761) % 4294967296 < 214748365
-"""
-# hugeint: bigint would overflow above event_id ~3.4e9, while the numpy
-# side wraps mod 2^64 — and (x mod 2^64) mod 2^32 == x mod 2^32, so the
-# hugeint form matches the uint64 wrap exactly at any scale factor
-
-
-def q_events_stratified(sf_dir: str):
-    """O3 stratified sampling — per-stratum deterministic rates (keep
-    ALL rare purchases, thin the noise classes), the class-balancing
-    step of a training-data pipeline. Same exact-integer hash as
-    ``events_sample``, thresholds resolved per group value
-    (stages/sample.py::stratified_sample)."""
-    from changesetmd_ray.stages.sample import stratified_sample
-
-    ds = _read(sf_dir, "events", ["event_id", "event_type"])
-    out = stratified_sample(
-        ds, key_col="event_id", group_col="event_type",
-        rates={"purchase": 1.0, "click": 0.1, "view": 0.02}, default_rate=0.05,
-    )
-    return out.select_columns(["event_id", "event_type"])
-
-
-_SQL_EVENTS_STRATIFIED = """
-select event_id, event_type from events
+_SQL_EVENTS_SAMPLING = """
+select 'systematic' as mode, event_id, cast(null as varchar) as event_type
+from events
+where (cast(event_id as hugeint) * 2654435761) % 4294967296 < 214748364
+union all
+select 'stratified' as mode, event_id, event_type from events
 where (cast(event_id as hugeint) * 2654435761) % 4294967296 <
   case event_type
     when 'purchase' then 4294967296
@@ -578,8 +581,11 @@ where (cast(event_id as hugeint) * 2654435761) % 4294967296 <
     when 'view' then 85899345
     else 214748364 end
 """
-# thresholds are int(rate * 2^32) with Python truncation — the literals
-# above must match that truncation exactly
+# hugeint: bigint would overflow above event_id ~3.4e9, while the numpy
+# side wraps mod 2^64 — and (x mod 2^64) mod 2^32 == x mod 2^32, so the
+# hugeint form matches the uint64 wrap exactly at any scale factor.
+# Thresholds are int(rate * 2^32) with Python truncation — the literals
+# must match that truncation exactly (0.05 → 214748364).
 
 
 def q_events_sessions(sf_dir: str):
@@ -772,7 +778,10 @@ def q_union_dedup(sf_dir: str):
     ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
-_SQL_UNION_DEDUP = _SQL_EVENTS_BY_TYPE  # dedup of the doubled input = original
+# dedup of the doubled input = the original per-type counts
+_SQL_UNION_DEDUP = (
+    "select event_type, count(*) as n from events group by event_type"
+)
 
 
 def q_promo_parts_by_brand(sf_dir: str):
@@ -938,41 +947,53 @@ where p.lon between r.min_lon and r.max_lon
 
 def q_geo_bbox_join(sf_dir: str):
     """J3 bbox∩bbox with cell partitioning + skew salting + shuffle-free
-    reference-point dedup."""
-    left = _read(
-        sf_dir, "orders", ["o_orderkey"], blocks=_shuffle_blocks(sf_dir, "orders")
-    ).map_batches(lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow")
-    right = _read(
+    reference-point dedup, PLUS the documented ST_CoveredBy geofilter
+    shape (reference README.md:230-234, order boxes covered by supplier
+    rectangles) in the same battery slot (round-5 consolidation);
+    ``rel`` tags the predicate, ``right_key`` is p_partkey /
+    s_suppkey respectively."""
+
+    def orders_boxes():
+        return _read(
+            sf_dir, "orders", ["o_orderkey"], blocks=_shuffle_blocks(sf_dir, "orders")
+        ).map_batches(lambda b: _add_box_cols(b, "o_orderkey", "orders"),
+                      batch_format="pyarrow")
+
+    parts = _read(
         sf_dir, "part", ["p_partkey"], blocks=_shuffle_blocks(sf_dir, "part")
     ).map_batches(lambda b: _add_box_cols(b, "p_partkey", "part"), batch_format="pyarrow")
-    return bbox_join(left, right, zoom=6, left_id="o_orderkey", right_id="p_partkey")
+    inter = bbox_join(orders_boxes(), parts, zoom=6,
+                      left_id="o_orderkey", right_id="p_partkey")
+    rects = ray.data.from_arrow(_supplier_rect_table(sf_dir))
+    cov = bbox_join(
+        orders_boxes(), rects, zoom=5, predicate="coveredby",
+        left_id="o_orderkey", right_id="s_suppkey",
+    )
 
+    def tag(rel: str, right: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"rel": pa.array([rel] * len(batch), pa.string()),
+                 "o_orderkey": batch["o_orderkey"],
+                 "right_key": batch[right]}
+            )
+        return fn
 
-_SQL_GEO_BBOX_JOIN = f"""
-with o as {_box_sql('orders', 'o_orderkey')}, p as {_box_sql('part', 'p_partkey')}
-select o.o_orderkey, p.p_partkey
-from o, p
-where o.min_lon <= p.max_lon and p.min_lon <= o.max_lon
-  and o.min_lat <= p.max_lat and p.min_lat <= o.max_lat
-"""
-
-
-def q_geo_bbox_coveredby(sf_dir: str):
-    """J3 with the documented ST_CoveredBy geofilter shape
-    (reference README.md:230-234): order boxes covered by supplier
-    rectangles."""
-    left = _read(
-        sf_dir, "orders", ["o_orderkey"], blocks=_shuffle_blocks(sf_dir, "orders")
-    ).map_batches(lambda b: _add_box_cols(b, "o_orderkey", "orders"), batch_format="pyarrow")
-    right = ray.data.from_arrow(_supplier_rect_table(sf_dir))
-    return bbox_join(
-        left, right, zoom=5, predicate="coveredby", left_id="o_orderkey", right_id="s_suppkey"
+    return inter.map_batches(tag("intersects", "p_partkey"),
+                             batch_format="pyarrow").union(
+        cov.map_batches(tag("coveredby", "s_suppkey"), batch_format="pyarrow")
     )
 
 
-_SQL_GEO_COVEREDBY = f"""
-with o as {_box_sql('orders', 'o_orderkey')}, r as {_box_sql('supplier', 's_suppkey')}
-select o.o_orderkey, r.s_suppkey
+_SQL_GEO_BBOX_JOIN = f"""
+with o as {_box_sql('orders', 'o_orderkey')}, p as {_box_sql('part', 'p_partkey')},
+     r as {_box_sql('supplier', 's_suppkey')}
+select 'intersects' as rel, o.o_orderkey, p.p_partkey as right_key
+from o, p
+where o.min_lon <= p.max_lon and p.min_lon <= o.max_lon
+  and o.min_lat <= p.max_lat and p.min_lat <= o.max_lat
+union all
+select 'coveredby' as rel, o.o_orderkey, r.s_suppkey as right_key
 from o, r
 where o.min_lon >= r.min_lon and o.max_lon <= r.max_lon
   and o.min_lat >= r.min_lat and o.max_lat <= r.max_lat
@@ -980,9 +1001,17 @@ where o.min_lon >= r.min_lon and o.max_lon <= r.max_lon
 
 
 def q_geo_knn(sf_dir: str):
-    """J4 exact haversine kNN: supplier rect centers as probes, events
-    points as streaming corpus; rank-only output (float distances stay
-    internal — ulp-robust)."""
+    """J4 exact haversine kNN — BOTH join shapes in one battery slot
+    (round-5 consolidation). ``mode='knn'``: supplier rect centers as
+    broadcast probes, events points as streaming corpus.
+    ``mode='radius'``: the scale path — cell-partitioned radius kNN
+    with BOTH sides as Datasets (no broadcast): each customer-derived
+    probe gets its ≤3 nearest event points within 200 km (data margin
+    to the radius boundary ≥ 22 m at sf0.01 — far beyond float error).
+    Rank-only output (float distances stay internal — ulp-robust);
+    ``probe_id`` is s_suppkey / c_custkey respectively."""
+    from changesetmd_ray.joins.knn import knn_radius_join
+
     rects = _supplier_rect_table(sf_dir)
     k = rects["s_suppkey"].to_numpy(zero_copy_only=False)
     # probe = rect min corner (already a derived exact double)
@@ -992,58 +1021,49 @@ def q_geo_knn(sf_dir: str):
     corpus = _events_points(
         sf_dir, blocks=_shuffle_blocks(sf_dir, "events", rows_per_block=16_384)
     )
-    res = knn_join(corpus, probes, 3, corpus_id="event_id")
-    return res.map_batches(
-        lambda b: pa.table(
-            {"s_suppkey": b["probe_id"], "event_id": b["neighbor_id"], "rank": b["rank"]}
-        ),
-        batch_format="pyarrow",
+    knn = knn_join(corpus, probes, 3, corpus_id="event_id")
+
+    cust_probes = _read(
+        sf_dir, "customer", ["c_custkey"], blocks=_shuffle_blocks(sf_dir, "customer")
+    ).map_batches(lambda b: _add_point_cols(b, "c_custkey"), batch_format="pyarrow")
+    rad = knn_radius_join(
+        _events_points(sf_dir, blocks=_shuffle_blocks(sf_dir, "events")),
+        cust_probes, 3, 200_000.0, zoom=6,
+        corpus_id="event_id", probe_id="c_custkey",
+    )
+
+    def tag(mode: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"mode": pa.array([mode] * len(batch), pa.string()),
+                 "probe_id": batch["probe_id"],
+                 "event_id": batch["neighbor_id"],
+                 "rank": batch["rank"]}
+            )
+        return fn
+
+    return knn.map_batches(tag("knn"), batch_format="pyarrow").union(
+        rad.map_batches(tag("radius"), batch_format="pyarrow")
     )
 
 
 _SQL_GEO_KNN = f"""
-with p as {_pt_sql('events', 'event_id')}, r as {_box_sql('supplier', 's_suppkey')}
-select s_suppkey, event_id, rank from (
+with p as {_pt_sql('events', 'event_id')}, r as {_box_sql('supplier', 's_suppkey')},
+     c as {_pt_sql('customer', 'c_custkey')}
+select 'knn' as mode, s_suppkey as probe_id, event_id, rank from (
   select r.s_suppkey, p.event_id,
          row_number() over (partition by r.s_suppkey order by
            {_HAVERSINE_SQL.format(R=EARTH_RADIUS_M, lat1='r.min_lat', lon1='r.min_lon', lat2='p.lat', lon2='p.lon')}
            asc, p.event_id asc) as rank
   from r, p) where rank <= 3
-"""
-
-
-def q_geo_knn_radius(sf_dir: str):
-    """J4 scale path — cell-partitioned radius kNN with BOTH sides as
-    Datasets (no broadcast): each customer-derived probe gets its ≤3
-    nearest event points within 200 km (data margin to the radius
-    boundary ≥ 22 m at sf0.01 — far beyond float error)."""
-    from changesetmd_ray.joins.knn import knn_radius_join
-
-    probes = _read(
-        sf_dir, "customer", ["c_custkey"], blocks=_shuffle_blocks(sf_dir, "customer")
-    ).map_batches(lambda b: _add_point_cols(b, "c_custkey"), batch_format="pyarrow")
-    res = knn_radius_join(
-        _events_points(sf_dir, blocks=_shuffle_blocks(sf_dir, "events")),
-        probes, 3, 200_000.0, zoom=6,
-        corpus_id="event_id", probe_id="c_custkey",
-    )
-    return res.map_batches(
-        lambda b: pa.table(
-            {"c_custkey": b["probe_id"], "event_id": b["neighbor_id"], "rank": b["rank"]}
-        ),
-        batch_format="pyarrow",
-    )
-
-
-_SQL_GEO_KNN_RADIUS = f"""
-with p as {_pt_sql('customer', 'c_custkey')}, e as {_pt_sql('events', 'event_id')}
-select c_custkey, event_id, rank from (
-  select p.c_custkey, e.event_id,
-         row_number() over (partition by p.c_custkey order by
-           {_HAVERSINE_SQL.format(R=EARTH_RADIUS_M, lat1='p.lat', lon1='p.lon', lat2='e.lat', lon2='e.lon')}
-           asc, e.event_id asc) as rank
-  from p, e
-  where {_HAVERSINE_SQL.format(R=EARTH_RADIUS_M, lat1='p.lat', lon1='p.lon', lat2='e.lat', lon2='e.lon')} <= 200000.0
+union all
+select 'radius' as mode, c_custkey as probe_id, event_id, rank from (
+  select c.c_custkey, p.event_id,
+         row_number() over (partition by c.c_custkey order by
+           {_HAVERSINE_SQL.format(R=EARTH_RADIUS_M, lat1='c.lat', lon1='c.lon', lat2='p.lat', lon2='p.lon')}
+           asc, p.event_id asc) as rank
+  from c, p
+  where {_HAVERSINE_SQL.format(R=EARTH_RADIUS_M, lat1='c.lat', lon1='c.lon', lat2='p.lat', lon2='p.lon')} <= 200000.0
 ) where rank <= 3
 """
 
@@ -1343,14 +1363,24 @@ where bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 """
 
 
-def q_docs_quality(sf_dir: str):
-    """Quality features (vectorized Arrow kernels) with exact SQL parity
-    on counts and the keep rule."""
+def q_docs_text_analysis(sf_dir: str):
+    """The full per-document text-analysis surface in ONE fused pass
+    (battery-slot consolidation, round 5): quality features, heuristic
+    language-ID, BPE-ish token count and the winnowing fingerprint all
+    append to the same streamed batch — one pruned read, zero
+    shuffles, every column exactly SQL-oracled (the four per-operator
+    oracles of rounds 2-4, joined on doc_id)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=1024)).map_batches(
-        quality_features, batch_format="pyarrow"
+               blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640))
+    ds = ds.map_batches(quality_features, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: LangId()(b), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: TokenCount()(b), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: Fingerprint(gram_hash="md5")(b),
+                        batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_tokens_ws", "n_punct", "n_digits",
+         "quality_ok", "lang_pred", "n_tokens_bpe", "fingerprint"]
     )
-    return ds.select_columns(["doc_id", "n_chars", "n_tokens_ws", "n_punct", "n_digits", "quality_ok"])
 
 
 _SQL_DOCS_QUALITY = r"""
@@ -1367,19 +1397,6 @@ select doc_id,
      <= cast(greatest(length(text), 1) as double) * 0.1) as quality_ok
 from documents
 """
-
-
-def q_docs_langid(sf_dir: str):
-    """Heuristic language-ID. SQL-oracled: on ASCII corpora the marker
-    heuristic (token hits per language, first-max-wins over the marker
-    dict order) reproduces exactly in DuckDB list_filter SQL; Python's
-    Unicode ``\\w`` and RE2's ASCII ``\\w`` only diverge on non-ASCII
-    text, which the oracle corpus does not contain."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)).map_batches(
-        lambda b: LangId()(b), batch_format="pyarrow"
-    )
-    return ds.select_columns(["doc_id", "lang_pred"])
 
 
 def _sql_docs_langid() -> str:
@@ -1412,17 +1429,6 @@ from sc
 """
 
 
-def q_docs_tokens(sf_dir: str):
-    """BPE-ish token counts. SQL-oracled: the GPT-2-style segmentation
-    regex is RE2-compatible, and Python/RE2 ``\\w`` semantics coincide
-    on the ASCII oracle corpus."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)).map_batches(
-        lambda b: TokenCount()(b), batch_format="pyarrow"
-    )
-    return ds.select_columns(["doc_id", "n_tokens_bpe"])
-
-
 _SQL_DOCS_TOKENS = r"""
 select doc_id,
   len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)\b|[^\W\d_]+|\d+|[^\w\s]+')) as n_tokens_bpe
@@ -1430,20 +1436,12 @@ from documents
 """
 
 
-def q_docs_fingerprint(sf_dir: str):
-    """Winnowing fingerprints (Schleimer et al. MOSS; whitespace-
-    invariant) — SQL-ORACLED exactly with the md5 gram hash: DuckDB
-    rebuilds every position's k-gram via substr+md5, takes the window
-    min per sliding w, and xor-folds the distinct mins (bit_xor
-    DISTINCT), value-identical to the engine's uint64 arithmetic. The
-    crc32+splitmix gram hash stays the operator default."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-              blocks=_shuffle_blocks(sf_dir, "documents", rows_per_block=640)).map_batches(
-        lambda b: Fingerprint(gram_hash="md5")(b), batch_format="pyarrow"
-    )
-    return ds.select_columns(["doc_id", "fingerprint"])
-
-
+# Winnowing fingerprint oracle (Schleimer et al. MOSS; whitespace-
+# invariant), exact with the md5 gram hash: DuckDB rebuilds every
+# position's k-gram via substr+md5, takes the window min per sliding w,
+# and xor-folds the distinct mins (bit_xor DISTINCT), value-identical
+# to the engine's uint64 arithmetic. The crc32+splitmix gram hash
+# stays the operator default (oracled configuration uses md5).
 _SQL_DOCS_FINGERPRINT = r"""
 with norm as (
   select doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) as s from documents
@@ -1480,22 +1478,66 @@ from allfp
 """
 
 
+def _sql_docs_text_analysis() -> str:
+    """Composite text-analysis oracle: the four per-operator oracles as
+    CTEs joined on doc_id — each remains exact, so the composite is."""
+    return f"""
+with q as ({_SQL_DOCS_QUALITY}),
+     l as ({_sql_docs_langid()}),
+     t as ({_SQL_DOCS_TOKENS}),
+     f as ({_SQL_DOCS_FINGERPRINT})
+select q.doc_id, q.n_chars, q.n_tokens_ws, q.n_punct, q.n_digits,
+       q.quality_ok, l.lang_pred, t.n_tokens_bpe, f.fingerprint
+from q
+join l using (doc_id)
+join t using (doc_id)
+join f using (doc_id)
+"""
+
+
 def q_ann_cosine(sf_dir: str):
-    """Exact brute-force cosine top-k (queries = vec_id < 8, k = 5);
-    rank-only output for ulp robustness."""
+    """Similarity-search top-k, BOTH kernels in one battery slot
+    (round-5 consolidation): exact brute-force cosine AND IVF in its
+    oracle-checkable configuration (``nprobe=None`` = probe every cell
+    → bit-exact vs brute force while still exercising the quantizer
+    training, per-cell assignment/rerank and merge; the pruned
+    configuration's recall is unit-tested). Rank-only output for ulp
+    robustness; ``method`` tags the kernel."""
+    from changesetmd_ray.text.ann import ann_ivf_topk
+
     emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
     queries = emb.filter(pc.less(emb["vec_id"], 8))
-    res = ann_cosine_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"],
-              blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024)), queries, 5)
-    return res.select_columns(["query_id", "neighbor_id", "rank"])
+
+    def corpus():
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                     blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024))
+
+    def tag(ds, method: str):
+        return ds.map_batches(
+            lambda b, m=method: b.select(["query_id", "neighbor_id", "rank"])
+            .append_column("method", pa.array([m] * len(b), pa.string())),
+            batch_format="pyarrow",
+        )
+
+    exact = tag(ann_cosine_topk(corpus(), queries, 5), "exact")
+    ivf = tag(
+        ann_ivf_topk(corpus(), queries, 5, n_clusters=16, nprobe=None),
+        "ivf",
+    )
+    return exact.union(ivf)
 
 
 _SQL_ANN_COSINE = """
-select query_id, neighbor_id, rank from (
-  select q.vec_id as query_id, e.vec_id as neighbor_id,
-         row_number() over (partition by q.vec_id
-           order by list_cosine_similarity(q.embedding, e.embedding) desc, e.vec_id asc) as rank
-  from embeddings q, embeddings e where q.vec_id < 8) where rank <= 5
+with g as (
+  select query_id, neighbor_id, rank from (
+    select q.vec_id as query_id, e.vec_id as neighbor_id,
+           row_number() over (partition by q.vec_id
+             order by list_cosine_similarity(q.embedding, e.embedding) desc, e.vec_id asc) as rank
+    from embeddings q, embeddings e where q.vec_id < 8) where rank <= 5
+)
+select query_id, neighbor_id, rank, 'exact' as method from g
+union all
+select query_id, neighbor_id, rank, 'ivf' as method from g
 """
 
 
@@ -2233,24 +2275,6 @@ where a.vec_id < b.vec_id
 """
 
 
-def q_ann_ivf(sf_dir: str):
-    """IVF cluster-pruned cosine top-k in its oracle-checkable
-    configuration (``nprobe=None`` = probe every cell → bit-exact vs
-    brute force while still exercising the quantizer training,
-    per-cell assignment/rerank and merge; the pruned configuration's
-    recall is unit-tested)."""
-    from changesetmd_ray.text.ann import ann_ivf_topk
-
-    emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
-    queries = emb.filter(pc.less(emb["vec_id"], 8))
-    res = ann_ivf_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"],
-              blocks=_shuffle_blocks(sf_dir, "embeddings", rows_per_block=1024)), queries, 5,
-        n_clusters=16, nprobe=None,
-    )
-    return res.select_columns(["query_id", "neighbor_id", "rank"])
-
-
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate cosine top-k, driver-gated on recall:
     the query ALSO runs the exact brute-force top-k (ann_cosine's
@@ -2311,13 +2335,10 @@ QUERIES = {
     "filter_project": q_filter_project,
     "topk_orders": q_topk_orders,
     "orders_per_segment": q_orders_per_segment,
-    "semi_join_customers": q_semi_join_customers,
-    "anti_join_customers": q_anti_join_customers,
+    "customers_semi_anti": q_customers_semi_anti,
     "latest_event_per_user": q_latest_event_per_user,
     "events_by_type": q_events_by_type,
-    "events_watermark": q_events_watermark,
-    "events_sample": q_events_sample,
-    "events_stratified": q_events_stratified,
+    "events_sampling": q_events_sampling,
     "events_sessions": q_events_sessions,
     "top_orders_per_cust": q_top_orders_per_cust,
     "order_price_quantiles": q_order_price_quantiles,
@@ -2329,9 +2350,7 @@ QUERIES = {
     "priority_revenue": q_priority_revenue,
     "geo_pip": q_geo_pip,
     "geo_bbox_join": q_geo_bbox_join,
-    "geo_bbox_coveredby": q_geo_bbox_coveredby,
     "geo_knn": q_geo_knn,
-    "geo_knn_radius": q_geo_knn_radius,
     "geo_tile_counts": q_geo_tile_counts,
     "geo_zonal_stats": q_geo_zonal_stats,
     "geo_area_filter": q_geo_area_filter,
@@ -2340,12 +2359,8 @@ QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_minhash_neardup": q_docs_minhash,
     "docs_simhash_neardup": q_docs_simhash,
-    "docs_quality": q_docs_quality,
-    "docs_langid": q_docs_langid,
-    "docs_tokens": q_docs_tokens,
-    "docs_fingerprint": q_docs_fingerprint,
+    "docs_text_analysis": q_docs_text_analysis,
     "ann_cosine": q_ann_cosine,
-    "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "pages_pipeline": q_pages_pipeline,
     "docs_dup_clusters": q_docs_dup_clusters,
@@ -2368,13 +2383,10 @@ ORACLE_SQL = {
     "filter_project": _SQL_FILTER_PROJECT,
     "topk_orders": _SQL_TOPK_ORDERS,
     "orders_per_segment": _SQL_ORDERS_PER_SEGMENT,
-    "semi_join_customers": _SQL_SEMI_JOIN,
-    "anti_join_customers": _SQL_ANTI_JOIN,
+    "customers_semi_anti": _SQL_SEMI_ANTI,
     "latest_event_per_user": _SQL_LATEST_EVENT,
     "events_by_type": _SQL_EVENTS_BY_TYPE,
-    "events_watermark": _SQL_EVENTS_WATERMARK,
-    "events_sample": _SQL_EVENTS_SAMPLE,
-    "events_stratified": _SQL_EVENTS_STRATIFIED,
+    "events_sampling": _SQL_EVENTS_SAMPLING,
     "events_sessions": _SQL_EVENTS_SESSIONS,
     "top_orders_per_cust": _SQL_TOP_ORDERS_PER_CUST,
     "order_price_quantiles": _SQL_ORDER_PRICE_QUANTILES,
@@ -2385,17 +2397,14 @@ ORACLE_SQL = {
     "priority_revenue": _SQL_PRIORITY_REVENUE,
     "geo_pip": _SQL_GEO_PIP,
     "geo_bbox_join": _SQL_GEO_BBOX_JOIN,
-    "geo_bbox_coveredby": _SQL_GEO_COVEREDBY,
     "geo_knn": _SQL_GEO_KNN,
-    "geo_knn_radius": _SQL_GEO_KNN_RADIUS,
     "geo_tile_counts": _SQL_GEO_TILE_COUNTS,
     "geo_zonal_stats": _SQL_GEO_ZONAL_STATS,
     "geo_area_filter": _SQL_GEO_AREA_FILTER,
     "geo_raster_lookup": _SQL_GEO_RASTER_LOOKUP,
     "docs_exact_dedup": _SQL_DOCS_EXACT_DEDUP,
-    "docs_quality": _SQL_DOCS_QUALITY,
+    "docs_text_analysis": _sql_docs_text_analysis(),
     "ann_cosine": _SQL_ANN_COSINE,
-    "ann_ivf": _SQL_ANN_COSINE,  # nprobe=None IVF is exact — same ground truth
     "docs_dup_clusters": _SQL_DOCS_DUP_CLUSTERS,
     "docs_keep_best": _SQL_DOCS_KEEP_BEST,
     "docs_top_tokens": _SQL_DOCS_TOP_TOKENS,
@@ -2405,13 +2414,10 @@ ORACLE_SQL = {
     "geo_cell_encode": _sql_geo_cell_encode(),
     "pages_pipeline": _sql_pages_pipeline(),
     "flagship_points_join": _SQL_FLAGSHIP_POINTS_JOIN,
-    "docs_langid": _sql_docs_langid(),
-    "docs_tokens": _SQL_DOCS_TOKENS,
     "events_distinct_users_hll": _SQL_DISTINCT_USERS_HLL,
     "docs_minhash_neardup": _SQL_DOCS_MINHASH,
     "docs_ngram_jaccard": _SQL_DOCS_NGRAM_JACCARD,
     "docs_simhash_neardup": _sql_docs_simhash(),
-    "docs_fingerprint": _SQL_DOCS_FINGERPRINT,
     "media_pipeline": _SQL_MEDIA_PIPELINE,
     "ann_lsh": _SQL_ANN_LSH,
     # every registered query is exactly oracled: ann_lsh returns

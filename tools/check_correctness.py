@@ -69,7 +69,7 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows, cols={list(got.columns)}")
-            if len(got) == 0 and name != "anti_join_customers":
+            if len(got) == 0:
                 failures.append(name)
                 print(f"[FAIL] {name}: empty rows-only result")
             continue
