@@ -2373,6 +2373,26 @@ QUERIES = {
     "media_pipeline": q_media_pipeline,
     "flagship_points_join": q_flagship_points_join,
 }
+
+# round-5: driver-checkable coverage for the LLM-curation stack
+# (pipelines/curation_queries.py — line/span dedup, SemDeDup,
+# classifier+LM, repetition, decontamination, BPE, packing/export, and
+# the curate() composition)
+from changesetmd_ray.pipelines import curation_queries as _cq  # noqa: E402
+
+QUERIES.update(
+    {
+        "docs_line_dedup": _cq.q_docs_line_dedup,
+        "docs_span_dedup": _cq.q_docs_span_dedup,
+        "docs_semdedup": _cq.q_docs_semdedup,
+        "docs_model_scores": _cq.q_docs_model_scores,
+        "docs_repetition": _cq.q_docs_repetition,
+        "docs_decontam": _cq.q_docs_decontam,
+        "bpe_roundtrip": _cq.q_bpe_roundtrip,
+        "packing_export": _cq.q_packing_export,
+        "curation_docs": _cq.q_curation_docs,
+    }
+)
 # NOTE: the driver's correctness battery checks at most 50 queries (r2
 # registered 52, exactly the first 50 in dict order got rows) — keep
 # this registry at ≤ 50 entries so every query gets a driver verdict.
@@ -2420,6 +2440,15 @@ ORACLE_SQL = {
     "docs_simhash_neardup": _sql_docs_simhash(),
     "media_pipeline": _SQL_MEDIA_PIPELINE,
     "ann_lsh": _SQL_ANN_LSH,
+    "docs_line_dedup": _cq._SQL_DOCS_LINE_DEDUP,
+    "docs_span_dedup": _cq._SQL_DOCS_SPAN_DEDUP,
+    "docs_semdedup": _cq._SQL_DOCS_SEMDEDUP,
+    "docs_model_scores": _cq._SQL_DOCS_MODEL_SCORES,
+    "docs_repetition": _cq._sql_docs_repetition(),
+    "docs_decontam": _cq._SQL_DOCS_DECONTAM,
+    "bpe_roundtrip": _cq._SQL_BPE_ROUNDTRIP,
+    "packing_export": _cq._SQL_PACKING_EXPORT,
+    "curation_docs": _cq._sql_curation_docs(),
     # every registered query is exactly oracled: ann_lsh returns
     # recall-assertion rows (the approximate neighbor set itself is not
     # SQL-expressible, its ≥-bound contract is), media_pipeline decodes
