@@ -70,10 +70,76 @@ class CurationConfig:
     # MinHash bands, MinHash verify each execute their input's
     # lineage once). Snapshotting the filtered corpus to the object
     # store first makes those passes re-read cached blocks instead of
-    # re-running the Python-heavy filter chain 3-4× — the same trade
-    # hash_join documents for pair_budget. Spill-backed, so it holds
-    # at 100 TB; disable to trade recompute for zero footprint.
-    snapshot_before_dedup: bool = True
+    # re-running the Python-heavy filter chain 3-4× (measured 18.5 s
+    # -> 4.5 s at sf0.1). But at the 100-TB setting the snapshot is
+    # ~the corpus and re-executing the map-only filters is cheaper
+    # than spilling it, so the default is SIZE-AWARE: "auto" snapshots
+    # only when the estimated in-memory corpus (on-disk input bytes ×
+    # a decompression factor) fits in a fraction of the object store,
+    # and always for non-file sources (from_items/from_arrow rows are
+    # already store-resident). True/False force either regime.
+    snapshot_before_dedup: bool | str = "auto"
+
+
+# Auto-snapshot sizing: parquet compresses web text ~3x vs its
+# in-memory Arrow footprint, and the snapshot must leave room for the
+# dedup exchanges themselves, so snapshot only while the estimated
+# corpus stays under half the store (spill covers mis-estimates; the
+# rule just avoids CHOOSING to spill ~the corpus).
+SNAPSHOT_DECOMPRESSION_FACTOR = 3.0
+SNAPSHOT_STORE_FRACTION = 0.5
+
+
+def estimate_input_bytes(ds) -> float | None:
+    """On-disk bytes feeding ``ds``'s lineage. ``None`` = not
+    file-backed (from_items / from_arrow — the rows already live in
+    the object store); ``inf`` = file-backed but unsizable locally
+    (remote URIs), which the auto rule treats as too big to snapshot.
+    Never executes the dataset."""
+    import math
+    import os
+
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            return math.inf
+    return float(total)
+
+
+def should_snapshot(
+    est_input_bytes: float | None,
+    store_capacity: float | None,
+    *,
+    decompression: float = SNAPSHOT_DECOMPRESSION_FACTOR,
+    fraction: float = SNAPSHOT_STORE_FRACTION,
+) -> bool:
+    """The ``snapshot_before_dedup="auto"`` rule (pure, unit-tested)."""
+    if est_input_bytes is None:
+        return True
+    if not store_capacity:
+        return False
+    return est_input_bytes * decompression <= store_capacity * fraction
+
+
+def _resolve_snapshot(ds, knob) -> bool:
+    if knob is True or knob is False:
+        return knob
+    if knob != "auto":
+        raise ValueError(
+            f"snapshot_before_dedup must be True, False or 'auto', got {knob!r}")
+    import ray
+
+    capacity = ray.cluster_resources().get("object_store_memory") \
+        if ray.is_initialized() else None
+    return should_snapshot(estimate_input_bytes(ds), capacity)
 
 
 @dataclass
@@ -195,14 +261,18 @@ def curate(
 
     multi_pass = [cfg.line_dedup, cfg.span_dedup, cfg.exact_dedup,
                   cfg.minhash]
-    if cfg.snapshot_before_dedup and any(multi_pass):
+    snapshot_on = (
+        _resolve_snapshot(ds, cfg.snapshot_before_dedup)
+        if any(multi_pass) else False
+    )
+    if snapshot_on:
         ds = ds.materialize()
 
     def resnapshot(done_idx: int):
         # each *_dedup stage is a multi-pass consumer of its input —
         # snapshot between them so no stage re-executes another's
         # rebuild passes (measured 18.5 s -> 4.5 s at sf0.1)
-        return cfg.snapshot_before_dedup and any(multi_pass[done_idx + 1:])
+        return snapshot_on and any(multi_pass[done_idx + 1:])
 
     if cfg.line_dedup:
         # boilerplate lines removed BEFORE whole-doc dedup: docs that

@@ -246,3 +246,63 @@ def test_curate_validation(ray_session):
         curate(ds, config=CurationConfig(blocklist=["x.com"]))
     with pytest.raises(ValueError, match="classifier_model"):
         curate(ds, config=CurationConfig(resample_power=1.0))
+
+
+def test_snapshot_auto_rule_both_regimes():
+    """The size-aware "auto" rule (VERDICT r4 item 5), pure paths."""
+    import math
+
+    from changesetmd_ray.pipelines.curation import should_snapshot
+
+    gib = 1024**3
+    # small file-backed corpus, roomy store -> snapshot
+    assert should_snapshot(1 * gib, 100 * gib)
+    # corpus x decompression exceeds the store fraction -> stream
+    assert not should_snapshot(40 * gib, 100 * gib)
+    # boundary: 3x decompression vs 0.5 store fraction
+    assert should_snapshot(16 * gib, 96 * gib)      # 48 <= 48
+    assert not should_snapshot(17 * gib, 96 * gib)  # 51 > 48
+    # non-file source (rows already store-resident) -> snapshot
+    assert should_snapshot(None, 100 * gib)
+    assert should_snapshot(None, None)
+    # file-backed but unsizable (remote URIs) -> assume big -> stream
+    assert not should_snapshot(math.inf, 100 * gib)
+    # unknown store capacity for a file-backed source -> stream
+    assert not should_snapshot(1 * gib, None)
+
+
+def test_snapshot_auto_estimation(ray_session, tmp_path):
+    """estimate_input_bytes + _resolve_snapshot over real datasets."""
+    import math
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from changesetmd_ray.pipelines.curation import (
+        _resolve_snapshot,
+        estimate_input_bytes,
+    )
+
+    tbl, _ = _corpus()
+    # non-file source: no input files -> None -> auto snapshots
+    mem_ds = ray.data.from_arrow(tbl)
+    assert estimate_input_bytes(mem_ds) is None
+    assert _resolve_snapshot(mem_ds, "auto") is True
+
+    # file-backed source: estimate == on-disk bytes, tiny -> snapshots
+    path = tmp_path / "docs.parquet"
+    pq.write_table(tbl, path)
+    file_ds = ray.data.read_parquet(str(path))
+    est = estimate_input_bytes(file_ds)
+    assert est == float(path.stat().st_size)
+    assert _resolve_snapshot(file_ds, "auto") is True
+
+    # estimate survives downstream map transforms (lineage-tracked)
+    mapped = file_ds.map_batches(lambda b: b, batch_format="pyarrow")
+    assert estimate_input_bytes(mapped) in (est, None)
+
+    # explicit knobs pass through; junk rejected
+    assert _resolve_snapshot(file_ds, True) is True
+    assert _resolve_snapshot(file_ds, False) is False
+    with pytest.raises(ValueError, match="auto"):
+        _resolve_snapshot(file_ds, "sometimes")
