@@ -838,3 +838,56 @@ def test_vid1_header_sampling():
     rows = sample_frames(ray.data.from_arrow(media), stride=2, codec="vid1").take_all()
     assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6]
     assert [r["ts_ms"] for r in rows] == [0, 80, 160, 240]  # 25 fps from header
+
+
+def test_crc32_windows_matches_zlib():
+    """The vectorized sliding-window CRC is bit-identical to zlib."""
+    import zlib
+
+    import numpy as np
+
+    from changesetmd_ray.text.analysis import crc32_windows
+
+    rng = np.random.default_rng(7)
+    for n, k in ((8, 8), (9, 8), (57, 8), (2000, 8), (64, 5)):
+        d = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        ref = [zlib.crc32(d[j:j + k]) for j in range(n - k + 1)]
+        assert crc32_windows(d, k).tolist() == ref
+
+
+def test_fingerprint_batch_matches_per_doc():
+    """The batch-vectorized crc32 fingerprint path is bit-identical to
+    the original per-doc loop, including the short-doc (<k), narrow
+    (<k+w-1 bytes) and empty/null edge regimes."""
+    import zlib
+
+    import numpy as np
+
+    from changesetmd_ray.text.analysis import Fingerprint
+    from changesetmd_ray.text.hashing import hash_bytes64, splitmix64
+
+    texts = ["", None, "abc", "abcdefgh", "abcdefghi", "abcdefghijk",
+             "The quick brown fox jumps over the lazy dog",
+             "the   QUICK  brown\nfox jumps over the lazy dog",
+             "x" * 500]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = Fingerprint()(t)["fingerprint"].to_pylist()
+
+    k, w = 8, 4
+    want = []
+    for txt in texts:
+        norm = " ".join((txt or "").lower().split()).encode("utf-8")
+        if len(norm) < k:
+            want.append(np.int64(np.uint64(hash_bytes64(norm))).item())
+            continue
+        grams = splitmix64(np.fromiter(
+            (zlib.crc32(norm[j:j + k]) for j in range(len(norm) - k + 1)),
+            np.uint64, len(norm) - k + 1))
+        if len(grams) >= w:
+            idx = np.arange(len(grams) - w + 1)[:, None] + np.arange(w)[None, :]
+            mins = grams[idx].min(axis=1)
+        else:
+            mins = grams
+        want.append(np.int64(np.bitwise_xor.reduce(np.unique(mins))).item())
+    assert got == want
