@@ -1839,11 +1839,18 @@ from documents where doc_id % 7 = 3
 def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
     """Deterministic media fixture derived from documents, cached to
     parquet shards once (the pages_from_docs pattern): even doc_ids
-    become solid-color 24-bit BMPs (color/dims integer-derived from
-    doc_id), odd doc_ids VID1 containers (frame count in the header).
-    The per-row codec encodes are Python-level, so they must run only
-    at fixture-build time — queries and bench read the parquet."""
+    become images — ``doc_id % 4 == 0`` solid-color 24-bit BMPs
+    (color/dims integer-derived from doc_id), ``doc_id % 4 == 2`` REAL
+    baseline JPEGs (stages/jpeg.py) of a solid grey ``v = 128 +
+    3·((doc_id % 41) − 20)`` chosen so the quality-90 luma DC quantizer
+    (3) divides ``8·(v−128)`` and the decode is BIT-EXACT — with
+    varied dims, 4:4:4/4:2:0 subsampling and restart intervals so the
+    battery exercises every decoder path; odd doc_ids VID1 containers
+    (frame count in the header). The per-row codec encodes are
+    Python-level, so they must run only at fixture-build time —
+    queries and bench read the parquet."""
     from changesetmd_ray.stages.codecs import bmp_encode, vid1_encode
+    from changesetmd_ray.stages.jpeg import jpeg_encode
 
     os.makedirs(out_dir, exist_ok=True)
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
@@ -1854,13 +1861,21 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
     texts = docs["text"].to_pylist()
     payloads = []
     for d, t in zip(did, texts):
-        if d % 2 == 0:
+        if d % 4 == 0:
             px = np.full(
                 (int(3 + d % 7), int(4 + d % 9), 3),
                 (d % 256, (d * 7) % 256, (d * 13) % 256),
                 np.uint8,
             )
             payloads.append(bmp_encode(px))
+        elif d % 4 == 2:
+            v = int(128 + 3 * ((d % 41) - 20))
+            px = np.full((int(9 + d % 17), int(11 + d % 13), 3), v, np.uint8)
+            payloads.append(jpeg_encode(
+                px, quality=90,
+                subsampling="420" if d % 8 == 2 else "444",
+                restart_interval=int((d // 2) % 3),
+            ))
         else:
             payloads.append(
                 vid1_encode(int(1 + d % 60), 25, (t or "").encode("utf-8")[:16])
@@ -1885,15 +1900,19 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
 
 def q_media_pipeline(sf_dir: str):
     """The full multimodal surface in ONE query (stages/multimodal.py),
-    through the REAL codecs (stages/codecs.py) over the cached media
-    fixture (:func:`media_from_docs`). Images flow resize(64×48, real
-    nearest-neighbor decode → gather → re-encode) → metadata → decode
-    (real pixel-stat features); videos pass the resize stage untouched
-    and flow through the 1→N frame sampler (real header parse).
-    Exactly SQL-oracled: f0 = (r+g+b)/765 of the planted color (solid
-    survives NN resize), payload_bytes = 9270 (the 64×48 BMP size),
-    frames every 2nd index below 1 + doc_id % 60 at 25 fps (ts = 40 ms
-    each)."""
+    through the REAL codecs (stages/codecs.py BMP + stages/jpeg.py
+    baseline JPEG) over the cached media fixture
+    (:func:`media_from_docs`). Images flow resize(64×48, real decode →
+    nearest-neighbor gather → re-encode in the SAME format) →
+    metadata → decode (real pixel-stat features); videos pass the
+    resize stage untouched and flow through the 1→N frame sampler
+    (real header parse). Exactly SQL-oracled: BMP rows f0 = (r+g+b)/765
+    of the planted color (solid survives NN resize) with
+    payload_bytes = 9270 (the 64×48 BMP size); JPEG rows f0 = 3v/765 of
+    the planted grey v (bit-exact through huffman decode → IDCT →
+    resize → q90 re-encode → second decode; entropy-coded size is not
+    closed-form, so payload_bytes is null); frames every 2nd index
+    below 1 + doc_id % 60 at 25 fps (ts = 40 ms each)."""
     from changesetmd_ray.stages.multimodal import (
         decode_media,
         resize_media,
@@ -1901,11 +1920,11 @@ def q_media_pipeline(sf_dir: str):
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v1_{tag}")
+    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v2_{tag}")
     # pruned read: the query's outputs derive from the payload alone;
     # meta_* columns never leave storage
     ds = ray.data.read_parquet(paths, columns=["media_id", "media_type", "payload"])
-    resized = resize_media(ds, width=64, height=48, codec="bmp", batch_size=256)
+    resized = resize_media(ds, width=64, height=48, codec="image", batch_size=256)
 
     def images_only(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -1914,20 +1933,26 @@ def q_media_pipeline(sf_dir: str):
 
     feats = decode_media(
         resized.map_batches(images_only, batch_format="pyarrow"),
-        feat_dim=16, codec="bmp", batch_size=256,
+        feat_dim=16, codec="image", batch_size=256,
     )
 
     def feat_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
         feat = batch["feature"].combine_chunks()
         f0 = feat.flatten().to_numpy(zero_copy_only=False).reshape(-1, 16)[:, 0]
+        # JPEG rows (media_id % 4 == 2): entropy-coded byte size is not
+        # closed-form for the oracle — report null, the pixel stat f0
+        # is the (bit-exact) proof of decode instead
+        is_jpeg = pc.equal(pc.bit_wise_and(batch["media_id"], 3), 2)
+        pbytes = pc.if_else(is_jpeg, pa.nulls(n, pa.int64()),
+                            pc.cast(batch["payload_bytes"], pa.int64()))
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "kind": pa.array(["feature"] * n, pa.string()),
                 "frame_idx": pa.nulls(n, pa.int64()),
                 "ts_ms": pa.nulls(n, pa.int64()),
-                "payload_bytes": batch["payload_bytes"],
+                "payload_bytes": pbytes,
                 "f0": pa.array(f0.astype(np.float64)),
             }
         )
@@ -1955,8 +1980,13 @@ def q_media_pipeline(sf_dir: str):
 # the planted media truths, reproduced in SQL: solid colors survive the
 # real nearest-neighbor resize, so the decoded per-channel means ARE the
 # planted colors; 9270 = 54-byte header + 48 rows × 192 padded bytes of
-# the resized 64×48 BMP; VID1 headers carry 1 + doc_id % 60 frames at
-# 25 fps (stride 2 → even frame_idx, ts exactly 40 ms per frame)
+# the resized 64×48 BMP; JPEG rows (doc_id % 4 = 2) decode BIT-EXACTLY
+# to the planted grey v = 128 + 3*((doc_id % 41) - 20) because grey has
+# Cb = Cr = 128 exactly and the q90 luma DC quantizer (3) divides
+# 8*(v-128) — so f0 = 3v/765 in closed form even though the payload
+# crossed huffman decode → IDCT → resize → re-encode → second decode;
+# VID1 headers carry 1 + doc_id % 60 frames at 25 fps (stride 2 → even
+# frame_idx, ts exactly 40 ms per frame)
 _SQL_MEDIA_PIPELINE = """
 select doc_id as media_id, 'feature' as kind,
        cast(null as bigint) as frame_idx, cast(null as bigint) as ts_ms,
@@ -1966,7 +1996,14 @@ select doc_id as media_id, 'feature' as kind,
        cast(cast(cast((doc_id % 256) + ((doc_id * 7) % 256)
                       + ((doc_id * 13) % 256) as double) / 765.0
                  as real) as double) as f0
-from documents where doc_id % 2 = 0
+from documents where doc_id % 4 = 0
+union all
+select doc_id as media_id, 'feature' as kind,
+       cast(null as bigint) as frame_idx, cast(null as bigint) as ts_ms,
+       cast(null as bigint) as payload_bytes,
+       cast(cast(cast(3 * (128 + 3 * ((doc_id % 41) - 20)) as double)
+                 / 765.0 as real) as double) as f0
+from documents where doc_id % 4 = 2
 union all
 select doc_id as media_id, 'frame' as kind, f as frame_idx,
        f * 40 as ts_ms, cast(null as bigint) as payload_bytes,

@@ -9,7 +9,9 @@ actually-decodable path that needs no image/video libraries:
   bottom-up (the convention :func:`bmp_encode` writes) and top-down
   (negative height) decode. Everything else (palettes, RLE, 16/32-bpp,
   V4/V5 headers) raises ``NotImplementedError`` — that remains the
-  documented boundary where PIL would take over.
+  documented boundary where PIL would take over. (Baseline JPEG — the
+  format web crawls actually contain — is implemented for real in
+  :mod:`changesetmd_ray.stages.jpeg` since round 5.)
 - **VID1**: this engine's toy video container — a 12-byte header
   ``b"VID1" + n_frames:uint32le + fps:uint32le`` followed by opaque
   payload bytes. It exists so the frame-sampling stage has a real

@@ -3,15 +3,20 @@
 Media payloads are opaque ``binary`` columns with typed metadata
 (``media_type``, byte size, content hash). Three codec modes per stage:
 
-- ``codec='bmp'`` / ``'vid1'`` — REAL decode paths
-  (:mod:`changesetmd_ray.stages.codecs`): uncompressed 24-bit BMP
-  pixels actually decode, resize (nearest-neighbor) and re-encode, and
-  features are genuine pixel statistics; VID1 containers parse their
+- ``codec='bmp'`` / ``'image'`` / ``'vid1'`` — REAL decode paths:
+  uncompressed 24-bit BMP (:mod:`changesetmd_ray.stages.codecs`) and,
+  since round 5, baseline sequential JPEG
+  (:mod:`changesetmd_ray.stages.jpeg` — pure-numpy huffman + IDCT,
+  4:4:4/4:2:0/greyscale/restart intervals). ``'image'`` sniffs the
+  payload magic (``BM`` → BMP, ``FF D8`` → JPEG); pixels actually
+  decode, resize (nearest-neighbor) and re-encode, and features are
+  genuine pixel statistics. VID1 containers parse their
   frame-count/fps header from the bytes. These need no external
   libraries and make the media pipeline exactly SQL-oracle-able.
 - ``codec='strict'`` — raises ``NotImplementedError`` at the exact line
   a general-format decoder (PIL / torchaudio / pyav) would be called;
-  the marked boundary for formats the sandbox can't decode (JPEG, mp4…).
+  the (round-5-shrunk) boundary for formats still undecodable here
+  (progressive JPEG, PNG, mp4…).
 - ``codec='fake'`` — deterministic content-derived fake features, for
   plumbing tests where pixel math is irrelevant.
 
@@ -39,6 +44,18 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _decode_image(payload: bytes, *, bmp_only: bool = False) -> np.ndarray:
+    """Magic-sniffing image decode: BMP or (baseline) JPEG → RGB."""
+    p = payload or b""
+    if not bmp_only and p[:2] == b"\xff\xd8":
+        from changesetmd_ray.stages.jpeg import jpeg_decode
+
+        return jpeg_decode(p)
+    from changesetmd_ray.stages.codecs import bmp_decode
+
+    return bmp_decode(p)
+
+
 def media_metadata(batch: pa.Table, *, payload_col: str = "payload") -> pa.Table:
     """Cheap typed metadata without decoding: byte size + stable 64-bit
     content hash (the exact-dedup key for media payloads)."""
@@ -59,8 +76,9 @@ class MediaDecodeStub:
     """Actor-pool decode/feature stage.
 
     ``codec='bmp'`` REALLY decodes (24-bit uncompressed BMP,
-    stages/codecs.py) and emits genuine pixel statistics as the
-    feature vector: ``f[0] = (meanR+meanG+meanB)/765`` (overall
+    stages/codecs.py); ``codec='image'`` additionally sniffs and
+    decodes baseline JPEG (stages/jpeg.py). Both emit genuine pixel
+    statistics as the feature vector: ``f[0] = (meanR+meanG+meanB)/765`` (overall
     brightness, exactly SQL-reproducible), ``f[1]=width``,
     ``f[2]=height``, ``f[3..5]`` per-channel means / 255, rest zero.
     ``codec='strict'`` raises ``NotImplementedError`` at the exact line
@@ -77,10 +95,8 @@ class MediaDecodeStub:
         self.codec = codec
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if self.codec == "bmp":
-            from changesetmd_ray.stages.codecs import bmp_decode
-
-            px = bmp_decode(payload or b"")
+        if self.codec in ("bmp", "image"):
+            px = _decode_image(payload, bmp_only=self.codec == "bmp")
             h, w, _ = px.shape
             # channel sums are exact ints < 2^53; / (w·h) then the sums'
             # own sum / 765 are single float roundings → bit-equal to
@@ -141,7 +157,9 @@ def decode_media(ds, *, feat_dim: int = 16, codec: str = "fake", batch_size: int
 class MediaResizeStub:
     """Actor-pool image resize: payload in → payload out with updated
     ``meta_width``/``meta_height``. ``codec='bmp'`` REALLY resizes:
-    decode → nearest-neighbor gather → re-encode (stages/codecs.py).
+    decode → nearest-neighbor gather → re-encode (stages/codecs.py);
+    ``codec='image'`` also handles baseline JPEG (decode → gather →
+    deterministic 4:4:4 q90 re-encode, stages/jpeg.py).
     ``strict`` raises where PIL.Image.resize would run for general
     formats; ``fake`` emits a deterministic content-derived payload so
     byte-level downstream tests are real. Non-image rows pass through
@@ -156,10 +174,20 @@ class MediaResizeStub:
         self.codec = codec
 
     def _resize(self, payload: bytes) -> bytes:
-        if self.codec == "bmp":
-            from changesetmd_ray.stages.codecs import bmp_decode, bmp_encode, nn_resize
+        if self.codec in ("bmp", "image"):
+            from changesetmd_ray.stages.codecs import bmp_encode, nn_resize
 
-            return bmp_encode(nn_resize(bmp_decode(payload or b""), self.width, self.height))
+            p = payload or b""
+            if self.codec == "image" and p[:2] == b"\xff\xd8":
+                from changesetmd_ray.stages.jpeg import jpeg_decode, jpeg_encode
+
+                # deterministic re-encode contract: baseline 4:4:4 q90
+                return jpeg_encode(
+                    nn_resize(jpeg_decode(p), self.width, self.height),
+                    quality=90)
+            return bmp_encode(
+                nn_resize(_decode_image(p, bmp_only=True),
+                          self.width, self.height))
         if self.codec == "strict":
             # real implementation: PIL.Image.open(payload).resize((w, h))
             raise NotImplementedError(
