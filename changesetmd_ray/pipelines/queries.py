@@ -1838,19 +1838,30 @@ from documents where doc_id % 7 = 3
 
 def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
     """Deterministic media fixture derived from documents, cached to
-    parquet shards once (the pages_from_docs pattern): even doc_ids
-    become images — ``doc_id % 4 == 0`` solid-color 24-bit BMPs
-    (color/dims integer-derived from doc_id), ``doc_id % 4 == 2`` REAL
-    baseline JPEGs (stages/jpeg.py) of a solid grey ``v = 128 +
-    3·((doc_id % 41) − 20)`` chosen so the quality-90 luma DC quantizer
-    (3) divides ``8·(v−128)`` and the decode is BIT-EXACT — with
-    varied dims, 4:4:4/4:2:0 subsampling and restart intervals so the
-    battery exercises every decoder path; odd doc_ids VID1 containers
-    (frame count in the header). The per-row codec encodes are
-    Python-level, so they must run only at fixture-build time —
-    queries and bench read the parquet."""
-    from changesetmd_ray.stages.codecs import bmp_encode, vid1_encode
+    parquet shards once (the pages_from_docs pattern). All four media
+    codecs are REAL:
+
+    - ``doc_id % 6 == 0`` — solid-color 24-bit BMPs (color/dims
+      integer-derived from doc_id, stages/codecs.py);
+    - ``doc_id % 6 == 2`` — baseline JPEGs (stages/jpeg.py) of a solid
+      grey ``v = 128 + 3·((doc_id % 41) − 20)`` chosen so the
+      quality-90 luma DC quantizer (3) divides ``8·(v−128)`` and the
+      decode is BIT-EXACT — varied dims, 4:4:4/4:2:0 subsampling and
+      restart intervals cover every decoder path;
+    - ``doc_id % 6 == 4`` — PNGs (stages/png.py) of a solid color;
+      PNG is lossless so any planted color survives exactly;
+    - ``doc_id % 4 == 1`` — VID1 containers (frame count in the
+      header);
+    - ``doc_id % 4 == 3`` — 16-bit PCM WAVs (stages/codecs.py) of a
+      constant amplitude ``a = ((doc_id·37) % 4001) − 2000`` at
+      8 kHz — |a|/32768 divides by a power of two, so the decoded
+      mean-|sample| stat is float-exact in SQL.
+
+    The per-row codec encodes are Python-level, so they must run only
+    at fixture-build time — queries and bench read the parquet."""
+    from changesetmd_ray.stages.codecs import bmp_encode, vid1_encode, wav_encode
     from changesetmd_ray.stages.jpeg import jpeg_encode
+    from changesetmd_ray.stages.png import png_encode
 
     os.makedirs(out_dir, exist_ok=True)
     paths = [os.path.join(out_dir, f"part-{s:05d}.parquet") for s in range(n_shards)]
@@ -1860,27 +1871,44 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
     did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = docs["text"].to_pylist()
     payloads = []
+    mtypes = []
     for d, t in zip(did, texts):
-        if d % 4 == 0:
-            px = np.full(
-                (int(3 + d % 7), int(4 + d % 9), 3),
-                (d % 256, (d * 7) % 256, (d * 13) % 256),
-                np.uint8,
-            )
-            payloads.append(bmp_encode(px))
-        elif d % 4 == 2:
-            v = int(128 + 3 * ((d % 41) - 20))
-            px = np.full((int(9 + d % 17), int(11 + d % 13), 3), v, np.uint8)
-            payloads.append(jpeg_encode(
-                px, quality=90,
-                subsampling="420" if d % 8 == 2 else "444",
-                restart_interval=int((d // 2) % 3),
-            ))
-        else:
+        if d % 2 == 0:
+            mtypes.append("image")
+            if d % 6 == 0:
+                px = np.full(
+                    (int(3 + d % 7), int(4 + d % 9), 3),
+                    (d % 256, (d * 7) % 256, (d * 13) % 256),
+                    np.uint8,
+                )
+                payloads.append(bmp_encode(px))
+            elif d % 6 == 2:
+                v = int(128 + 3 * ((d % 41) - 20))
+                px = np.full((int(9 + d % 17), int(11 + d % 13), 3), v, np.uint8)
+                payloads.append(jpeg_encode(
+                    px, quality=90,
+                    subsampling="420" if d % 12 == 2 else "444",
+                    restart_interval=int((d // 2) % 3),
+                ))
+            else:
+                px = np.full(
+                    (int(5 + d % 11), int(6 + d % 8), 3),
+                    ((d * 3) % 256, (d * 5) % 256, (d * 11) % 256),
+                    np.uint8,
+                )
+                payloads.append(png_encode(px))
+        elif d % 4 == 1:
+            mtypes.append("video")
             payloads.append(
                 vid1_encode(int(1 + d % 60), 25, (t or "").encode("utf-8")[:16])
             )
-    mtype = np.where(did % 2 == 0, "image", "video")
+        else:
+            mtypes.append("audio")
+            amp = int((d * 37) % 4001) - 2000
+            n = int(100 + d % 50)
+            payloads.append(wav_encode(
+                np.full(n, amp, np.int16), 8000))
+    mtype = np.asarray(mtypes)
     table = pa.table(
         {
             "media_id": docs["doc_id"],
@@ -1906,21 +1934,27 @@ def q_media_pipeline(sf_dir: str):
     nearest-neighbor gather → re-encode in the SAME format) →
     metadata → decode (real pixel-stat features); videos pass the
     resize stage untouched and flow through the 1→N frame sampler
-    (real header parse). Exactly SQL-oracled: BMP rows f0 = (r+g+b)/765
-    of the planted color (solid survives NN resize) with
-    payload_bytes = 9270 (the 64×48 BMP size); JPEG rows f0 = 3v/765 of
-    the planted grey v (bit-exact through huffman decode → IDCT →
-    resize → q90 re-encode → second decode; entropy-coded size is not
-    closed-form, so payload_bytes is null); frames every 2nd index
-    below 1 + doc_id % 60 at 25 fps (ts = 40 ms each)."""
+    (real header parse); audio rows flow through the WAV PCM-stats
+    stage (real RIFF chunk walk + sample math). Exactly SQL-oracled:
+    BMP rows f0 = (r+g+b)/765 of the planted color (solid survives NN
+    resize) with payload_bytes = 9270 (the 64×48 BMP size); JPEG rows
+    f0 = 3v/765 of the planted grey v (bit-exact through huffman
+    decode → IDCT → resize → q90 re-encode → second decode); PNG rows
+    f0 of the planted color (lossless, exact through resize +
+    re-encode); DEFLATE/entropy-coded sizes are not closed-form, so
+    JPEG/PNG payload_bytes are null; frames every 2nd index below
+    1 + doc_id % 60 at 25 fps (ts = 40 ms each); audio rows carry
+    (n_samples, duration_ms, 44+2n payload bytes, mean|s|/32768 —
+    exact, power-of-two divisor)."""
     from changesetmd_ray.stages.multimodal import (
+        audio_stats,
         decode_media,
         resize_media,
         sample_frames,
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v2_{tag}")
+    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v3_{tag}")
     # pruned read: the query's outputs derive from the payload alone;
     # meta_* columns never leave storage
     ds = ray.data.read_parquet(paths, columns=["media_id", "media_type", "payload"])
@@ -1940,11 +1974,12 @@ def q_media_pipeline(sf_dir: str):
         n = len(batch)
         feat = batch["feature"].combine_chunks()
         f0 = feat.flatten().to_numpy(zero_copy_only=False).reshape(-1, 16)[:, 0]
-        # JPEG rows (media_id % 4 == 2): entropy-coded byte size is not
-        # closed-form for the oracle — report null, the pixel stat f0
-        # is the (bit-exact) proof of decode instead
-        is_jpeg = pc.equal(pc.bit_wise_and(batch["media_id"], 3), 2)
-        pbytes = pc.if_else(is_jpeg, pa.nulls(n, pa.int64()),
+        # JPEG/PNG rows (media_id % 6 == 2 / 4): the entropy-coded /
+        # DEFLATE byte size is not closed-form for the oracle — report
+        # null, the pixel stat f0 is the (bit-exact) proof of decode
+        mid = batch["media_id"].to_numpy(zero_copy_only=False)
+        compressed = (mid % 6) != 0
+        pbytes = pc.if_else(pa.array(compressed), pa.nulls(n, pa.int64()),
                             pc.cast(batch["payload_bytes"], pa.int64()))
         return pa.table(
             {
@@ -1972,21 +2007,52 @@ def q_media_pipeline(sf_dir: str):
             }
         )
 
-    return feats.map_batches(feat_rows, batch_format="pyarrow").union(
-        frames.map_batches(frame_rows, batch_format="pyarrow")
+    def audio_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.fill_null(pc.equal(batch["media_type"], "audio"), False)
+        )
+
+    audio = audio_stats(
+        ds.map_batches(audio_only, batch_format="pyarrow"),
+        codec="wav", batch_size=256)
+
+    def audio_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": pa.array(["audio"] * n, pa.string()),
+                "frame_idx": batch["n_samples"],
+                "ts_ms": batch["duration_ms"],
+                "payload_bytes": pc.cast(
+                    pc.binary_length(batch["payload"]), pa.int64()),
+                # power-of-two divisor: exact in float64 on both sides
+                "f0": pc.divide(batch["mean_abs"], 32768.0),
+            }
+        )
+
+    return (
+        feats.map_batches(feat_rows, batch_format="pyarrow")
+        .union(frames.map_batches(frame_rows, batch_format="pyarrow"))
+        .union(audio.map_batches(audio_rows, batch_format="pyarrow"))
     )
 
 
 # the planted media truths, reproduced in SQL: solid colors survive the
 # real nearest-neighbor resize, so the decoded per-channel means ARE the
 # planted colors; 9270 = 54-byte header + 48 rows × 192 padded bytes of
-# the resized 64×48 BMP; JPEG rows (doc_id % 4 = 2) decode BIT-EXACTLY
+# the resized 64×48 BMP; JPEG rows (doc_id % 6 = 2) decode BIT-EXACTLY
 # to the planted grey v = 128 + 3*((doc_id % 41) - 20) because grey has
 # Cb = Cr = 128 exactly and the q90 luma DC quantizer (3) divides
 # 8*(v-128) — so f0 = 3v/765 in closed form even though the payload
 # crossed huffman decode → IDCT → resize → re-encode → second decode;
-# VID1 headers carry 1 + doc_id % 60 frames at 25 fps (stride 2 → even
-# frame_idx, ts exactly 40 ms per frame)
+# PNG rows (doc_id % 6 = 4) are lossless so the planted color IS the
+# stat; compressed formats report null payload_bytes (DEFLATE/entropy
+# sizes aren't closed-form); VID1 headers carry 1 + doc_id % 60 frames
+# at 25 fps (stride 2 → even frame_idx, ts exactly 40 ms per frame);
+# WAV rows (doc_id % 4 = 3) decode 100 + doc_id % 50 constant samples
+# of amplitude ((doc_id*37) % 4001) - 2000 at 8 kHz — mean|s|/32768
+# has a power-of-two divisor, exact in float64 on both sides
 _SQL_MEDIA_PIPELINE = """
 select doc_id as media_id, 'feature' as kind,
        cast(null as bigint) as frame_idx, cast(null as bigint) as ts_ms,
@@ -1996,20 +2062,35 @@ select doc_id as media_id, 'feature' as kind,
        cast(cast(cast((doc_id % 256) + ((doc_id * 7) % 256)
                       + ((doc_id * 13) % 256) as double) / 765.0
                  as real) as double) as f0
-from documents where doc_id % 4 = 0
+from documents where doc_id % 6 = 0
 union all
 select doc_id as media_id, 'feature' as kind,
        cast(null as bigint) as frame_idx, cast(null as bigint) as ts_ms,
        cast(null as bigint) as payload_bytes,
        cast(cast(cast(3 * (128 + 3 * ((doc_id % 41) - 20)) as double)
                  / 765.0 as real) as double) as f0
-from documents where doc_id % 4 = 2
+from documents where doc_id % 6 = 2
+union all
+select doc_id as media_id, 'feature' as kind,
+       cast(null as bigint) as frame_idx, cast(null as bigint) as ts_ms,
+       cast(null as bigint) as payload_bytes,
+       cast(cast(cast(((doc_id * 3) % 256) + ((doc_id * 5) % 256)
+                      + ((doc_id * 11) % 256) as double) / 765.0
+                 as real) as double) as f0
+from documents where doc_id % 6 = 4
 union all
 select doc_id as media_id, 'frame' as kind, f as frame_idx,
        f * 40 as ts_ms, cast(null as bigint) as payload_bytes,
        cast(null as double) as f0
 from documents cross join (select unnest(range(0, 60, 2)) as f) fr
-where doc_id % 2 = 1 and f < 1 + doc_id % 60
+where doc_id % 4 = 1 and f < 1 + doc_id % 60
+union all
+select doc_id as media_id, 'audio' as kind,
+       100 + doc_id % 50 as frame_idx,
+       (100 + doc_id % 50) * 1000 // 8000 as ts_ms,
+       cast(44 + 2 * (100 + doc_id % 50) as bigint) as payload_bytes,
+       cast(abs(((doc_id * 37) % 4001) - 2000) as double) / 32768.0 as f0
+from documents where doc_id % 4 = 3
 """
 
 

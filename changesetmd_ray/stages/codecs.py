@@ -97,6 +97,60 @@ def nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return np.ascontiguousarray(img[ys[:, None], xs[None, :]])
 
 
+def wav_encode(samples: np.ndarray, rate: int) -> bytes:
+    """int16 PCM ``(n,)`` or ``(n, channels)`` → canonical 44-byte-header
+    RIFF/WAVE bytes — the audio counterpart of :func:`bmp_encode`, so
+    the ``audio`` media type has a REAL library-free codec too."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[0] == 0:
+        raise ValueError(f"expected (n,) or (n, ch) int16 PCM, got {s.shape}")
+    if rate < 1:
+        raise ValueError(f"bad sample rate {rate}")
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → ``((n, channels) int16 array, sample_rate)``.
+    Proper chunk walk (fmt/data need not be adjacent; LIST/fact/…
+    chunks are skipped). Only PCM 16-bit decodes; IEEE-float, ADPCM,
+    mp3-in-wav etc. raise ``NotImplementedError`` — the audio
+    boundary where soundfile would take over."""
+    p = payload or b""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload (missing RIFF/WAVE magic)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", p, pos + 4)
+        body = p[pos + 8: pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAVE without fmt/data chunks")
+    audio_format, ch, rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM 16-bit WAV is implemented (format={audio_format}, "
+            f"bits={bits}) — a real audio library is needed here")
+    if ch < 1:
+        raise ValueError(f"bad channel count {ch}")
+    n = len(data) // (2 * ch)
+    arr = np.frombuffer(data, "<i2", n * ch).reshape(n, ch)
+    return np.ascontiguousarray(arr), int(rate)
+
+
 _VID1_MAGIC = b"VID1"
 VID1_HEADER_BYTES = 12
 

@@ -3,20 +3,23 @@
 Media payloads are opaque ``binary`` columns with typed metadata
 (``media_type``, byte size, content hash). Three codec modes per stage:
 
-- ``codec='bmp'`` / ``'image'`` / ``'vid1'`` — REAL decode paths:
-  uncompressed 24-bit BMP (:mod:`changesetmd_ray.stages.codecs`) and,
-  since round 5, baseline sequential JPEG
-  (:mod:`changesetmd_ray.stages.jpeg` — pure-numpy huffman + IDCT,
-  4:4:4/4:2:0/greyscale/restart intervals). ``'image'`` sniffs the
-  payload magic (``BM`` → BMP, ``FF D8`` → JPEG); pixels actually
-  decode, resize (nearest-neighbor) and re-encode, and features are
-  genuine pixel statistics. VID1 containers parse their
-  frame-count/fps header from the bytes. These need no external
-  libraries and make the media pipeline exactly SQL-oracle-able.
+- ``codec='bmp'`` / ``'image'`` / ``'vid1'`` / ``'wav'`` — REAL decode
+  paths: uncompressed 24-bit BMP and 16-bit PCM WAV
+  (:mod:`changesetmd_ray.stages.codecs`) and, since round 5, baseline
+  sequential JPEG (:mod:`changesetmd_ray.stages.jpeg` — pure-numpy
+  huffman + IDCT, 4:4:4/4:2:0/greyscale/restart intervals) and 8-bit
+  PNG (:mod:`changesetmd_ray.stages.png` — stdlib-zlib DEFLATE, all
+  five filters, grey/RGB/palette/alpha). ``'image'`` sniffs the
+  payload magic (``BM`` → BMP, ``FF D8`` → JPEG, PNG signature → PNG);
+  pixels actually decode, resize (nearest-neighbor) and re-encode, and
+  features are genuine pixel statistics. VID1 containers parse their
+  frame-count/fps header from the bytes; WAV payloads chunk-walk RIFF
+  and decode real samples. These need no external libraries and make
+  the media pipeline exactly SQL-oracle-able.
 - ``codec='strict'`` — raises ``NotImplementedError`` at the exact line
   a general-format decoder (PIL / torchaudio / pyav) would be called;
   the (round-5-shrunk) boundary for formats still undecodable here
-  (progressive JPEG, PNG, mp4…).
+  (progressive JPEG, interlaced/16-bit PNG, float/ADPCM WAV, mp4…).
 - ``codec='fake'`` — deterministic content-derived fake features, for
   plumbing tests where pixel math is irrelevant.
 
@@ -45,12 +48,16 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _decode_image(payload: bytes, *, bmp_only: bool = False) -> np.ndarray:
-    """Magic-sniffing image decode: BMP or (baseline) JPEG → RGB."""
+    """Magic-sniffing image decode: BMP, baseline JPEG or PNG → RGB."""
     p = payload or b""
     if not bmp_only and p[:2] == b"\xff\xd8":
         from changesetmd_ray.stages.jpeg import jpeg_decode
 
         return jpeg_decode(p)
+    if not bmp_only and p[:8] == b"\x89PNG\r\n\x1a\n":
+        from changesetmd_ray.stages.png import png_decode
+
+        return png_decode(p)
     from changesetmd_ray.stages.codecs import bmp_decode
 
     return bmp_decode(p)
@@ -185,6 +192,11 @@ class MediaResizeStub:
                 return jpeg_encode(
                     nn_resize(jpeg_decode(p), self.width, self.height),
                     quality=90)
+            if self.codec == "image" and p[:8] == b"\x89PNG\r\n\x1a\n":
+                from changesetmd_ray.stages.png import png_decode, png_encode
+
+                return png_encode(
+                    nn_resize(png_decode(p), self.width, self.height))
             return bmp_encode(
                 nn_resize(_decode_image(p, bmp_only=True),
                           self.width, self.height))
@@ -320,6 +332,80 @@ def sample_frames(ds, *, stride: int = 2, fps: int = 30, codec: str = "fake",
     return ds.map_batches(
         FrameSampleStub,
         fn_constructor_kwargs={"stride": stride, "fps": fps, "codec": codec},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class AudioStatsStub:
+    """Audio analysis stage: one audio row → PCM stats
+    ``(n_samples, sample_rate, duration_ms, mean_abs)``.
+    ``codec='wav'`` REALLY parses RIFF/WAVE and decodes 16-bit PCM
+    (stages/codecs.py::wav_decode) — the stats are genuine sample
+    math, exactly SQL-reproducible for planted PCM (``mean_abs / 32768``
+    divides by a power of two, so no float32 rounding dance is
+    needed); ``strict`` raises where soundfile/torchaudio would run;
+    ``fake`` derives deterministic stats from the bytes. Non-audio
+    rows pass through with null stats."""
+
+    def __init__(self, codec: str = "fake"):
+        self.codec = codec
+
+    def _stats(self, payload: bytes) -> tuple[int, int, float]:
+        if self.codec == "wav":
+            from changesetmd_ray.stages.codecs import wav_decode
+
+            pcm, rate = wav_decode(payload or b"")
+            n = pcm.shape[0]
+            # exact: |int16| sums are < 2^53, one float division
+            mean_abs = float(np.abs(pcm.astype(np.int64)).sum()
+                             / (pcm.size or 1))
+            return n, rate, mean_abs
+        if self.codec == "strict":
+            # real implementation: soundfile.read(BytesIO(payload))
+            raise NotImplementedError(
+                "audio codecs are not available in this environment; "
+                "install soundfile and replace AudioStatsStub._stats"
+            )
+        import zlib
+
+        h = splitmix64(np.uint64(zlib.crc32(payload or b"")))
+        return 1 + int(h[()]) % 100000, 16000, float(int(h[()]) % 32768)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mtype = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        n_s, rate, dur, mean_abs = [], [], [], []
+        for t, p in zip(mtype, payloads):
+            if t != "audio":
+                n_s.append(None); rate.append(None)
+                dur.append(None); mean_abs.append(None)
+                continue
+            n, r, m = self._stats(p)
+            n_s.append(n)
+            rate.append(r)
+            dur.append(n * 1000 // r)
+            mean_abs.append(m)
+        return (batch.append_column("n_samples", pa.array(n_s, pa.int64()))
+                     .append_column("sample_rate", pa.array(rate, pa.int64()))
+                     .append_column("duration_ms", pa.array(dur, pa.int64()))
+                     .append_column("mean_abs", pa.array(mean_abs, pa.float64())))
+
+
+def audio_stats(ds, *, codec: str = "fake", batch_size: int = 64,
+                concurrency=None):
+    """Audio Dataset → PCM statistics columns (real WAV parse under
+    ``codec='wav'``). Task pool by default, actor pool on request (see
+    :func:`decode_media`)."""
+    if concurrency is None:
+        stub = AudioStatsStub(codec=codec)
+        return ds.map_batches(
+            lambda b: stub(b), batch_format="pyarrow", batch_size=batch_size
+        )
+    return ds.map_batches(
+        AudioStatsStub,
+        fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1,0 +1,175 @@
+"""PNG (stages/png.py) and WAV (stages/codecs.py) codec tests.
+
+The PNG filter/color-type cases build their streams BY HAND (filtering
+pixel math independent of the encoder), so decode is checked against
+the spec, not against our own encoder's habits.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from changesetmd_ray.stages.codecs import wav_decode, wav_encode
+from changesetmd_ray.stages.png import _SIG, _chunk, png_decode, png_encode
+
+
+def _build_png(px: np.ndarray, filters, ctype: int = 2, plte=None) -> bytes:
+    """Hand-filter pixels into a PNG stream (independent of png_encode)."""
+    h, w, ch = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    recon = px.reshape(h, w * ch).astype(np.int32)
+    rows = []
+    for y, f in enumerate(filters):
+        cur = recon[y]
+        prev = recon[y - 1] if y else np.zeros(w * ch, np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) // 2)
+        else:
+            p = left + prev - upleft
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, upleft))
+            filt = cur - pred
+        rows.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(b"".join(rows))) \
+               + _chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_lossless():
+    rng = np.random.default_rng(0)
+    for shape in ((1, 1, 3), (13, 21, 3), (64, 80, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+def test_png_all_five_filters_decode():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    for filters in ([0] * 9, [1] * 9, [2] * 9, [3] * 9, [4] * 9,
+                    [0, 1, 2, 3, 4, 4, 3, 2, 1]):
+        assert np.array_equal(png_decode(_build_png(img, filters)), img)
+
+
+def test_png_color_types():
+    rng = np.random.default_rng(2)
+    h, w = 6, 5
+    grey = rng.integers(0, 256, (h, w, 1)).astype(np.uint8)
+    assert np.array_equal(png_decode(_build_png(grey, [0] * h, ctype=0)),
+                          np.repeat(grey, 3, axis=2))
+    rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    assert np.array_equal(png_decode(_build_png(rgba, [0] * h, ctype=6)),
+                          rgba[:, :, :3])
+    ga = rng.integers(0, 256, (h, w, 2)).astype(np.uint8)
+    assert np.array_equal(png_decode(_build_png(ga, [0] * h, ctype=4)),
+                          np.repeat(ga[:, :, :1], 3, axis=2))
+    plte = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (h, w, 1)).astype(np.uint8)
+    assert np.array_equal(png_decode(_build_png(idx, [0] * h, ctype=3,
+                                                plte=plte)),
+                          plte[idx[:, :, 0]])
+
+
+def test_png_error_paths():
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"not a png")
+    img = np.zeros((4, 4, 3), np.uint8)
+    bad = bytearray(png_encode(img))
+    bad[20] ^= 0xFF  # corrupt IHDR body → CRC check must fire
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(bad))
+    # interlace flag → marked boundary
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    raw = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        png_decode(raw)
+    with pytest.raises(ValueError):
+        png_encode(np.zeros((0, 4, 3), np.uint8))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32768, (777, 2)).astype(np.int16)
+    out, rate = wav_decode(wav_encode(pcm, 44100))
+    assert rate == 44100 and np.array_equal(out, pcm)
+    mono = rng.integers(-32768, 32768, 100).astype(np.int16)
+    out, rate = wav_decode(wav_encode(mono, 8000))
+    assert out.shape == (100, 1) and np.array_equal(out[:, 0], mono)
+    # decoder walks chunks: inject a LIST chunk between fmt and data
+    raw = bytearray(wav_encode(mono, 8000))
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = bytes(raw[:fmt_end]) + extra + bytes(raw[fmt_end:])
+    patched = (patched[:4] + struct.pack("<I", len(patched) - 8)
+               + patched[8:])
+    out2, _ = wav_decode(patched)
+    assert np.array_equal(out2, out)
+
+
+def test_wav_boundaries():
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"junk")
+    # IEEE-float format tag → marked boundary
+    raw = bytearray(wav_encode(np.zeros(4, np.int16), 8000))
+    raw[20] = 3  # audio_format = IEEE float
+    with pytest.raises(NotImplementedError, match="PCM"):
+        wav_decode(bytes(raw))
+    with pytest.raises(ValueError):
+        wav_encode(np.zeros(4, np.int16), 0)
+
+
+def test_image_codec_mode_handles_png(ray_session):
+    """codec='image' sniffs PNG through resize + decode stages."""
+    import ray.data
+
+    from changesetmd_ray.stages.multimodal import decode_media, resize_media
+
+    png = png_encode(np.full((7, 9, 3), (12, 34, 210), np.uint8))
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": pa.array(["image"], pa.string()),
+        "payload": pa.array([png], pa.binary()),
+    })
+    ds = resize_media(ray.data.from_arrow(t), width=20, height=10,
+                      codec="image", batch_size=8)
+    out = decode_media(ds, feat_dim=16, codec="image", batch_size=8).take_all()
+    f = out[0]["feature"]
+    assert f[1] == 20.0 and f[2] == 10.0
+    assert [round(x * 255) for x in f[3:6]] == [12, 34, 210]
+
+
+def test_audio_stats_stage(ray_session):
+    """AudioStatsStub codec='wav': real RIFF parse + exact PCM stats;
+    non-audio rows keep null stats."""
+    import ray.data
+
+    from changesetmd_ray.stages.multimodal import audio_stats
+
+    pcm = np.full(200, -1234, np.int16)
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["audio", "video"], pa.string()),
+        "payload": pa.array([wav_encode(pcm, 8000), b"VID1junk"], pa.binary()),
+    })
+    out = audio_stats(ray.data.from_arrow(t), codec="wav",
+                      batch_size=8).take_all()
+    by_id = {r["media_id"]: r for r in out}
+    a = by_id[1]
+    assert a["n_samples"] == 200 and a["sample_rate"] == 8000
+    assert a["duration_ms"] == 25
+    assert a["mean_abs"] == 1234.0
+    v = by_id[2]
+    assert v["n_samples"] is None and v["mean_abs"] is None
