@@ -1850,8 +1850,11 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
       restart intervals cover every decoder path;
     - ``doc_id % 6 == 4`` — PNGs (stages/png.py) of a solid color;
       PNG is lossless so any planted color survives exactly;
-    - ``doc_id % 4 == 1`` — VID1 containers (frame count in the
-      header);
+    - ``doc_id % 8 == 1`` — VID1 containers (frame count in the
+      header); ``doc_id % 8 == 5`` — REAL minimal ISO BMFF MP4s
+      (stages/codecs.py::mp4_encode — same frame-count/fps facts
+      carried in a real moov/trak/mdhd/stts box tree, so the frames
+      oracle covers both containers with one formula);
     - ``doc_id % 4 == 3`` — 16-bit PCM WAVs (stages/codecs.py) of a
       constant amplitude ``a = ((doc_id·37) % 4001) − 2000`` at
       8 kHz — |a|/32768 divides by a power of two, so the decoded
@@ -1859,7 +1862,12 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
 
     The per-row codec encodes are Python-level, so they must run only
     at fixture-build time — queries and bench read the parquet."""
-    from changesetmd_ray.stages.codecs import bmp_encode, vid1_encode, wav_encode
+    from changesetmd_ray.stages.codecs import (
+        bmp_encode,
+        mp4_encode,
+        vid1_encode,
+        wav_encode,
+    )
     from changesetmd_ray.stages.jpeg import jpeg_encode
     from changesetmd_ray.stages.png import png_encode
 
@@ -1899,9 +1907,12 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
                 payloads.append(png_encode(px))
         elif d % 4 == 1:
             mtypes.append("video")
-            payloads.append(
-                vid1_encode(int(1 + d % 60), 25, (t or "").encode("utf-8")[:16])
-            )
+            if d % 8 == 1:
+                payloads.append(vid1_encode(
+                    int(1 + d % 60), 25, (t or "").encode("utf-8")[:16]))
+            else:
+                payloads.append(mp4_encode(
+                    int(1 + d % 60), 25, (t or "").encode("utf-8")[:16]))
         else:
             mtypes.append("audio")
             amp = int((d * 37) % 4001) - 2000
@@ -1954,7 +1965,7 @@ def q_media_pipeline(sf_dir: str):
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v3_{tag}")
+    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v4_{tag}")
     # pruned read: the query's outputs derive from the payload alone;
     # meta_* columns never leave storage
     ds = ray.data.read_parquet(paths, columns=["media_id", "media_type", "payload"])
@@ -1992,7 +2003,7 @@ def q_media_pipeline(sf_dir: str):
             }
         )
 
-    frames = sample_frames(resized, stride=2, codec="vid1", batch_size=256)
+    frames = sample_frames(resized, stride=2, codec="video", batch_size=256)
 
     def frame_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)

@@ -151,6 +151,118 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(arr), int(rate)
 
 
+# ------------------------------------------------------------ ISO BMFF
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for the boxes in
+    ``data[start:end]`` (32-bit and 64-bit largesize forms)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4: pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated mp4 largesize box")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad mp4 box size {size} at {pos}")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """All body ranges reached by descending ``path`` through
+    container boxes."""
+    if not path:
+        yield start, end
+        return
+    for btype, b0, b1 in _mp4_boxes(data, start, end):
+        if btype == path[0]:
+            yield from _mp4_find(data, b0, b1, path[1:])
+
+
+def mp4_encode(n_frames: int, fps: int, body: bytes = b"") -> bytes:
+    """Minimal valid ISO BMFF: ``ftyp`` + ``moov`` (mvhd + one video
+    trak whose ``stts`` carries ``n_frames`` samples of delta 1 at a
+    media timescale of ``fps``) + ``mdat`` with opaque payload bytes —
+    the real-container counterpart of :func:`vid1_encode` for planting
+    fixtures. Sample DATA stays opaque (no codec payloads)."""
+    if n_frames < 0 or fps < 1:
+        raise ValueError(f"bad mp4 params n_frames={n_frames} fps={fps}")
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    stts = box(b"stts", struct.pack(">II", 0, 1)
+               + struct.pack(">II", n_frames, 1))
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    # hdlr: version/flags, pre_defined, handler='vide', 3 reserved, name
+    hdlr = box(b"hdlr", struct.pack(">II4sIII", 0, 0, b"vide", 0, 0, 0) + b"\x00")
+    mdhd = box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, fps, n_frames, 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", struct.pack(">II", 0x00000007, 0) + b"\x00" * 76)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, fps, n_frames)
+               + b"\x00" * 80)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + box(b"mdat", body)
+
+
+def mp4_header(payload: bytes) -> tuple[int, int]:
+    """ISO BMFF bytes → ``(n_frames, fps)`` for the first video trak:
+    a REAL box walk (ftyp check, moov → trak → mdia, hdlr='vide'
+    match, mdhd timescale, stts sample count / average delta). Frame
+    PIXEL decode (avc1/hevc bitstreams) stays behind the ``'strict'``
+    boundary — this parses the container, the same split as VID1."""
+    p = payload or b""
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (missing ftyp)")
+    for trak0, trak1 in _mp4_find(p, 0, len(p), [b"moov", b"trak"]):
+        handler = None
+        for h0, h1 in _mp4_find(p, trak0, trak1, [b"mdia"]):
+            for btype, b0, b1 in _mp4_boxes(p, h0, h1):
+                if btype == b"hdlr":
+                    handler = p[b0 + 8: b0 + 12]
+        if handler != b"vide":
+            continue
+        timescale = None
+        for m0, m1 in _mp4_find(p, trak0, trak1, [b"mdia"]):
+            for btype, b0, b1 in _mp4_boxes(p, m0, m1):
+                if btype == b"mdhd":
+                    version = p[b0]
+                    off = b0 + (4 + 8 + 8 if version == 1 else 4 + 4 + 4)
+                    (timescale,) = struct.unpack_from(">I", p, off)
+        total = 0
+        weighted = 0
+        for s0, s1 in _mp4_find(p, trak0, trak1,
+                                [b"mdia", b"minf", b"stbl"]):
+            for btype, b0, b1 in _mp4_boxes(p, s0, s1):
+                if btype == b"stts":
+                    (n_entries,) = struct.unpack_from(">I", p, b0 + 4)
+                    for i in range(n_entries):
+                        cnt, delta = struct.unpack_from(
+                            ">II", p, b0 + 8 + 8 * i)
+                        total += cnt
+                        weighted += cnt * delta
+        if timescale is None or total == 0:
+            continue
+        avg_delta = weighted / total
+        if avg_delta <= 0:
+            raise ValueError("mp4 stts with zero sample delta")
+        fps = max(1, round(timescale / avg_delta))
+        return int(total), int(fps)
+    raise ValueError("no video trak with samples found in mp4")
+
+
 _VID1_MAGIC = b"VID1"
 VID1_HEADER_BYTES = 12
 

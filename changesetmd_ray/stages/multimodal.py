@@ -264,9 +264,12 @@ class FrameSampleStub:
     ``(media_id, frame_idx, ts_ms, payload)``, every ``stride``-th frame
     — the 1→N flatten shape of video preprocessing. ``codec='vid1'``
     REALLY parses the container header for frame count AND per-payload
-    fps (stages/codecs.py); ``strict`` raises where pyav would demux a
-    general format; ``fake`` derives a deterministic frame count from
-    the bytes. Non-video rows produce no frames."""
+    fps (stages/codecs.py); ``codec='video'`` additionally sniffs ISO
+    BMFF (``ftyp``) and box-walks moov → video trak → mdhd/stts for
+    the same facts (stages/codecs.py::mp4_header) — frame PIXEL decode
+    stays behind ``strict``, which raises where pyav would demux;
+    ``fake`` derives a deterministic frame count from the bytes.
+    Non-video rows produce no frames."""
 
     def __init__(self, stride: int = 2, fps: int = 30, codec: str = "fake"):
         if stride < 1:
@@ -278,10 +281,13 @@ class FrameSampleStub:
         self.codec = codec
 
     def _frames_fps(self, payload: bytes) -> tuple[int, int]:
-        if self.codec == "vid1":
-            from changesetmd_ray.stages.codecs import vid1_header
+        if self.codec in ("vid1", "video"):
+            from changesetmd_ray.stages.codecs import mp4_header, vid1_header
 
-            return vid1_header(payload or b"")
+            p = payload or b""
+            if self.codec == "video" and len(p) >= 8 and p[4:8] == b"ftyp":
+                return mp4_header(p)  # real ISO BMFF box walk
+            return vid1_header(p)
         if self.codec == "strict":
             # real implementation: av.open(BytesIO(payload)) demux/decode
             raise NotImplementedError(

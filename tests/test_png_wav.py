@@ -173,3 +173,58 @@ def test_audio_stats_stage(ray_session):
     assert a["mean_abs"] == 1234.0
     v = by_id[2]
     assert v["n_samples"] is None and v["mean_abs"] is None
+
+
+def test_mp4_box_walk():
+    """mp4_header parses a real ISO BMFF box tree (and rejects junk)."""
+    import struct
+
+    from changesetmd_ray.stages.codecs import mp4_encode, mp4_header
+
+    for n, fps in ((1, 25), (60, 30), (0, 24)):
+        payload = mp4_encode(n, fps, b"opaque")
+        assert payload[4:8] == b"ftyp"
+        if n == 0:
+            with pytest.raises(ValueError, match="no video trak"):
+                mp4_header(payload)
+        else:
+            assert mp4_header(payload) == (n, fps)
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_header(b"VID1\x00\x00\x00\x00\x00\x00\x00\x00")
+    # non-uniform stts, hand-built: 10 samples at delta 1 + 10 at
+    # delta 3 with timescale 50 -> avg delta 2 -> fps 25
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+    stts = box(b"stts", struct.pack(">II", 0, 2)
+               + struct.pack(">II", 10, 1) + struct.pack(">II", 10, 3))
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", struct.pack(">II4sIII", 0, 0, b"vide", 0, 0, 0) + b"\x00")
+    mdhd = box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, 50, 40, 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", box(b"tkhd", b"\x00" * 84) + mdia)
+    moov = box(b"moov", box(b"mvhd", b"\x00" * 100) + trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    assert mp4_header(ftyp + moov) == (20, 25)
+
+
+def test_frame_sampler_sniffs_containers(ray_session):
+    """codec='video' handles VID1 and MP4 rows in one column."""
+    import ray.data
+
+    from changesetmd_ray.stages.codecs import mp4_encode, vid1_encode
+    from changesetmd_ray.stages.multimodal import sample_frames
+
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["video", "video"], pa.string()),
+        "payload": pa.array([vid1_encode(5, 25, b"x"),
+                             mp4_encode(5, 25, b"y")], pa.binary()),
+    })
+    out = sample_frames(ray.data.from_arrow(t), stride=2, codec="video",
+                        batch_size=8).take_all()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    # identical facts from both containers
+    assert sorted(per_id[1]) == sorted(per_id[2]) == [(0, 0), (2, 80), (4, 160)]
