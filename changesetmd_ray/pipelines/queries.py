@@ -1843,11 +1843,12 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
 
     - ``doc_id % 6 == 0`` — solid-color 24-bit BMPs (color/dims
       integer-derived from doc_id, stages/codecs.py);
-    - ``doc_id % 6 == 2`` — baseline JPEGs (stages/jpeg.py) of a solid
-      grey ``v = 128 + 3·((doc_id % 41) − 20)`` chosen so the
-      quality-90 luma DC quantizer (3) divides ``8·(v−128)`` and the
-      decode is BIT-EXACT — varied dims, 4:4:4/4:2:0 subsampling and
-      restart intervals cover every decoder path;
+    - ``doc_id % 6 == 2`` — JPEGs (stages/jpeg.py) of a solid grey
+      ``v = 128 + 3·((doc_id % 41) − 20)`` chosen so the quality-90
+      luma DC quantizer (3) divides ``8·(v−128)`` and the decode is
+      BIT-EXACT — varied dims, 4:4:4/4:2:0 subsampling, restart
+      intervals AND (``doc_id % 12 == 8``) full progressive SOF2
+      streams cover every decoder path;
     - ``doc_id % 6 == 4`` — PNGs (stages/png.py) of a solid color;
       PNG is lossless so any planted color survives exactly;
     - ``doc_id % 8 == 1`` — VID1 containers (frame count in the
@@ -1893,10 +1894,12 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
             elif d % 6 == 2:
                 v = int(128 + 3 * ((d % 41) - 20))
                 px = np.full((int(9 + d % 17), int(11 + d % 13), 3), v, np.uint8)
+                prog = d % 12 == 8  # a third of the JPEGs are SOF2
                 payloads.append(jpeg_encode(
                     px, quality=90,
                     subsampling="420" if d % 12 == 2 else "444",
-                    restart_interval=int((d // 2) % 3),
+                    restart_interval=0 if prog else int((d // 2) % 3),
+                    progressive=prog,
                 ))
             else:
                 px = np.full(
@@ -1965,7 +1968,7 @@ def q_media_pipeline(sf_dir: str):
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v4_{tag}")
+    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v5_{tag}")
     # pruned read: the query's outputs derive from the payload alone;
     # meta_* columns never leave storage
     ds = ray.data.read_parquet(paths, columns=["media_id", "media_type", "payload"])

@@ -6,18 +6,25 @@ overwhelmingly JPEG, and until round 5 the engine could only mark the
 spot where a real decoder would run. This module implements the
 baseline sequential DCT process for real:
 
-- :func:`jpeg_decode` — baseline (SOF0/SOF1) 8-bit huffman JPEG bytes →
-  ``(h, w, 3)`` uint8 RGB. Any sampling factors (4:4:4, 4:2:0, 4:2:2,
-  …) via replication upsampling, multiple DQT/DHT segments, restart
+- :func:`jpeg_decode` — sequential (SOF0/SOF1) **and progressive
+  (SOF2)** 8-bit huffman JPEG bytes → ``(h, w, 3)`` uint8 RGB. Any
+  sampling factors (4:4:4, 4:2:0, 4:2:2, …) via replication
+  upsampling, multiple DQT/DHT segments, multi-scan progressive with
+  spectral selection, successive approximation (DC/AC first +
+  refinement passes, T.81 G.1.2) and EOBn runs, non-interleaved scans
+  over the component's real block grid (T.81 A.2.2), restart
   intervals (DRI + RSTn), APPn/COM skip, greyscale (1 component)
-  replicated to RGB. Progressive (SOF2), arithmetic coding, 12-bit
-  precision and hierarchical processes raise ``NotImplementedError`` —
-  the (much smaller) remaining boundary.
-- :func:`jpeg_encode` — ``(h, w, 3)`` uint8 RGB → baseline 4:4:4 JPEG
-  with the standard Annex K quantization tables (libjpeg quality
-  scaling law) and Annex K huffman tables. Used to PLANT payloads in
-  tests and the ``media_pipeline`` oracle (no image library exists in
-  this environment to make JPEGs otherwise).
+  replicated to RGB. Arithmetic coding, 12-bit precision and
+  hierarchical processes raise ``NotImplementedError`` — the (small)
+  remaining boundary.
+- :func:`jpeg_encode` — ``(h, w, 3)`` uint8 RGB → sequential or
+  (``progressive=True``) progressive JPEG with the standard Annex K
+  quantization tables (libjpeg quality scaling law) and Annex K
+  huffman tables; the progressive scan script covers DC first,
+  spectral-split AC first and successive-approximation refinement
+  passes, so every decoder path has a producer. Used to PLANT payloads
+  in tests and the ``media_pipeline`` oracle (no image library exists
+  in this environment to make JPEGs otherwise).
 
 The decoder trusts nothing from the encoder: huffman tables are built
 from the file's own DHT segments, quantization from DQT, sampling from
@@ -280,16 +287,110 @@ def _encode_block(bw: "_BitWriter", zz: np.ndarray, pred: int,
     return int(zz[0])
 
 
+class _ProgAcState:
+    """EOB-run + buffered-correction-bit state for one progressive AC
+    scan (T.81 G.1.2.2/G.1.2.3 encoder side, the libjpeg shape)."""
+
+    def __init__(self, bw: _BitWriter, act: dict):
+        self.bw = bw
+        self.act = act
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits riding the next EOBn
+
+    def flush_eob(self) -> None:
+        # NOTE: this encoder keeps EOB runs at length 1 (EOB0, symbol
+        # 0x00) because the Annex K baseline tables it reuses define no
+        # EOBn (0x10..0xE0) codes — a valid, slightly-less-compact
+        # stream. The DECODER handles arbitrary EOBn from real files.
+        if self.eobrun:
+            if self.eobrun != 1:
+                raise AssertionError("encoder EOB runs are capped at 1")
+            code, ln = self.act[0x00]
+            self.bw.write(code, ln)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+
+def _emit_ac_first_block(st: _ProgAcState, zz, ss: int, se: int,
+                         al: int) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = -((-v) >> al) if v < 0 else v >> al  # point transform, toward 0
+        if v == 0:
+            r += 1
+            continue
+        st.flush_eob()
+        while r > 15:
+            code, ln = st.act[0xF0]
+            st.bw.write(code, ln)
+            r -= 16
+        ssss, extra = _magnitude(v)
+        code, ln = st.act[(r << 4) | ssss]
+        st.bw.write(code, ln)
+        st.bw.write(extra, ssss)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        st.flush_eob()  # EOB runs capped at 1 (see flush_eob)
+
+
+def _emit_ac_refine_block(st: _ProgAcState, zz, ss: int, se: int,
+                          al: int) -> None:
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eobpos = ss - 1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eobpos = ss + i
+    r = 0
+    local: list[int] = []  # correction bits since the last symbol
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            st.flush_eob()
+            code, ln = st.act[0xF0]
+            st.bw.write(code, ln)
+            r -= 16
+            for b in local:
+                st.bw.write(b, 1)
+            local = []
+        if t > 1:  # already nonzero at this precision: one correction bit
+            local.append(t & 1)
+            continue
+        st.flush_eob()
+        code, ln = st.act[(r << 4) | 1]
+        st.bw.write(code, ln)
+        st.bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in local:
+            st.bw.write(b, 1)
+        local = []
+        r = 0
+    if r > 0 or local:
+        st.eobrun += 1
+        st.pending.extend(local)
+        st.flush_eob()  # EOB runs capped at 1 (see flush_eob)
+
+
 def jpeg_encode(pixels: np.ndarray, quality: int = 90, *,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """uint8 image → baseline sequential JFIF JPEG.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """uint8 image → JFIF JPEG.
 
     ``(h, w, 3)`` RGB → 3-component scan (``subsampling`` = ``"444"``
     or ``"420"``, the two shapes that cover ~all web JPEGs);
     ``(h, w)`` → greyscale single-component scan. ``restart_interval``
     > 0 writes DRI + RSTn markers every that many MCUs (the
-    resync-point machinery real crawls contain)."""
+    resync-point machinery real crawls contain; sequential mode only).
+    ``progressive=True`` emits SOF2 with a libjpeg-style scan script —
+    DC first + spectral-split AC first passes + successive-approximation
+    refinement passes — producing the SAME quantized coefficients as
+    the sequential mode, so decodes are pixel-identical."""
     px = np.asarray(pixels, dtype=np.uint8)
     grey = px.ndim == 2
     if not grey and (px.ndim != 3 or px.shape[2] != 3):
@@ -345,30 +446,111 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90, *,
     dc_c = _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
-    body = bytearray()
-    bw = _BitWriter()
-    pred = [0] * len(comps_spec)
-    mcu_i = 0
-    rst_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw.flush()
-                body += bw.out
-                body += bytes([0xFF, 0xD0 + (rst_i & 7)])
-                rst_i += 1
-                bw = _BitWriter()
+    def dc_ac_tables(tq: int):
+        return (dc_y, ac_y) if tq == 0 else (dc_c, ac_c)
+
+    def sos_header(comp_indices, ss_, se_, ah_, al_) -> bytes:
+        sos = bytes([len(comp_indices)])
+        for ci in comp_indices:
+            cid, _, _, tq = comps_spec[ci]
+            sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+        return sos + bytes([ss_, se_, (ah_ << 4) | al_])
+
+    scans: list[tuple[bytes, bytes]] = []  # (SOS header, entropy body)
+
+    if not progressive:
+        body = bytearray()
+        bw = _BitWriter()
+        pred = [0] * len(comps_spec)
+        mcu_i = 0
+        rst_i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    bw.flush()
+                    body += bw.out
+                    body += bytes([0xFF, 0xD0 + (rst_i & 7)])
+                    rst_i += 1
+                    bw = _BitWriter()
+                    pred = [0] * len(comps_spec)
+                for ci, (cid, hs, vs, tq) in enumerate(comps_spec):
+                    dct, act = dc_ac_tables(tq)
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * comp_bw[ci] + (mx * hs + bx)
+                            pred[ci] = _encode_block(
+                                bw, comp_zz[ci][bi], pred[ci], dct, act)
+                mcu_i += 1
+        bw.flush()
+        body += bw.out
+        scans.append((sos_header(range(len(comps_spec)), 0, 63, 0, 0),
+                      bytes(body)))
+    else:
+        # libjpeg-style script: interleaved DC first, spectral-split AC
+        # first passes, then successive-approximation refinements
+        if grey:
+            script = [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 1),
+                      ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+        else:
+            script = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),          # Y AC refine 2 -> 1
+                ([0, 1, 2], 0, 0, 1, 0),     # DC refine
+                ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),          # AC refine -> full precision
+            ]
+
+        def comp_real_grid(ci: int):
+            _, hs, vs, _ = comps_spec[ci]
+            ci_w = -(-w * hs // hmax)
+            ci_h = -(-h * vs // vmax)
+            return -(-ci_h // 8), -(-ci_w // 8)  # rows, cols
+
+        for comp_indices, ss_, se_, ah_, al_ in script:
+            bw = _BitWriter()
+            if ss_ == 0 and len(comp_indices) >= 1 and se_ == 0:
+                # DC scan (interleaved over the padded MCU grid)
                 pred = [0] * len(comps_spec)
-            for ci, (cid, hs, vs, tq) in enumerate(comps_spec):
-                dct, act = (dc_y, ac_y) if tq == 0 else (dc_c, ac_c)
-                for by in range(vs):
-                    for bx in range(hs):
-                        bi = (my * vs + by) * comp_bw[ci] + (mx * hs + bx)
-                        pred[ci] = _encode_block(
-                            bw, comp_zz[ci][bi], pred[ci], dct, act)
-            mcu_i += 1
-    bw.flush()
-    body += bw.out
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in comp_indices:
+                            cid, hs, vs, tq = comps_spec[ci]
+                            dct, _ = dc_ac_tables(tq)
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    bi = ((my * vs + by) * comp_bw[ci]
+                                          + (mx * hs + bx))
+                                    coef0 = int(comp_zz[ci][bi][0])
+                                    if ah_ == 0:
+                                        v = coef0 >> al_  # arith floor
+                                        ssss, extra = _magnitude(v - pred[ci])
+                                        pred[ci] = v
+                                        code, ln = dct[ssss]
+                                        bw.write(code, ln)
+                                        if ssss:
+                                            bw.write(extra, ssss)
+                                    else:
+                                        bw.write((coef0 >> al_) & 1, 1)
+            else:
+                # AC scan: single component, its REAL block grid
+                (ci,) = comp_indices
+                _, _, _, tq = comps_spec[ci]
+                _, act = dc_ac_tables(tq)
+                st = _ProgAcState(bw, act)
+                rows, cols = comp_real_grid(ci)
+                for row in range(rows):
+                    for col in range(cols):
+                        zz = comp_zz[ci][row * comp_bw[ci] + col]
+                        if ah_ == 0:
+                            _emit_ac_first_block(st, zz, ss_, se_, al_)
+                        else:
+                            _emit_ac_refine_block(st, zz, ss_, se_, al_)
+                st.flush_eob()
+            bw.flush()
+            scans.append((sos_header(comp_indices, ss_, se_, ah_, al_),
+                          bytes(bw.out)))
 
     def seg(marker: int, seg_body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(seg_body) + 2) + seg_body
@@ -381,7 +563,7 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90, *,
     sof = struct.pack(">BHHB", 8, h, w, len(comps_spec))
     for cid, hs, vs, tq in comps_spec:
         sof += bytes([cid, (hs << 4) | vs, tq])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     tables = [(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
               (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)]
     if not grey:
@@ -389,14 +571,11 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90, *,
                    (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
     for cls, tid, bits, vals in tables:
         out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-    if restart_interval:
+    if restart_interval and not progressive:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps_spec)])
-    for cid, hs, vs, tq in comps_spec:
-        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += body
+    for sos, body in scans:
+        out += seg(0xDA, sos)
+        out += body
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -453,12 +632,17 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         if self.marker is None:
-            # marker not yet reached: scan forward
+            # marker not yet reached: scan forward (skip 0xFF fill bytes)
             while self.pos + 1 < len(self.data):
-                if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
-                    self.marker = self.data[self.pos + 1]
-                    self.pos += 2
-                    break
+                if self.data[self.pos] == 0xFF:
+                    nxt = self.data[self.pos + 1]
+                    if nxt == 0xFF:
+                        self.pos += 1
+                        continue
+                    if nxt != 0x00:
+                        self.marker = nxt
+                        self.pos += 2
+                        break
                 self.pos += 1
         m, self.marker = self.marker, None
         return m
@@ -479,8 +663,181 @@ def _extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
+# ---- per-block scan routines (shared by sequential and progressive;
+# a sequential scan is DC-first(Al=0) + AC-first(1..63, Al=0)) ----
+
+
+def _dc_first(br, zz, dc_t, pred: int, al: int) -> int:
+    ssss = _decode_huff(br, dc_t)
+    if ssss:
+        pred += _extend(br.bits(ssss), ssss)
+    zz[0] = pred << al
+    return pred
+
+
+def _dc_refine(br, zz, al: int) -> None:
+    if br.bit():
+        zz[0] = int(zz[0]) | (1 << al)
+
+
+def _ac_first(br, zz, ac_t, ss: int, se: int, al: int, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn (baseline EOB is the r == 0 case)
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, zz, ac_t, ss: int, se: int, al: int, eobrun: int) -> int:
+    """T.81 G.1.2.3 AC successive-approximation refinement (the
+    correction-bit pass)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL — pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad magnitude in AC refinement scan")
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if br.bit() and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB region still carries correction bits
+            v = int(zz[k])
+            if v != 0:
+                if br.bit() and (v & p1) == 0:
+                    zz[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
+                 ss: int, se: int, ah: int, al: int,
+                 htables: dict, restart_interval: int) -> "_BitReader":
+    """Decode one entropy-coded scan (sequential or progressive) into
+    the frame's persistent per-component coefficient arrays; returns
+    the bit reader positioned at/after the scan's trailing marker."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = 0
+    seq = not frame["progressive"]
+
+    def tables(td: int, ta: int, need_dc: bool, need_ac: bool):
+        dc_t = htables.get((0, td))
+        ac_t = htables.get((1, ta))
+        if (need_dc and dc_t is None) or (need_ac and ac_t is None):
+            raise ValueError("missing huffman table for scan")
+        return dc_t, ac_t
+
+    def restart(unit_i: int) -> None:
+        nonlocal eobrun
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            m = br.align_and_take_marker()
+            if m is None or not 0xD0 <= m <= 0xD7:
+                raise ValueError(f"expected RST marker, got {m!r}")
+            for k in preds:
+                preds[k] = 0
+            eobrun = 0
+
+    if len(scan) > 1:
+        # interleaved: full blocks (sequential) or DC band (progressive)
+        if not seq and ss != 0:
+            raise ValueError("interleaved progressive AC scan is invalid")
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        mcu_i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart(mcu_i)
+                for c, td, ta in scan:
+                    dc_t, ac_t = tables(td, ta, ah == 0, seq)
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            zz = c["coef"][row * c["bw"] + col]
+                            if ah == 0:
+                                preds[c["id"]] = _dc_first(
+                                    br, zz, dc_t, preds[c["id"]], al)
+                                if seq:
+                                    _ac_first(br, zz, ac_t, 1, 63, 0, 0)
+                            else:
+                                _dc_refine(br, zz, al)
+                mcu_i += 1
+    else:
+        # non-interleaved: the component's own block grid (T.81 A.2.2 —
+        # NOT the MCU-padded grid)
+        c, td, ta = scan[0]
+        ci_w = -(-w * c["h"] // hmax)
+        ci_h = -(-h * c["v"] // vmax)
+        cols = -(-ci_w // 8)
+        rows = -(-ci_h // 8)
+        dc_t, ac_t = tables(td, ta, ss == 0 and ah == 0,
+                            seq or ss > 0)
+        blk_i = 0
+        for row in range(rows):
+            for col in range(cols):
+                restart(blk_i)
+                zz = c["coef"][row * c["bw"] + col]
+                if ss == 0:
+                    if ah == 0:
+                        preds[c["id"]] = _dc_first(
+                            br, zz, dc_t, preds[c["id"]], al)
+                        if seq:
+                            _ac_first(br, zz, ac_t, 1, 63, 0, 0)
+                    else:
+                        _dc_refine(br, zz, al)
+                elif ah == 0:
+                    eobrun = _ac_first(br, zz, ac_t, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, zz, ac_t, ss, se, al, eobrun)
+                blk_i += 1
+    return br
+
+
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (see module doc)."""
+    """Baseline OR progressive JPEG bytes → (h, w, 3) uint8 RGB (see
+    module doc)."""
     data = payload or b""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -489,16 +846,25 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    pending_marker: int | None = None
+    scanned = False
 
     while True:
-        if pos + 4 > len(data):
-            raise ValueError("truncated JPEG before SOS")
-        if data[pos] != 0xFF:
-            raise ValueError(f"expected marker at {pos}")
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xD9:  # EOI before scan
-            raise ValueError("no scan data (EOI before SOS)")
+        if pending_marker is not None:
+            marker, pending_marker = pending_marker, None
+        else:
+            if pos + 2 > len(data):
+                raise ValueError("truncated JPEG (no EOI)")
+            if data[pos] != 0xFF:
+                raise ValueError(f"expected marker at {pos}")
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1  # fill bytes
+            marker = data[pos + 1]
+            pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # stray RST/TEM
+            continue
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2: pos + seglen]
         pos += seglen
@@ -521,7 +887,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = list(body[off + 17: off + 17 + n])
                 htables[(cls, tid)] = _huff_decode_table(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
@@ -530,9 +896,16 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:  # persistent coef store, padded to full MCUs
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+            frame = {"h": h, "w": w, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG process SOF{marker - 0xC0}")
@@ -547,66 +920,26 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            break
+            s_s, s_e, a = body[1 + 2 * ns: 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not frame["progressive"]:
+                s_s, s_e, ah, al = 0, 63, 0, 0
+            br = _decode_scan(data, pos, frame, scan, s_s, s_e, ah, al,
+                              htables, restart_interval)
+            scanned = True
+            pending_marker = br.align_and_take_marker()
+            pos = br.pos
         # APPn / COM / anything else: skipped
 
+    if frame is None or not scanned:
+        raise ValueError("no scan data (EOI before SOS)")
+
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    # per-component coefficient storage (padded to full MCUs)
-    for c, _, _ in scan:
-        c["bw"] = mcus_x * c["h"]   # blocks per row
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
-
-    br = _BitReader(data, pos)
-    pred = {c["id"]: 0 for c, _, _ in scan}
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                m = br.align_and_take_marker()
-                if m is None or not 0xD0 <= m <= 0xD7:
-                    raise ValueError(f"expected RST marker, got {m!r}")
-                for k in pred:
-                    pred[k] = 0
-            for c, td, ta in scan:
-                dc_t = htables.get((0, td))
-                ac_t = htables.get((1, ta))
-                if dc_t is None or ac_t is None:
-                    raise ValueError("missing huffman table for scan")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, np.int32)
-                        ssss = _decode_huff(br, dc_t)
-                        if ssss:
-                            pred[c["id"]] += _extend(br.bits(ssss), ssss)
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, ac_t)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break        # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = zz
-            mcu_i += 1
+    hmax, vmax = frame["hmax"], frame["vmax"]
 
     # vectorized: dequant → natural order → IDCT → plane assembly
     planes = []
-    for c, _, _ in scan:
+    for c in frame["comps"]:
         q = qtables.get(c["tq"])
         if q is None:
             raise ValueError(f"missing quantization table {c['tq']}")

@@ -5,10 +5,11 @@ Media payloads are opaque ``binary`` columns with typed metadata
 
 - ``codec='bmp'`` / ``'image'`` / ``'vid1'`` / ``'wav'`` — REAL decode
   paths: uncompressed 24-bit BMP and 16-bit PCM WAV
-  (:mod:`changesetmd_ray.stages.codecs`) and, since round 5, baseline
-  sequential JPEG (:mod:`changesetmd_ray.stages.jpeg` — pure-numpy
-  huffman + IDCT, 4:4:4/4:2:0/greyscale/restart intervals) and 8-bit
-  PNG (:mod:`changesetmd_ray.stages.png` — stdlib-zlib DEFLATE, all
+  (:mod:`changesetmd_ray.stages.codecs`) and, since round 5,
+  sequential AND progressive JPEG (:mod:`changesetmd_ray.stages.jpeg`
+  — pure-numpy huffman + IDCT, 4:4:4/4:2:0/greyscale/restart
+  intervals/SOF2 successive approximation) and 8-bit PNG
+  (:mod:`changesetmd_ray.stages.png` — stdlib-zlib DEFLATE, all
   five filters, grey/RGB/palette/alpha). ``'image'`` sniffs the
   payload magic (``BM`` → BMP, ``FF D8`` → JPEG, PNG signature → PNG);
   pixels actually decode, resize (nearest-neighbor) and re-encode, and
@@ -19,7 +20,8 @@ Media payloads are opaque ``binary`` columns with typed metadata
 - ``codec='strict'`` — raises ``NotImplementedError`` at the exact line
   a general-format decoder (PIL / torchaudio / pyav) would be called;
   the (round-5-shrunk) boundary for formats still undecodable here
-  (progressive JPEG, interlaced/16-bit PNG, float/ADPCM WAV, mp4…).
+  (arithmetic/12-bit JPEG, interlaced/16-bit PNG, float/ADPCM WAV,
+  mp4 frame pixels…).
 - ``codec='fake'`` — deterministic content-derived fake features, for
   plumbing tests where pixel math is irrelevant.
 

@@ -81,15 +81,51 @@ def test_zigzag_is_the_standard_order():
 def test_boundaries_still_marked():
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"not a jpeg")
-    # hand-built SOF2 frame header → progressive boundary
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b"
+    # hand-built SOF9 frame header → arithmetic-coding boundary
+    sof9 = (b"\xff\xd8" + b"\xff\xc9" + b"\x00\x0b"
             + b"\x08\x00\x10\x00\x10\x01" + b"\x01\x11\x00")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg_decode(sof2)
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        jpeg_decode(sof9)
     with pytest.raises(ValueError):
         jpeg_encode(np.zeros((0, 4, 3), np.uint8))
     with pytest.raises(ValueError):
         jpeg_encode(np.zeros((4, 4, 3), np.uint8), quality=0)
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """SOF2 support (round 5): the progressive scan script produces the
+    SAME quantized coefficients as sequential mode, so decodes must be
+    pixel-identical — across spectral splits, successive-approximation
+    refinement, EOB runs and both subsamplings."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:37, 0:53]
+    grad = np.stack([(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256],
+                    axis=-1).astype(np.uint8)
+    cases = [
+        (grad, {}), (grad, {"quality": 40}),
+        (grad, {"subsampling": "420"}),
+        (rng.integers(0, 256, (24, 31, 3)).astype(np.uint8), {"quality": 75}),
+        (np.full((17, 26, 3), 131, np.uint8), {}),
+    ]
+    for img, kw in cases:
+        prog_bytes = jpeg_encode(img, progressive=True, **kw)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        assert np.array_equal(
+            jpeg_decode(prog_bytes),
+            jpeg_decode(jpeg_encode(img, **kw))), kw
+    # greyscale single-component progressive
+    g = rng.integers(0, 256, (20, 30)).astype(np.uint8)
+    assert np.array_equal(jpeg_decode(jpeg_encode(g, progressive=True)),
+                          jpeg_decode(jpeg_encode(g)))
+
+
+def test_progressive_solid_grey_bit_exact():
+    """The media_pipeline planted-grey contract holds through the
+    progressive path too (DC-only blocks, quant-divisible values)."""
+    for v in (92, 128, 158, 188):
+        img = np.full((24, 40, 3), v, np.uint8)
+        assert np.array_equal(
+            jpeg_decode(jpeg_encode(img, quality=90, progressive=True)), img)
 
 
 def test_decoder_reads_tables_from_the_stream():
