@@ -8,9 +8,10 @@ Media payloads are opaque ``binary`` columns with typed metadata
   (:mod:`changesetmd_ray.stages.codecs`) and, since round 5,
   sequential AND progressive JPEG (:mod:`changesetmd_ray.stages.jpeg`
   — pure-numpy huffman + IDCT, 4:4:4/4:2:0/greyscale/restart
-  intervals/SOF2 successive approximation) and 8-bit PNG
-  (:mod:`changesetmd_ray.stages.png` — stdlib-zlib DEFLATE, all
-  five filters, grey/RGB/palette/alpha). ``'image'`` sniffs the
+  intervals/SOF2 successive approximation) and full-static-format PNG
+  (:mod:`changesetmd_ray.stages.png` — stdlib-zlib DEFLATE, all five
+  filters, grey/RGB/palette/alpha, 1-16-bit depths, Adam7
+  interlacing). ``'image'`` sniffs the
   payload magic (``BM`` → BMP, ``FF D8`` → JPEG, PNG signature → PNG);
   pixels actually decode, resize (nearest-neighbor) and re-encode, and
   features are genuine pixel statistics. VID1 containers parse their
@@ -20,8 +21,7 @@ Media payloads are opaque ``binary`` columns with typed metadata
 - ``codec='strict'`` — raises ``NotImplementedError`` at the exact line
   a general-format decoder (PIL / torchaudio / pyav) would be called;
   the (round-5-shrunk) boundary for formats still undecodable here
-  (arithmetic/12-bit JPEG, interlaced/16-bit PNG, float/ADPCM WAV,
-  mp4 frame pixels…).
+  (arithmetic/12-bit JPEG, float/ADPCM WAV, mp4 frame pixels…).
 - ``codec='fake'`` — deterministic content-derived fake features, for
   plumbing tests where pixel math is irrelevant.
 
@@ -50,7 +50,7 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _decode_image(payload: bytes, *, bmp_only: bool = False) -> np.ndarray:
-    """Magic-sniffing image decode: BMP, baseline JPEG or PNG → RGB."""
+    """Magic-sniffing image decode: BMP, JPEG or PNG → RGB."""
     p = payload or b""
     if not bmp_only and p[:2] == b"\xff\xd8":
         from changesetmd_ray.stages.jpeg import jpeg_decode
@@ -86,7 +86,8 @@ class MediaDecodeStub:
 
     ``codec='bmp'`` REALLY decodes (24-bit uncompressed BMP,
     stages/codecs.py); ``codec='image'`` additionally sniffs and
-    decodes baseline JPEG (stages/jpeg.py). Both emit genuine pixel
+    decodes JPEG (sequential + progressive, stages/jpeg.py) and PNG
+    (stages/png.py). All emit genuine pixel
     statistics as the feature vector: ``f[0] = (meanR+meanG+meanB)/765`` (overall
     brightness, exactly SQL-reproducible), ``f[1]=width``,
     ``f[2]=height``, ``f[3..5]`` per-channel means / 255, rest zero.
@@ -167,8 +168,9 @@ class MediaResizeStub:
     """Actor-pool image resize: payload in → payload out with updated
     ``meta_width``/``meta_height``. ``codec='bmp'`` REALLY resizes:
     decode → nearest-neighbor gather → re-encode (stages/codecs.py);
-    ``codec='image'`` also handles baseline JPEG (decode → gather →
-    deterministic 4:4:4 q90 re-encode, stages/jpeg.py).
+    ``codec='image'`` also handles JPEG (decode → gather →
+    deterministic sequential 4:4:4 q90 re-encode, stages/jpeg.py) and
+    PNG (decode → gather → filter-0 re-encode, stages/png.py).
     ``strict`` raises where PIL.Image.resize would run for general
     formats; ``fake`` emits a deterministic content-derived payload so
     byte-level downstream tests are real. Non-image rows pass through

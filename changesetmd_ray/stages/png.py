@@ -3,14 +3,16 @@
 Companion to :mod:`changesetmd_ray.stages.jpeg`: together with baseline
 JPEG this covers ~all image payloads a web crawl contains. DEFLATE
 comes from stdlib ``zlib`` (always present), so unlike JPEG nothing has
-to be approximated — PNG decode here is complete for the 8-bit
-non-interlaced subset:
+to be approximated — PNG decode here covers the full static format:
 
 - :func:`png_decode` — color types 0 (grey), 2 (RGB), 3 (palette),
-  4 (grey+alpha), 6 (RGBA), bit depth 8, all five scanline filters,
-  chunk CRC verification. Alpha is dropped (media features are RGB
-  stats); palette expands through PLTE. Interlaced (Adam7) and 16-bit
-  images raise ``NotImplementedError`` — the remaining boundary.
+  4 (grey+alpha), 6 (RGBA); ALL legal bit depths (1/2/4-bit grey and
+  palette with exact expansion, 8-bit, 16-bit via the standard
+  high-byte reduction); Adam7 interlacing (seven independently
+  filtered sub-images scattered back on the pass grid); all five
+  scanline filters; chunk CRC verification. Alpha is dropped (media
+  features are RGB stats); palette expands through PLTE; ancillary
+  chunks (tEXt/gAMA/tRNS…) are skipped.
 - :func:`png_encode` — ``(h, w, 3)`` RGB → color-type-2 PNG. By
   default rows use filter 0 with a fixed zlib level, so decode of our
   own planted payloads takes the fully-vectorized fast path.
@@ -56,6 +58,51 @@ def png_encode(pixels: np.ndarray, *, compress_level: int = 6) -> bytes:
 
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_ALLOWED_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                   4: (8, 16), 6: (8, 16)}
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _scanline_bytes(w: int, ch: int, depth: int) -> int:
+    return (w * ch * depth + 7) // 8
+
+
+def _unpack_samples(recon: np.ndarray, w: int, ch: int,
+                    depth: int) -> np.ndarray:
+    """(h, stride_bytes) defiltered rows → (h, w*ch) sample array
+    (uint8 for depths ≤ 8, uint16 for 16)."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon[:, : w * ch]
+    if depth == 16:
+        return recon[:, : w * ch * 2].reshape(h, w * ch, 2).astype(
+            np.uint16)[:, :, 0] * 256 + recon[:, : w * ch * 2].reshape(
+            h, w * ch, 2)[:, :, 1]
+    # 1/2/4-bit (single channel only per spec): unpack MSB-first
+    bits = np.unpackbits(recon, axis=1)
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (per * weights).sum(axis=2).astype(np.uint8)
+
+
+def _decode_subimage(raw: np.ndarray, w: int, h: int, ch: int,
+                     depth: int) -> np.ndarray:
+    """Filtered scanlines of one (sub)image → (h, w*ch) samples."""
+    stride = _scanline_bytes(w, ch, depth)
+    bpp = max(1, ch * depth // 8)
+    ftypes = raw[:, 0]
+    if np.all(ftypes == 0):
+        recon = raw[:, 1:].copy()
+    elif set(np.unique(ftypes)) <= {0, 2}:
+        recon = raw[:, 1:].astype(np.uint8).copy()
+        for y in range(1, h):
+            if ftypes[y] == 2:
+                recon[y] += recon[y - 1]
+    else:
+        recon = _defilter(raw, h, stride, bpp)
+    return _unpack_samples(recon, w, ch, depth)
 
 
 def _defilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -132,35 +179,59 @@ def png_decode(payload: bytes) -> np.ndarray:
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"bad IHDR compression/filter {comp}/{filt}")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG (only 8-bit implemented)")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad IHDR interlace {interlace}")
     if ctype_i not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {ctype_i}")
+    if depth not in _ALLOWED_DEPTHS[ctype_i]:
+        raise ValueError(
+            f"invalid bit depth {depth} for color type {ctype_i}")
     if w == 0 or h == 0:
         raise ValueError("empty PNG")
     ch = _CHANNELS[ctype_i]
-    stride = w * ch
     raw_b = zlib.decompress(bytes(idat))
-    if len(raw_b) != h * (1 + stride):
-        raise ValueError(
-            f"PNG data size {len(raw_b)} != expected {h * (1 + stride)}")
-    raw = np.frombuffer(raw_b, np.uint8).reshape(h, 1 + stride)
 
-    # whole-image fast path when only vectorizable filters appear
-    ftypes = raw[:, 0]
-    if np.all(ftypes == 0):
-        recon = raw[:, 1:].copy()
-    elif set(np.unique(ftypes)) <= {0, 2}:
-        recon = raw[:, 1:].astype(np.uint8).copy()
-        for y in range(1, h):  # up rows accumulate; rows are vector ops
-            if ftypes[y] == 2:
-                recon[y] += recon[y - 1]
-    else:
-        recon = _defilter(raw, h, stride, ch)
+    if interlace == 0:
+        stride = _scanline_bytes(w, ch, depth)
+        if len(raw_b) != h * (1 + stride):
+            raise ValueError(
+                f"PNG data size {len(raw_b)} != expected {h * (1 + stride)}")
+        samples = _decode_subimage(
+            np.frombuffer(raw_b, np.uint8).reshape(h, 1 + stride),
+            w, h, ch, depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        buf = np.frombuffer(raw_b, np.uint8)
+        samples = np.zeros((h, w * ch),
+                           np.uint16 if depth == 16 else np.uint8)
+        grid = samples.reshape(h, w, ch)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = _scanline_bytes(pw, ch, depth)
+            need = ph * (1 + stride)
+            if off + need > len(buf):
+                raise ValueError("truncated interlaced PNG pass")
+            sub = _decode_subimage(
+                buf[off: off + need].reshape(ph, 1 + stride),
+                pw, ph, ch, depth)
+            off += need
+            rows = y0 + dy * np.arange(ph)
+            cols = x0 + dx * np.arange(pw)
+            grid[np.ix_(rows, cols)] = sub.reshape(ph, pw, ch)
+        if off != len(buf):
+            raise ValueError("PNG interlaced data size mismatch")
 
-    img = recon.reshape(h, w, ch)
+    if depth == 16:  # high byte (the standard 16→8 approximation)
+        img = (samples >> 8).astype(np.uint8).reshape(h, w, ch)
+    elif depth < 8 and ctype_i == 0:
+        # exact grey expansion: 255/(2^d − 1) is an integer for d=1/2/4
+        img = (samples * (255 // ((1 << depth) - 1))).astype(
+            np.uint8).reshape(h, w, ch)
+    else:  # 8-bit samples, or palette indices used verbatim
+        img = samples.astype(np.uint8).reshape(h, w, ch)
     if ctype_i == 2:
         rgb = img
     elif ctype_i == 6:

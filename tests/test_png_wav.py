@@ -91,10 +91,10 @@ def test_png_error_paths():
     bad[20] ^= 0xFF  # corrupt IHDR body → CRC check must fire
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(bad))
-    # interlace flag → marked boundary
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    # illegal depth/color-type combination
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)  # 4-bit RGB
     raw = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="bit depth"):
         png_decode(raw)
     with pytest.raises(ValueError):
         png_encode(np.zeros((0, 4, 3), np.uint8))
@@ -228,3 +228,95 @@ def test_frame_sampler_sniffs_containers(ray_session):
         per_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
     # identical facts from both containers
     assert sorted(per_id[1]) == sorted(per_id[2]) == [(0, 0), (2, 80), (4, 160)]
+
+
+def _ihdr(w, h, depth, ctype, interlace=0):
+    return _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+
+
+def _png(w, h, depth, ctype, idat, interlace=0, plte=None):
+    out = _SIG + _ihdr(w, h, depth, ctype, interlace)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(idat)) + _chunk(b"IEND", b"")
+
+
+def test_png_adam7_interlaced():
+    """Adam7: seven hand-built filtered sub-images reassemble exactly
+    (RGB8 pass grid + a filtered 16-bit grey variant)."""
+    from changesetmd_ray.stages.png import _ADAM7
+
+    rng = np.random.default_rng(5)
+    w, h = 13, 9
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = img[y0::dy, x0::dx]
+        raw = np.zeros((ph, 1 + pw * 3), np.uint8)
+        raw[:, 1:] = sub.reshape(ph, pw * 3)
+        parts.append(raw.tobytes())
+    got = png_decode(_png(w, h, 8, 2, b"".join(parts), interlace=1))
+    assert np.array_equal(got, img)
+
+    w2, h2 = 6, 7
+    img2 = rng.integers(0, 65536, (h2, w2)).astype(np.uint16)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w2 - x0 + dx - 1) // dx
+        ph = (h2 - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sb = np.frombuffer(img2[y0::dy, x0::dx].astype(">u2").tobytes(),
+                           np.uint8).reshape(ph, pw * 2)
+        raw = np.zeros((ph, 1 + pw * 2), np.uint8)
+        raw[0, 1:] = sb[0]
+        for y in range(1, ph):
+            raw[y, 0] = 2  # up filter inside an interlace pass
+            raw[y, 1:] = (sb[y].astype(np.int32) - sb[y - 1]).astype(np.uint8)
+        parts.append(raw.tobytes())
+    got = png_decode(_png(w2, h2, 16, 0, b"".join(parts), interlace=1))
+    assert np.array_equal(
+        got, np.repeat((img2 >> 8).astype(np.uint8)[:, :, None], 3, axis=2))
+
+
+def test_png_16bit_and_low_depths():
+    rng = np.random.default_rng(6)
+    # 16-bit RGB → high-byte reduction
+    img16 = rng.integers(0, 65536, (5, 4, 3)).astype(np.uint16)
+    raw = np.zeros((5, 1 + 4 * 3 * 2), np.uint8)
+    raw[:, 1:] = np.frombuffer(img16.astype(">u2").tobytes(),
+                               np.uint8).reshape(5, 24)
+    got = png_decode(_png(4, 5, 16, 2, raw.tobytes()))
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+    # 1/2/4-bit grey with exact expansion
+    for d in (1, 2, 4):
+        gw, gh = 11, 6
+        vals = rng.integers(0, 1 << d, (gh, gw)).astype(np.uint8)
+        rows = []
+        for y in range(gh):
+            bits = np.zeros(gw * d, np.uint8)
+            for x in range(gw):
+                for b in range(d):
+                    bits[x * d + b] = (vals[y, x] >> (d - 1 - b)) & 1
+            rows.append(b"\x00" + np.packbits(bits).tobytes())
+        got = png_decode(_png(gw, gh, d, 0, b"".join(rows)))
+        want = np.repeat(
+            (vals * (255 // ((1 << d) - 1)))[:, :, None], 3, axis=2)
+        assert np.array_equal(got, want), d
+    # 4-bit palette (indices used verbatim)
+    plte = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (5, 7)).astype(np.uint8)
+    rows = []
+    for y in range(5):
+        bits = np.zeros(7 * 4, np.uint8)
+        for x in range(7):
+            for b in range(4):
+                bits[x * 4 + b] = (idx[y, x] >> (3 - b)) & 1
+        rows.append(b"\x00" + np.packbits(bits).tobytes())
+    got = png_decode(_png(7, 5, 4, 3, b"".join(rows), plte=plte))
+    assert np.array_equal(got, plte[idx])
