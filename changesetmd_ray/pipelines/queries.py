@@ -1849,8 +1849,10 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
       BIT-EXACT — varied dims, 4:4:4/4:2:0 subsampling, restart
       intervals AND (``doc_id % 12 == 8``) full progressive SOF2
       streams cover every decoder path;
-    - ``doc_id % 6 == 4`` — PNGs (stages/png.py) of a solid color;
-      PNG is lossless so any planted color survives exactly;
+    - ``doc_id % 6 == 4`` — PNGs (stages/png.py) or, for
+      ``doc_id % 12 == 10``, GIFs (stages/gif.py, real LZW) of a solid
+      color; both are lossless so any planted color survives exactly
+      and ONE oracle branch covers both formats;
     - ``doc_id % 8 == 1`` — VID1 containers (frame count in the
       header); ``doc_id % 8 == 5`` — REAL minimal ISO BMFF MP4s
       (stages/codecs.py::mp4_encode — same frame-count/fps facts
@@ -1869,6 +1871,7 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
         vid1_encode,
         wav_encode,
     )
+    from changesetmd_ray.stages.gif import gif_encode
     from changesetmd_ray.stages.jpeg import jpeg_encode
     from changesetmd_ray.stages.png import png_encode
 
@@ -1907,7 +1910,10 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
                     ((d * 3) % 256, (d * 5) % 256, (d * 11) % 256),
                     np.uint8,
                 )
-                payloads.append(png_encode(px))
+                if d % 12 == 10:  # half the lossless rows are GIFs
+                    payloads.append(gif_encode(px))
+                else:
+                    payloads.append(png_encode(px))
         elif d % 4 == 1:
             mtypes.append("video")
             if d % 8 == 1:
@@ -1968,7 +1974,7 @@ def q_media_pipeline(sf_dir: str):
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v5_{tag}")
+    paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v6_{tag}")
     # pruned read: the query's outputs derive from the payload alone;
     # meta_* columns never leave storage
     ds = ray.data.read_parquet(paths, columns=["media_id", "media_type", "payload"])

@@ -11,8 +11,10 @@ Media payloads are opaque ``binary`` columns with typed metadata
   intervals/SOF2 successive approximation) and full-static-format PNG
   (:mod:`changesetmd_ray.stages.png` — stdlib-zlib DEFLATE, all five
   filters, grey/RGB/palette/alpha, 1-16-bit depths, Adam7
-  interlacing). ``'image'`` sniffs the
-  payload magic (``BM`` → BMP, ``FF D8`` → JPEG, PNG signature → PNG);
+  interlacing) and GIF87a/89a (:mod:`changesetmd_ray.stages.gif` —
+  real LZW, animation frames, interlace, transparency). ``'image'``
+  sniffs the payload magic (``BM`` → BMP, ``FF D8`` → JPEG, PNG
+  signature → PNG, ``GIF8`` → GIF);
   pixels actually decode, resize (nearest-neighbor) and re-encode, and
   features are genuine pixel statistics. VID1 containers parse their
   frame-count/fps header from the bytes; WAV payloads chunk-walk RIFF
@@ -60,6 +62,10 @@ def _decode_image(payload: bytes, *, bmp_only: bool = False) -> np.ndarray:
         from changesetmd_ray.stages.png import png_decode
 
         return png_decode(p)
+    if not bmp_only and p[:4] == b"GIF8":
+        from changesetmd_ray.stages.gif import gif_decode
+
+        return gif_decode(p)
     from changesetmd_ray.stages.codecs import bmp_decode
 
     return bmp_decode(p)
@@ -201,6 +207,13 @@ class MediaResizeStub:
 
                 return png_encode(
                     nn_resize(png_decode(p), self.width, self.height))
+            if self.codec == "image" and p[:4] == b"GIF8":
+                from changesetmd_ray.stages.gif import gif_decode, gif_encode
+
+                # NN gather creates no new colors, so the palette
+                # bound (<=256) is preserved by construction
+                return gif_encode(
+                    nn_resize(gif_decode(p), self.width, self.height))
             return bmp_encode(
                 nn_resize(_decode_image(p, bmp_only=True),
                           self.width, self.height))
