@@ -119,9 +119,10 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes → ``((n, channels) int16 array, sample_rate)``.
     Proper chunk walk (fmt/data need not be adjacent; LIST/fact/…
-    chunks are skipped). Only PCM 16-bit decodes; IEEE-float, ADPCM,
-    mp3-in-wav etc. raise ``NotImplementedError`` — the audio
-    boundary where soundfile would take over."""
+    chunks are skipped). PCM at 8 bits (unsigned, rescaled to int16),
+    16 bits (native) and 24 bits (truncated to the top 16) all decode;
+    IEEE-float, ADPCM, mp3-in-wav etc. raise ``NotImplementedError``
+    — the audio boundary where soundfile would take over."""
     p = payload or b""
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         raise ValueError("not a WAVE payload (missing RIFF/WAVE magic)")
@@ -140,14 +141,28 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAVE without fmt/data chunks")
     audio_format, ch, rate, _brate, _balign, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if audio_format != 1 or bits not in (8, 16, 24):
         raise NotImplementedError(
-            f"only PCM 16-bit WAV is implemented (format={audio_format}, "
-            f"bits={bits}) — a real audio library is needed here")
+            f"only PCM 8/16/24-bit WAV is implemented "
+            f"(format={audio_format}, bits={bits}) — a real audio "
+            f"library is needed here")
     if ch < 1:
         raise ValueError(f"bad channel count {ch}")
-    n = len(data) // (2 * ch)
-    arr = np.frombuffer(data, "<i2", n * ch).reshape(n, ch)
+    if bits == 16:
+        n = len(data) // (2 * ch)
+        arr = np.frombuffer(data, "<i2", n * ch).reshape(n, ch)
+    elif bits == 8:  # unsigned, midpoint 128 → int16 full-scale
+        n = len(data) // ch
+        u = np.frombuffer(data, np.uint8, n * ch).reshape(n, ch)
+        arr = ((u.astype(np.int16) - 128) << 8)
+    else:  # 24-bit little-endian → top 16 bits
+        n = len(data) // (3 * ch)
+        b = np.frombuffer(data, np.uint8, n * ch * 3).reshape(-1, 3)
+        i32 = (b[:, 0].astype(np.int32)
+               | (b[:, 1].astype(np.int32) << 8)
+               | (b[:, 2].astype(np.int32) << 16))
+        i32 = np.where(i32 >= 1 << 23, i32 - (1 << 24), i32)
+        arr = (i32 >> 8).astype(np.int16).reshape(n, ch)
     return np.ascontiguousarray(arr), int(rate)
 
 

@@ -176,18 +176,27 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
     return out
 
 
-def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol."""
-    out: dict[tuple[int, int], int] = {}
+def _huff_decode_table(bits: list[int], vals: list[int]):
+    """Canonical (BITS, HUFFVAL) → 16-bit-prefix lookup arrays
+    ``(lengths, symbols)``: one table gather decodes any symbol in a
+    single peek instead of bit-by-bit tree walking (~4x on the entropy
+    loop, the pure-Python decoder's hot path)."""
+    lengths = np.zeros(1 << 16, np.uint8)
+    symbols = np.zeros(1 << 16, np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            lengths[start:start + span] = length
+            symbols[start:start + span] = vals[k]
             code += 1
             k += 1
         code <<= 1
-    return out
+    # plain lists: CPython list indexing beats numpy scalar access in
+    # the per-symbol loop
+    return lengths.tolist(), symbols.tolist()
 
 
 # ------------------------------------------------------------ encoder
@@ -622,10 +631,21 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
+
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def align_and_take_marker(self) -> int | None:
         """Drop pad bits, consume a pending marker (for RSTn)."""
@@ -648,14 +668,14 @@ class _BitReader:
         return m
 
 
-def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code in entropy stream")
+def _decode_huff(br: _BitReader, table) -> int:
+    lengths, symbols = table
+    idx = br.peek16()
+    length = lengths[idx]
+    if length == 0:
+        raise ValueError("invalid huffman code in entropy stream")
+    br.skip(length)
+    return symbols[idx]
 
 
 def _extend(v: int, ssss: int) -> int:
@@ -677,7 +697,7 @@ def _dc_first(br, zz, dc_t, pred: int, al: int) -> int:
 
 def _dc_refine(br, zz, al: int) -> None:
     if br.bit():
-        zz[0] = int(zz[0]) | (1 << al)
+        zz[0] = zz[0] | (1 << al)
 
 
 def _ac_first(br, zz, ac_t, ss: int, se: int, al: int, eobrun: int) -> int:
@@ -725,7 +745,7 @@ def _ac_refine(br, zz, ac_t, ss: int, se: int, al: int, eobrun: int) -> int:
                     raise ValueError("bad magnitude in AC refinement scan")
                 newval = p1 if br.bit() else m1
             while k <= se:
-                v = int(zz[k])
+                v = zz[k]
                 if v != 0:
                     # correction bit for an already-nonzero coefficient
                     if br.bit() and (v & p1) == 0:
@@ -740,7 +760,7 @@ def _ac_refine(br, zz, ac_t, ss: int, se: int, al: int, eobrun: int) -> int:
             k += 1
     if eobrun > 0:
         while k <= se:  # EOB region still carries correction bits
-            v = int(zz[k])
+            v = zz[k]
             if v != 0:
                 if br.bit() and (v & p1) == 0:
                     zz[k] = v + (p1 if v >= 0 else m1)
@@ -903,7 +923,17 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for c in comps:  # persistent coef store, padded to full MCUs
                 c["bw"] = mcus_x * c["h"]
                 c["bh"] = mcus_y * c["v"]
-                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+                n_blocks = c["bh"] * c["bw"]
+                # progressive: plain Python lists during entropy decode
+                # (the refinement loops read/write single coefficients,
+                # where list indexing is ~5x numpy scalar access; one
+                # ndarray conversion afterwards). Sequential: numpy
+                # rows (few writes per block, no re-reads — the array
+                # allocation wins there, measured both ways).
+                if marker == 0xC2:
+                    c["coef"] = [[0] * 64 for _ in range(n_blocks)]
+                else:
+                    c["coef"] = np.zeros((n_blocks, 64), np.int32)
             frame = {"h": h, "w": w, "comps": comps, "hmax": hmax,
                      "vmax": vmax, "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -943,8 +973,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         q = qtables.get(c["tq"])
         if q is None:
             raise ValueError(f"missing quantization table {c['tq']}")
-        nat = (c["coef"][:, _UNZIGZAG].astype(np.float64)
-               * q[np.newaxis, :].astype(np.float64))
+        coef = np.asarray(c["coef"], np.float64)
+        nat = coef[:, _UNZIGZAG] * q[np.newaxis, :].astype(np.float64)
         spatial = _idct(nat.reshape(-1, 8, 8)) + 128.0
         bh, bw_ = c["bh"], c["bw"]
         plane = (spatial.reshape(bh, bw_, 8, 8)

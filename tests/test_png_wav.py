@@ -320,3 +320,30 @@ def test_png_16bit_and_low_depths():
         rows.append(b"\x00" + np.packbits(bits).tobytes())
     got = png_decode(_png(7, 5, 4, 3, b"".join(rows), plte=plte))
     assert np.array_equal(got, plte[idx])
+
+
+def test_wav_8_and_24_bit_pcm():
+    """8-bit (unsigned) and 24-bit PCM decode to int16 correctly."""
+    import struct as _s
+
+    # hand-build an 8-bit mono wav: samples 0,128,255 -> int16
+    def wav(bits, ch, rate, data):
+        fmt = _s.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                      ch * bits // 8, bits)
+        return (b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + _s.pack("<I", 16) + fmt
+                + b"data" + _s.pack("<I", len(data)) + data)
+
+    out, rate = wav_decode(wav(8, 1, 8000, bytes([0, 128, 255])))
+    assert rate == 8000
+    assert out[:, 0].tolist() == [-32768, 0, 32512]  # (u-128)<<8
+
+    # 24-bit: values -(1<<23), 0, (1<<23)-1 -> top 16 bits
+    vals = [-(1 << 23), 0, (1 << 23) - 1, -256, 257]
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    out, _ = wav_decode(wav(24, 1, 8000, raw))
+    assert out[:, 0].tolist() == [v >> 8 for v in vals]
+
+    # 32-bit float still refuses at the boundary
+    with pytest.raises(NotImplementedError, match="PCM"):
+        wav_decode(wav(32, 1, 8000, b"\x00" * 8))
