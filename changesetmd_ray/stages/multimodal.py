@@ -304,6 +304,16 @@ class FrameSampleStub:
             p = payload or b""
             if self.codec == "video" and len(p) >= 8 and p[4:8] == b"ftyp":
                 return mp4_header(p)  # real ISO BMFF box walk
+            if self.codec == "video" and p[:4] == b"GIF8":
+                # animated GIF as a video row: frame count + fps from
+                # the header-only walk (no LZW decode)
+                from changesetmd_ray.stages.gif import gif_frame_count
+
+                n, delays = gif_frame_count(p)
+                nonzero = [d for d in delays if d > 0]
+                fps = (round(100 * len(nonzero) / sum(nonzero))
+                       if nonzero else self.fps)
+                return n, max(1, fps)
             return vid1_header(p)
         if self.codec == "strict":
             # real implementation: av.open(BytesIO(payload)) demux/decode

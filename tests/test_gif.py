@@ -104,3 +104,24 @@ def test_image_codec_mode_handles_gif(ray_session):
     f = out[0]["feature"]
     assert f[1] == 20.0 and f[2] == 10.0
     assert [round(x * 255) for x in f[3:6]] == [12, 34, 210]
+
+
+def test_frame_sampler_handles_animated_gif(ray_session):
+    """codec='video' sniffs animated GIFs: frame count + fps from the
+    header-only walk (delay 5 cs -> 20 fps -> ts in 50 ms steps)."""
+    import ray.data
+
+    from changesetmd_ray.stages.multimodal import sample_frames
+
+    f1 = np.full((6, 8, 3), (1, 2, 3), np.uint8)
+    f2 = np.full((6, 8, 3), (9, 8, 7), np.uint8)
+    payload = gif_encode_animated([f1, f2, f1, f2, f1], delay_cs=5)
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": pa.array(["video"], pa.string()),
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = sample_frames(ray.data.from_arrow(t), stride=2, codec="video",
+                        batch_size=8).take_all()
+    got = sorted((r["frame_idx"], r["ts_ms"]) for r in out)
+    assert got == [(0, 0), (2, 100), (4, 200)]
