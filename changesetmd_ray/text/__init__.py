@@ -26,7 +26,12 @@ exact dedup ≙ the PK/upsert invariant, reference ``queries.py:41``,
   (Arrow kernels + is_ascii fast path).
 """
 
-from changesetmd_ray.text.dedup import exact_dedup, minhash_lsh_candidates, simhash_candidates  # noqa: F401
+from changesetmd_ray.text.dedup import (  # noqa: F401
+    exact_dedup,
+    hamming_candidates,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
 from changesetmd_ray.text.ann import ann_cosine_topk  # noqa: F401
 from changesetmd_ray.text.semdedup import semdedup, semdedup_decisions  # noqa: F401
 from changesetmd_ray.text.linedup import line_dedup  # noqa: F401

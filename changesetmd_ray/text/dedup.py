@@ -816,6 +816,28 @@ def _simhash_chunk_params(n_bands: int) -> tuple[np.ndarray, np.ndarray]:
     return lo, masks
 
 
+def _explode_hamming_fp(ids: np.ndarray, fps: np.ndarray, *, n_bands: int,
+                        num_fold_buckets: int, id_col: str) -> pa.Table:
+    """Explode 64-bit fingerprints into the (band, __bucket, id, fp)
+    layout the Hamming bucket-pair reducer consumes: split 64 bits into
+    n_bands chunks; band key = splitmix64(band_idx ∥ chunk)."""
+    lo, masks = _simhash_chunk_params(n_bands)
+    chunks = (fps[:, None] >> lo[None, :]) & masks[None, :]  # (n, n_bands)
+    keys = splitmix64(
+        chunks ^ (np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(58))
+    )
+    band = keys.T.reshape(-1)  # band-major to match the tile layout
+    fold = (band & np.uint64(num_fold_buckets - 1)).astype(np.int64)
+    return pa.table(
+        {
+            "band": pa.array(band.astype(np.int64)),
+            "__bucket": pa.array(fold),
+            id_col: pa.array(np.tile(ids, n_bands)),
+            "fp": pa.array(np.tile(fps.astype(np.int64), n_bands)),
+        }
+    )
+
+
 class _SimHashStage:
     def __init__(self, max_hamming: int, text_col: str, id_col: str,
                  num_fold_buckets: int = 256, token_hasher=None):
@@ -832,21 +854,9 @@ class _SimHashStage:
         fps = np.fromiter(
             (simhash64(th(tokenize(t or ""))) for t in texts), np.uint64, len(texts)
         )
-        # split 64 bits into n_bands chunks; band key = (band_idx, chunk)
-        lo, masks = _simhash_chunk_params(self.n_bands)
-        chunks = (fps[:, None] >> lo[None, :]) & masks[None, :]  # (n, n_bands)
-        keys = splitmix64(
-            chunks ^ (np.arange(self.n_bands, dtype=np.uint64)[None, :] << np.uint64(58))
-        )
-        band = keys.T.reshape(-1)  # band-major to match the tile layout
-        fold = (band & np.uint64(self.num_fold_buckets - 1)).astype(np.int64)
-        return pa.table(
-            {
-                "band": pa.array(band.astype(np.int64)),
-                "__bucket": pa.array(fold),
-                self.id_col: pa.array(np.tile(ids, self.n_bands)),
-                "fp": pa.array(np.tile(fps.astype(np.int64), self.n_bands)),
-            }
+        return _explode_hamming_fp(
+            ids, fps, n_bands=self.n_bands,
+            num_fold_buckets=self.num_fold_buckets, id_col=self.id_col,
         )
 
 
@@ -878,6 +888,29 @@ def simhash_candidates(
     exact chunk value with ``np.unique`` and pairs are enumerated with
     blocked index arithmetic (popcount Hamming, argmax emit-once)."""
     check_pow2(num_fold_buckets, "num_fold_buckets")
+
+    _ = concurrency  # task pool: stage state rebuilds in microseconds,
+    # and fresh actor processes pay cold-start + first-touch paging
+
+    def simhash_fn(batch):
+        return _SimHashStage(
+            max_hamming=max_hamming, text_col=text_col, id_col=id_col,
+            num_fold_buckets=num_fold_buckets, token_hasher=token_hasher,
+        )(batch)
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        simhash_fn, batch_format="pyarrow"
+    )
+    return exploded.groupby("__bucket").map_groups(
+        _make_hamming_bucket_pairs(id_col, max_hamming), batch_format="pyarrow"
+    )
+
+
+def _make_hamming_bucket_pairs(id_col: str, max_hamming: int):
+    """Per-bucket reducer over the :func:`_explode_hamming_fp` layout:
+    regroup by (routing band, chunk value) with ``np.unique``, enumerate
+    pairs with blocked index arithmetic, exact popcount-Hamming check,
+    emit-once via the lowest-matching-band rule."""
     n_bands = max_hamming + 1
     lo, masks = _simhash_chunk_params(n_bands)
     bidx = np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(58)
@@ -938,19 +971,44 @@ def simhash_candidates(
              "hamming": pa.array(np.concatenate(out_h), pa.int64())}
         )
 
-    _ = concurrency  # task pool: stage state rebuilds in microseconds,
-    # and fresh actor processes pay cold-start + first-touch paging
+    return bucket_pairs
 
-    def simhash_fn(batch):
-        return _SimHashStage(
-            max_hamming=max_hamming, text_col=text_col, id_col=id_col,
-            num_fold_buckets=num_fold_buckets, token_hasher=token_hasher,
-        )(batch)
 
-    exploded = ds.select_columns([id_col, text_col]).map_batches(
-        simhash_fn, batch_format="pyarrow"
+def hamming_candidates(
+    ds,
+    *,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_fold_buckets: int = 256,
+):
+    """Near-dup pairs ``(id_a, id_b, hamming)`` over a PRECOMPUTED
+    64-bit fingerprint column (int64-viewed uint64) — the generic
+    Hamming-≤-t engine under :func:`simhash_candidates`, reused by
+    image perceptual-hash dedup (stages/media_fp.py) and any other
+    64-bit sketch.
+
+    Pigeonhole banding over ``max_hamming + 1`` chunks guarantees
+    recall 1.0: two fingerprints within Hamming t agree exactly on at
+    least one chunk. Only the thin (band, id, fp) projection crosses
+    the shuffle — payloads never move."""
+    check_pow2(num_fold_buckets, "num_fold_buckets")
+    n_bands = max_hamming + 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        fps = batch[fp_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return _explode_hamming_fp(
+            ids, fps, n_bands=n_bands,
+            num_fold_buckets=num_fold_buckets, id_col=id_col,
+        )
+
+    exploded = ds.select_columns([id_col, fp_col]).map_batches(
+        explode, batch_format="pyarrow"
     )
-    return exploded.groupby("__bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    return exploded.groupby("__bucket").map_groups(
+        _make_hamming_bucket_pairs(id_col, max_hamming), batch_format="pyarrow"
+    )
 
 
 def duplicate_clusters_dataset(
