@@ -1946,6 +1946,84 @@ def media_from_docs(sf_dir: str, out_dir: str, n_shards: int = 4) -> list[str]:
     return paths
 
 
+def mediafp_from_docs(sf_dir: str, out_dir: str) -> list[str]:
+    """Perceptual-hash + spectral-audio fixture (cached parquet, the
+    media_from_docs pattern; ids offset into the 10M/20M/30M ranges so
+    they never collide with the main media fixture):
+
+    - ``doc_id % 16 == 6`` — a NEAR-DUP IMAGE PAIR: a deterministic
+      photo-like multi-sinusoid RGB (params splitmix64-derived from
+      doc_id) stored as BMP (id ``10M + doc_id``) and its
+      brightness-shifted (+12) JPEG-q90 recompression (id
+      ``20M + doc_id``) — cross-format, so the pair is only findable
+      through REAL decode → pHash. Measured margins over the full sf0.1
+      id range: planted-pair Hamming ≤ 8, so ``max_hamming=10`` makes
+      recall a pigeonhole GUARANTEE (unrelated fixture images may
+      legitimately fall inside the radius too — low-frequency content
+      on a 12-parameter manifold collides — which is why the query
+      asserts recall rather than pair-set equality, the ann_lsh
+      pattern).
+    - ``doc_id % 16 == 14`` — an alternating-sign square wave
+      (amplitude ``a = 500 + (doc_id·53) % 2500``, ``n = 128 +
+      2·(doc_id % 33)`` samples at 8 kHz, id ``30M + doc_id``): ALL
+      energy sits in the Nyquist bin, so spectral centroid and rolloff
+      round to exactly 4000 Hz and ``rms = a/32768`` is float-exact
+      (power-of-two divisor) — closed-form oracle values for the
+      AudioFeatures rFFT stage."""
+    from changesetmd_ray.stages.codecs import bmp_encode, wav_encode
+    from changesetmd_ray.stages.jpeg import jpeg_encode
+    from changesetmd_ray.text.hashing import splitmix64 as _sm
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "part-00000.parquet")
+    if os.path.exists(path):
+        return [path]
+    docs = _read_small(sf_dir, "documents", ["doc_id"])
+    did = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    def grad_img(d: int) -> np.ndarray:
+        u = _sm(np.uint64(d * 131) + np.arange(12, dtype=np.uint64)).astype(
+            np.float64) / 2**64
+        img = np.zeros((h, w, 3))
+        for c in range(3):
+            fy, fx = 0.5 + 2.5 * u[4 * c], 0.5 + 2.5 * u[4 * c + 1]
+            py, px = 2 * np.pi * u[4 * c + 2], 2 * np.pi * u[4 * c + 3]
+            img[..., c] = 128 + 90 * np.sin(2 * np.pi * fy * yy / h + py) * np.cos(
+                2 * np.pi * fx * xx / w + px)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    ids, mtypes, payloads = [], [], []
+    for d in did:
+        d = int(d)
+        if d % 16 == 6:
+            base = grad_img(d)
+            near = np.clip(base.astype(np.int16) + 12, 0, 255).astype(np.uint8)
+            ids += [10_000_000 + d, 20_000_000 + d]
+            mtypes += ["image", "image"]
+            payloads += [bmp_encode(base), jpeg_encode(near, quality=90)]
+        elif d % 16 == 14:
+            a = 500 + (d * 53) % 2500
+            n = 128 + 2 * (d % 33)
+            pcm = np.full(n, a, np.int16)
+            pcm[1::2] = -a
+            ids.append(30_000_000 + d)
+            mtypes.append("audio")
+            payloads.append(wav_encode(pcm, 8000))
+    table = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(mtypes, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return [path]
+
+
 def q_media_pipeline(sf_dir: str):
     """The full multimodal surface in ONE query (stages/multimodal.py),
     through the REAL codecs (stages/codecs.py BMP + stages/jpeg.py
@@ -2051,10 +2129,79 @@ def q_media_pipeline(sf_dir: str):
             }
         )
 
+    # --- round-5 branches: perceptual-hash near-dup + spectral audio
+    # (stages/media_fp.py) over the planted cross-format fixture.
+    from changesetmd_ray.stages.media_fp import (
+        audio_features,
+        media_neardup_candidates,
+    )
+
+    fp_paths = mediafp_from_docs(sf_dir, f"/tmp/changesetmd_mediafp_v1_{tag}")
+    fp_ds = ray.data.read_parquet(
+        fp_paths, columns=["media_id", "media_type", "payload"])
+
+    # recall assertion (the ann_lsh pattern): every planted BMP↔JPEG
+    # pair MUST be found at max_hamming=10 (measured planted Hamming
+    # ≤ 8 over the full sf0.1 id range + pigeonhole banding = a
+    # guarantee); unrelated fixture images inside the radius are
+    # legitimate near-dups of the fingerprint, so the emitted rows are
+    # the asserted planted pairs, not the full pair set.
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in media_neardup_candidates(fp_ds, max_hamming=10).take_all()
+    }
+    planted_d = [
+        int(d) for d in _read_small(sf_dir, "documents", ["doc_id"])
+        ["doc_id"].to_numpy(zero_copy_only=False) if d % 16 == 6
+    ]
+    missing = [
+        d for d in planted_d if (10_000_000 + d, 20_000_000 + d) not in found
+    ]
+    if missing:
+        raise AssertionError(
+            f"media near-dup recall failure: planted pairs missed for doc_ids {missing[:5]}"
+        )
+    phash_rows = ray.data.from_arrow(pa.table(
+        {
+            "media_id": pa.array([10_000_000 + d for d in planted_d], pa.int64()),
+            "kind": pa.array(["phash"] * len(planted_d), pa.string()),
+            "frame_idx": pa.array([20_000_000 + d for d in planted_d], pa.int64()),
+            "ts_ms": pa.nulls(len(planted_d), pa.int64()),
+            "payload_bytes": pa.nulls(len(planted_d), pa.int64()),
+            "f0": pa.nulls(len(planted_d), pa.float64()),
+        }
+    ))
+
+    def audio_fp_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.fill_null(pc.equal(batch["media_type"], "audio"), False))
+
+    spectral = audio_features(
+        fp_ds.map_batches(audio_fp_only, batch_format="pyarrow"))
+
+    def spectral_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cent = batch["spectral_centroid_hz"].to_numpy(zero_copy_only=False)
+        roll = batch["spectral_rolloff_hz"].to_numpy(zero_copy_only=False)
+        # all planted energy sits in the Nyquist bin: centroid/rolloff
+        # equal 4000 Hz up to rFFT dust, so the integer round is exact
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": pa.array(["spectral"] * n, pa.string()),
+                "frame_idx": pa.array(np.rint(cent).astype(np.int64)),
+                "ts_ms": pa.array(np.rint(roll).astype(np.int64)),
+                "payload_bytes": pa.nulls(n, pa.int64()),
+                "f0": batch["rms"],  # a/32768 — float-exact both sides
+            }
+        )
+
     return (
         feats.map_batches(feat_rows, batch_format="pyarrow")
         .union(frames.map_batches(frame_rows, batch_format="pyarrow"))
         .union(audio.map_batches(audio_rows, batch_format="pyarrow"))
+        .union(phash_rows)
+        .union(spectral.map_batches(spectral_rows, batch_format="pyarrow"))
     )
 
 
@@ -2111,6 +2258,22 @@ select doc_id as media_id, 'audio' as kind,
        cast(44 + 2 * (100 + doc_id % 50) as bigint) as payload_bytes,
        cast(abs(((doc_id * 37) % 4001) - 2000) as double) / 32768.0 as f0
 from documents where doc_id % 4 = 3
+union all
+-- perceptual-hash near-dup recall assertions: the planted BMP <->
+-- JPEG-recompressed pair for every doc_id % 16 = 6 must be found (the
+-- query raises otherwise), emitted as (id_a, partner) rows
+select 10000000 + doc_id as media_id, 'phash' as kind,
+       20000000 + doc_id as frame_idx, cast(null as bigint) as ts_ms,
+       cast(null as bigint) as payload_bytes, cast(null as double) as f0
+from documents where doc_id % 16 = 6
+union all
+-- spectral features of the planted Nyquist-tone WAVs: centroid and
+-- rolloff round to exactly 4000 Hz, rms = a/32768 is float-exact
+select 30000000 + doc_id as media_id, 'spectral' as kind,
+       cast(4000 as bigint) as frame_idx, cast(4000 as bigint) as ts_ms,
+       cast(null as bigint) as payload_bytes,
+       cast(500 + (doc_id * 53) % 2500 as double) / 32768.0 as f0
+from documents where doc_id % 16 = 14
 """
 
 
