@@ -2055,7 +2055,12 @@ def q_media_pipeline(sf_dir: str):
     paths = media_from_docs(sf_dir, f"/tmp/changesetmd_media_v6_{tag}")
     # pruned read: the query's outputs derive from the payload alone;
     # meta_* columns never leave storage
-    ds = ray.data.read_parquet(paths, columns=["media_id", "media_type", "payload"])
+    # payload-heavy read: size blocks explicitly — the default splitter
+    # shreds media tables into ~1 MB blocks and per-task fixed costs
+    # dominate the decode (measured 6-9× on 20 k images, BASELINE.md
+    # round-5 media notes). Results are per-row / layout-invariant.
+    ds = ray.data.read_parquet(paths, columns=["media_id", "media_type", "payload"],
+                               override_num_blocks=max(16, 4 * len(paths)))
     resized = resize_media(ds, width=64, height=48, codec="image", batch_size=256)
 
     def images_only(batch: pa.Table) -> pa.Table:
@@ -2138,7 +2143,8 @@ def q_media_pipeline(sf_dir: str):
 
     fp_paths = mediafp_from_docs(sf_dir, f"/tmp/changesetmd_mediafp_v1_{tag}")
     fp_ds = ray.data.read_parquet(
-        fp_paths, columns=["media_id", "media_type", "payload"])
+        fp_paths, columns=["media_id", "media_type", "payload"],
+        override_num_blocks=16)  # payload-heavy: see the note above
 
     # recall assertion (the ann_lsh pattern): every planted BMP↔JPEG
     # pair MUST be found at max_hamming=10 (measured planted Hamming
