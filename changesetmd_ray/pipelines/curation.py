@@ -46,6 +46,7 @@ class CurationConfig:
     normalize_text: bool = False           # unicode NFC + control strip
     normalize_kwargs: dict = field(default_factory=dict)
     blocklist: list | None = None          # blocked host suffixes
+    url_dedup: bool = False                # canonical-URL recrawl dedup (needs url_col)
     langs: tuple | None = ("en",)          # allowed languages (None = keep all)
     quality_rule: bool = True              # Gopher-style quality_ok cut
     repetition: bool = True                # Gopher repetition rule
@@ -168,6 +169,8 @@ def curate(
         raise ValueError("domain_cap requires url_col")
     if cfg.blocklist is not None and url_col is None:
         raise ValueError("blocklist requires url_col")
+    if cfg.url_dedup and url_col is None:
+        raise ValueError("url_dedup requires url_col")
     if cfg.resample_power is not None and cfg.classifier_model is None:
         raise ValueError("resample_power requires classifier_model")
 
@@ -192,6 +195,12 @@ def curate(
 
         ds = checkpoint("blocklist", blocklist_filter(
             ds, cfg.blocklist, url_col=url_col))
+
+    if cfg.url_dedup:
+        from changesetmd_ray.text.domains import url_dedup as _url_dedup
+
+        ds = checkpoint("url_dedup", _url_dedup(
+            ds, url_col=url_col, id_col=id_col))
 
     if cfg.langs is not None:
         allowed = pa.array(sorted(set(cfg.langs)), pa.string())

@@ -201,3 +201,107 @@ def domain_cap(ds, *, key_col: str, url_col: str = "url",
     )
     return anti_join(ds, dropped, big_on=key_col, small_on=key_col,
                      broadcast_limit=broadcast_limit)
+
+
+# --------------------------------------------------- URL canonicalization
+
+# query params that never identify content (C4/RefinedWeb-style crawl
+# hygiene): tracking and click-attribution keys
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "utm_id", "gclid", "fbclid", "msclkid", "mc_eid", "mc_cid", "igshid",
+    "ref", "ref_src", "spm",
+)
+
+
+def url_normalize_array(urls, *, drop_params=TRACKING_PARAMS) -> pa.Array:
+    """Canonical URL per input (the URL-dedup key). Convention, pinned
+    by tests/test_domains.py (DuckDB-cross-checked):
+
+    1. fragment stripped (``#...``);
+    2. userinfo stripped (``user:pw@`` — never identifies content);
+    3. scheme + host lowercased (path/query case preserved);
+    4. default ports stripped (``http://…:80``, ``https://…:443``);
+    5. tracking query params in ``drop_params`` dropped, the remaining
+       params sorted bytewise, ``?`` dropped when nothing is left;
+    6. a bare root slash stripped (``http://a.com/`` ≡ ``http://a.com``).
+
+    Inputs without a ``scheme://host`` shape pass through unchanged
+    (relative links aren't canonicalizable without a base). The hot
+    path is all RE2/Arrow kernels; only DISTINCT query strings take the
+    Python param-sort (dictionary-encoded, and most URLs carry no
+    query at all)."""
+    u = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
+    # split scheme://[userinfo@]host[:port] from the rest; non-URLs get
+    # a null pre and are passed through at the end
+    ex = pc.extract_regex(
+        u, pattern=r"^(?P<pre>[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)(?P<rest>.*)$"
+    )
+    pre = pc.struct_field(ex, "pre")
+    rest = pc.struct_field(ex, "rest")
+    pre = pc.replace_substring_regex(pre, pattern=r"://[^/@]*@", replacement="://")
+    pre = pc.utf8_lower(pre)
+    pre = pc.replace_substring_regex(pre, pattern=r"^(http://[^/:]*):80$",
+                                     replacement=r"\1")
+    pre = pc.replace_substring_regex(pre, pattern=r"^(https://[^/:]*):443$",
+                                     replacement=r"\1")
+    rx = pc.extract_regex(rest, pattern=r"^(?P<path>[^?]*)(?:\?(?P<q>.*))?$")
+    path = pc.struct_field(rx, "path")
+    path = pc.replace_substring_regex(path, pattern=r"^/$", replacement="")
+    q = pc.struct_field(rx, "q")
+
+    # param drop + bytewise sort on DISTINCT query strings only
+    drop = frozenset(drop_params)
+    enc = q.dictionary_encode()
+    dict_vals = enc.dictionary.to_pylist() if len(enc.dictionary) else []
+    cleaned = []
+    for qs in dict_vals:
+        if qs is None:
+            cleaned.append(None)
+            continue
+        parts = [p for p in qs.split("&")
+                 if p and p.split("=", 1)[0] not in drop]
+        parts.sort()
+        cleaned.append("&".join(parts) if parts else None)
+    q_clean = (
+        pa.DictionaryArray.from_arrays(enc.indices,
+                                       pa.array(cleaned, pa.string()))
+        .cast(pa.string())
+        if dict_vals else pa.nulls(len(u), pa.string())
+    )
+    out = pc.binary_join_element_wise(
+        pre, path,
+        pc.if_else(pc.is_valid(q_clean),
+                   pc.binary_join_element_wise("?", q_clean, ""), ""),
+        "",
+    )
+    # rows that never matched the URL shape pass through unchanged
+    return pc.if_else(pc.is_valid(pre), out, u)
+
+
+def url_normalize(ds, *, url_col: str = "url", out_col: str = "url_norm",
+                  drop_params=TRACKING_PARAMS):
+    """Append the canonical-URL column (see
+    :func:`url_normalize_array`)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, url_normalize_array(batch[url_col],
+                                         drop_params=drop_params))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def url_dedup(ds, *, url_col: str = "url", id_col: str = "doc_id",
+              keep: str = "first", drop_params=TRACKING_PARAMS, **dedup_kwargs):
+    """One row per CANONICAL url — catches recrawls that differ only by
+    tracking params, fragments, default ports or param order. Composes
+    :func:`url_normalize` with the engine's payload-never-shuffles
+    exact dedup (``text/dedup.py::exact_dedup`` keyed on the normalized
+    column); the helper column is dropped from the survivors."""
+    from changesetmd_ray.text.dedup import exact_dedup
+
+    normed = url_normalize(ds, url_col=url_col, out_col="__url_norm",
+                           drop_params=drop_params)
+    out = exact_dedup(normed, key_col="__url_norm", id_col=id_col,
+                      keep=keep, **dedup_kwargs)
+    return out.drop_columns(["__url_norm"])

@@ -306,3 +306,35 @@ def test_snapshot_auto_estimation(ray_session, tmp_path):
     assert _resolve_snapshot(file_ds, False) is False
     with pytest.raises(ValueError, match="auto"):
         _resolve_snapshot(file_ds, "sometimes")
+
+
+def test_curate_url_dedup_stage(ray_session):
+    """Canonical-URL recrawl dedup as the first curation stage: rows
+    differing only by tracking params / default port / fragment
+    collapse to the lowest doc_id before any text stage runs."""
+    import ray.data
+
+    body = ("The survey ship logged tide heights and salinity readings "
+            "near the harbor every single morning during the season %d.")
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array([body % i for i in range(6)], pa.string()),
+            "url": pa.array([
+                "http://a.com/article?id=1",
+                "HTTP://A.com:80/article?id=1&utm_source=feed#top",  # recrawl of 0
+                "http://a.com/article?id=2",
+                "https://b.org/page",
+                "https://b.org/page?fbclid=xyz",                     # recrawl of 3
+                "https://c.net/",
+            ]),
+        }
+    )
+    cfg = CurationConfig(url_dedup=True, quality_rule=False, repetition=False,
+                         minhash=False, pii_scrub=False, langs=None)
+    res = curate(ray.data.from_arrow(t).repartition(3), url_col="url",
+                 config=cfg, report=True)
+    assert sorted(r["doc_id"] for r in res.dataset.take_all()) == [0, 2, 3, 5]
+    assert res.report["url_dedup"] == 4
+    with pytest.raises(ValueError):
+        curate(ray.data.from_arrow(t), config=CurationConfig(url_dedup=True))
