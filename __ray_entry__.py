@@ -43,8 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for EVERY registered query (50/50 —
     value-exact; ann_lsh via in-query recall assertions against the
-    exact top-k, media via the real BMP/VID1 codecs over planted
-    payloads; see queries.py for the float-parity rules)."""
+    exact top-k, media via the real BMP/JPEG/PNG/GIF/WAV/VID1/MP4
+    codecs over planted payloads — including cross-format perceptual-
+    hash near-dup recall rows and closed-form Nyquist-tone spectral
+    features; see queries.py for the float-parity rules)."""
     from changesetmd_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
