@@ -2154,7 +2154,9 @@ def q_media_pipeline(sf_dir: str):
     # the asserted planted pairs, not the full pair set.
     found = {
         (r["id_a"], r["id_b"])
-        for r in media_neardup_candidates(fp_ds, max_hamming=10).take_all()
+        for r in media_neardup_candidates(
+            fp_ds, max_hamming=10, hot_group_limit=None  # exact pair list
+        ).take_all()
     }
     planted_d = [
         int(d) for d in _read_small(sf_dir, "documents", ["doc_id"])

@@ -167,7 +167,8 @@ def media_neardup_candidates(ds, *, id_col: str = "media_id",
                              type_col: str = "media_type",
                              method: str = "phash", max_hamming: int = 6,
                              strict: bool = True, batch_size: int = 64,
-                             concurrency=None, num_fold_buckets: int = 256):
+                             concurrency=None, num_fold_buckets: int = 256,
+                             hot_group_limit: int | None = 4096):
     """Near-duplicate image pairs ``(id_a, id_b, hamming)`` with
     perceptual-hash Hamming ≤ ``max_hamming`` — decode+hash stage, then
     the pigeonhole-banded pair engine shared with SimHash. Feed the
@@ -186,7 +187,8 @@ def media_neardup_candidates(ds, *, id_col: str = "media_id",
     fps = fps.map_batches(drop_null_fp, batch_format="pyarrow")
     return hamming_candidates(fps, fp_col="phash", id_col=id_col,
                               max_hamming=max_hamming,
-                              num_fold_buckets=num_fold_buckets)
+                              num_fold_buckets=num_fold_buckets,
+                              hot_group_limit=hot_group_limit)
 
 
 class AudioFeatures:

@@ -869,8 +869,15 @@ def simhash_candidates(
     concurrency=(1, 8),
     num_fold_buckets: int = 256,
     token_hasher=None,
+    hot_group_limit: int | None = None,
 ):
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    ``hot_group_limit`` defaults OFF here (full enumeration — the
+    value-exact SQL-oracle contract below depends on it); set it (e.g.
+    4096, the :func:`hamming_candidates` default) to enable the
+    connectivity-preserving mega-cluster reduction on spam-shaped
+    corpora where thousands of documents share a fingerprint chunk.
     Pigeonhole banding guarantees recall 1.0 w.r.t. the fingerprints;
     exact Hamming check inside each bucket; emit-once via the
     lowest-matching-band rule. Returns ``(id_a, id_b, hamming)``.
@@ -902,15 +909,32 @@ def simhash_candidates(
         simhash_fn, batch_format="pyarrow"
     )
     return exploded.groupby("__bucket").map_groups(
-        _make_hamming_bucket_pairs(id_col, max_hamming), batch_format="pyarrow"
+        _make_hamming_bucket_pairs(id_col, max_hamming, hot_group_limit),
+        batch_format="pyarrow",
     )
 
 
-def _make_hamming_bucket_pairs(id_col: str, max_hamming: int):
+def _make_hamming_bucket_pairs(id_col: str, max_hamming: int,
+                               hot_group_limit: int | None = None):
     """Per-bucket reducer over the :func:`_explode_hamming_fp` layout:
     regroup by (routing band, chunk value) with ``np.unique``, enumerate
     pairs with blocked index arithmetic, exact popcount-Hamming check,
-    emit-once via the lowest-matching-band rule."""
+    emit-once via the lowest-matching-band rule.
+
+    ``hot_group_limit`` guards the adversarial mega-cluster regime (the
+    minhash ``hot_band_limit`` analogue): a (band, chunk) group pairing
+    ≥ that many rows switches to a CONNECTIVITY-PRESERVING reduction —
+    rows with IDENTICAL fingerprints collapse to a star around their
+    min id (distance 0 is transitive, so the star spans the class
+    exactly), and cross pairs are enumerated between class
+    REPRESENTATIVES only. Connected components over the emitted pairs
+    (the dedup consumer) are IDENTICAL to the full enumeration's: every
+    member reaches its representative through a 0-distance edge, and
+    ``hamming(u, v)`` depends only on the two fingerprints, so a
+    rep-rep edge exists iff every member-member edge between the two
+    classes does. Only the pairwise LIST is reduced (m−1 + distinct²/2
+    rows instead of m²/2), which is the documented trade. ``None`` =
+    always enumerate in full (the value-exact SQL-oracle contract)."""
     n_bands = max_hamming + 1
     lo, masks = _simhash_chunk_params(n_bands)
     bidx = np.arange(n_bands, dtype=np.uint64)[None, :] << np.uint64(58)
@@ -935,15 +959,12 @@ def _make_hamming_bucket_pairs(id_col: str, max_hamming: int):
         _, labels, counts = np.unique(gkey, axis=0, return_inverse=True, return_counts=True)
         order = np.argsort(labels, kind="stable")
         out_a, out_b, out_h = [], [], []
-        pos = 0
-        for g in counts:
-            idx = order[pos : pos + g]
-            pos += g
-            if g < 2:
-                continue
-            bi = int(mi[idx[0]])  # the whole group shares its routing band
-            for px, py in _pair_index_blocks(int(g)):
-                gx, gy = idx[px], idx[py]
+
+        def emit_pairs(cand: np.ndarray, bi: int) -> None:
+            """Full blocked enumeration over the candidate row indices
+            with the hamming filter and the emit-once band rule."""
+            for px, py in _pair_index_blocks(len(cand)):
+                gx, gy = cand[px], cand[py]
                 keep = ids[gx] != ids[gy]
                 gx, gy = gx[keep], gy[keep]
                 if len(gx) == 0:
@@ -963,6 +984,37 @@ def _make_hamming_bucket_pairs(id_col: str, max_hamming: int):
                 out_a.append(np.minimum(ids[gx], ids[gy]))
                 out_b.append(np.maximum(ids[gx], ids[gy]))
                 out_h.append(d)
+
+        pos = 0
+        for g in counts:
+            idx = order[pos : pos + g]
+            pos += g
+            if g < 2:
+                continue
+            bi = int(mi[idx[0]])  # the whole group shares its routing band
+            if hot_group_limit is not None and g >= hot_group_limit:
+                # mega-group reduction: collapse identical fingerprints
+                # to (hub, member) stars, cross-enumerate reps only
+                _, inv = np.unique(fps[idx], return_inverse=True)
+                o2 = np.lexsort((ids[idx], inv))
+                inv_s, idx_s = inv[o2], idx[o2]
+                starts = np.concatenate(
+                    [[0], 1 + np.nonzero(np.diff(inv_s))[0]]).astype(np.int64)
+                if bi == 0:
+                    # identical fps agree on EVERY chunk, so their
+                    # 0-distance star emits exactly once: in band 0
+                    sel = np.ones(len(idx_s), bool)
+                    sel[starts] = False
+                    if sel.any():
+                        hub = np.repeat(
+                            ids[idx_s[starts]],
+                            np.diff(np.concatenate([starts, [len(idx_s)]])))
+                        out_a.append(np.minimum(hub[sel], ids[idx_s[sel]]))
+                        out_b.append(np.maximum(hub[sel], ids[idx_s[sel]]))
+                        out_h.append(np.zeros(int(sel.sum()), np.int64))
+                emit_pairs(idx_s[starts], bi)
+            else:
+                emit_pairs(idx, bi)
         if not out_a:
             return empty
         return pa.table(
@@ -981,6 +1033,7 @@ def hamming_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_fold_buckets: int = 256,
+    hot_group_limit: int | None = 4096,
 ):
     """Near-dup pairs ``(id_a, id_b, hamming)`` over a PRECOMPUTED
     64-bit fingerprint column (int64-viewed uint64) — the generic
@@ -991,7 +1044,15 @@ def hamming_candidates(
     Pigeonhole banding over ``max_hamming + 1`` chunks guarantees
     recall 1.0: two fingerprints within Hamming t agree exactly on at
     least one chunk. Only the thin (band, id, fp) projection crosses
-    the shuffle — payloads never move."""
+    the shuffle — payloads never move.
+
+    ``hot_group_limit`` (default on, the minhash ``hot_band_limit``
+    analogue) switches (band, chunk) groups pairing ≥ that many rows to
+    the connectivity-preserving mega-cluster reduction — identical-
+    fingerprint stars + representative cross pairs; connected
+    components are identical to the full enumeration's (see
+    :func:`_make_hamming_bucket_pairs`). Pass ``None`` for the
+    value-exact full pair list at any scale."""
     check_pow2(num_fold_buckets, "num_fold_buckets")
     n_bands = max_hamming + 1
 
@@ -1007,7 +1068,8 @@ def hamming_candidates(
         explode, batch_format="pyarrow"
     )
     return exploded.groupby("__bucket").map_groups(
-        _make_hamming_bucket_pairs(id_col, max_hamming), batch_format="pyarrow"
+        _make_hamming_bucket_pairs(id_col, max_hamming, hot_group_limit),
+        batch_format="pyarrow",
     )
 
 

@@ -213,3 +213,45 @@ def test_hamming_candidates_generic_fp_column(ray_session):
     ).take_all()
     got = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
     assert got == {(1, 2): 3, (3, 4): 1}
+
+
+def test_hamming_hot_group_reduction_preserves_components(ray_session):
+    """A planted mega-cluster (identical fps) plus satellite near-dups:
+    the hot-group reduction must cut the pair LIST but keep connected
+    components identical to the full enumeration."""
+    from changesetmd_ray.text.dedup import duplicate_clusters, hamming_candidates
+
+    rng = np.random.default_rng(11)
+    n_clique, n_bg = 40, 200
+    base = np.uint64(0xDEADBEEFCAFEF00D)
+    fps = [base] * n_clique                       # identical-fp mega-class
+    fps += [base ^ np.uint64(1 << int(b)) for b in range(8)]  # satellites d=1
+    fps += list(rng.integers(0, 2**63, n_bg, dtype=np.uint64))  # background
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(fps))), pa.int64()),
+            "fp": pa.array(np.asarray(fps, np.uint64).view(np.int64), pa.int64()),
+        }
+    )
+
+    def components(pairs):
+        tbl = pa.table(
+            {"id_a": pa.array([p["id_a"] for p in pairs], pa.int64()),
+             "id_b": pa.array([p["id_b"] for p in pairs], pa.int64())}
+        )
+        got = duplicate_clusters(tbl)
+        return sorted(zip(got["doc_id"].to_pylist(), got["rep_id"].to_pylist()))
+
+    full = hamming_candidates(
+        ray.data.from_arrow(t).repartition(4), max_hamming=2,
+        hot_group_limit=None).take_all()
+    red = hamming_candidates(
+        ray.data.from_arrow(t).repartition(4), max_hamming=2,
+        hot_group_limit=8).take_all()
+    assert len(red) < len(full)              # the list really shrank
+    assert components(red) == components(full)
+    # every emitted reduced pair is a true within-radius pair
+    assert all(p["hamming"] <= 2 for p in red)
+    # the mega-class star: every member connects to the class min id
+    red_set = {(p["id_a"], p["id_b"]) for p in red}
+    assert all((0, i) in red_set for i in range(1, n_clique))

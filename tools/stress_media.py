@@ -144,12 +144,27 @@ def main() -> None:
     hit = sum(
         1 for d in range(args.n) if k and d % k == k - 1 and (d - 1, d) in found
     )
+    # the operator's contract is CONNECTIVITY (the hot-group reduction
+    # may route a planted pair through its identical-fp hub): a planted
+    # pair counts as recalled when both sides share a component
+    from changesetmd_ray.text.dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pa.table(
+        {"id_a": pa.array([p["id_a"] for p in pairs], pa.int64()),
+         "id_b": pa.array([p["id_b"] for p in pairs], pa.int64())}
+    ))
+    rep = dict(zip(clusters["doc_id"].to_pylist(), clusters["rep_id"].to_pylist()))
+    conn_hit = sum(
+        1 for d in range(args.n)
+        if k and d % k == k - 1 and rep.get(d - 1, d - 1) == rep.get(d, d)
+    )
     print(json.dumps(
         {
             "n_images": args.n,
             "img": args.img,
             "planted_pairs": planted,
-            "recall": round(hit / max(planted, 1), 4),
+            "recall_direct_pair": round(hit / max(planted, 1), 4),
+            "recall_connected": round(conn_hit / max(planted, 1), 4),
             "pairs_found": len(pairs),
             "synth_sec": round(synth_s, 2),
             "phash_sec": round(phash_s, 2),
