@@ -350,3 +350,37 @@ def test_repetition_features_batch_independence(docs):
             if c == "text":
                 continue
             assert single[c][0].as_py() == batched[c][i].as_py(), (i, c, d)
+
+
+_url_chars = st.text(
+    alphabet="abAB09-._~%/?&=#@:;+!", min_size=0, max_size=40)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            _url_chars,
+            st.builds(
+                lambda scheme, host, port, rest: f"{scheme}://{host}{port}{rest}",
+                st.sampled_from(["http", "HTTP", "https", "ftp", "Https"]),
+                st.sampled_from(["A.com", "www.Site.ORG", "x.y.z", "a-b.c9.io"]),
+                st.sampled_from(["", ":80", ":443", ":8080"]),
+                _url_chars,
+            ),
+        ),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_url_normalize_idempotent_property(urls):
+    """normalize(normalize(u)) == normalize(u) for arbitrary URL-shaped
+    and URL-unshaped strings (the dedup key must be a fixpoint), and
+    the kernel never raises or nulls a non-null input."""
+    import pyarrow as pa
+
+    from changesetmd_ray.text.domains import url_normalize_array
+
+    once = url_normalize_array(pa.array(urls, pa.string()))
+    twice = url_normalize_array(once)
+    assert twice.to_pylist() == once.to_pylist()
+    assert not any(v is None for v in once.to_pylist())
