@@ -140,11 +140,13 @@ def _warmup(num_cpus: int, sf_dir: str | None = None) -> None:
         # pre-materialize the derived pages fixture (cached under /tmp):
         # it is test INPUT, not pipeline work — a cold /tmp otherwise
         # charges fixture synthesis to the first pages_* query timing
-        from changesetmd_ray.pipelines.queries import media_from_docs, pages_from_docs
+        from changesetmd_ray.pipelines.queries import pages_from_docs
 
         tag = os.path.basename(os.path.normpath(sf_dir))
         pages_from_docs(sf_dir, f"/tmp/changesetmd_pages_v2_{tag}")
-        media_from_docs(sf_dir, f"/tmp/changesetmd_media_v1_{tag}")
+        # (media fixtures are NOT prebuilt: media_pipeline is a
+        # correctness query, not a bench entry — its 25 k-payload
+        # fixture build would be pure warmup waste here)
 
 
 def headline(sf_dir: str, n_points: int, num_cpus: int) -> dict:
