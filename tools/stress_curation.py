@@ -8,7 +8,12 @@ two planted pathologies a real web crawl exhibits:
 - **one near-duplicate cluster owns 10 % of the corpus** (a shared
   ~120-word passage + one per-row unique token, so exact dedup keeps
   every member and MinHash must resolve ONE corpus-sized component
-  through the hot-band star guard and cluster propagation).
+  through the hot-band star guard and cluster propagation);
+- **20 % of rows are tracking-param recrawls** (same canonical url
+  as the previous row behind utm/gclid params, an uppercase scheme,
+  the default port and a fragment) — `url_dedup=True` must collapse
+  them up front through `url_normalize` + the loser-broadcast exact
+  dedup, before any text stage touches them.
 
 Every other replica gets a unique text tail so replication itself does
 not create exact duplicates. The corpus is written to /tmp parquet and
@@ -77,7 +82,15 @@ def synth_corpus(out_dir: str, mult: int) -> int:
                 texts.append(f"{texts0[j]} r{m} u{did}")
             host = ("spam.example.com" if did % 2 == 0
                     else f"host{j}.example.org")
-            urls.append(f"https://{host}/p/{did}")
+            # every 5th row is a tracking-param RECRAWL of the row
+            # before it (same canonical url; text differs only by the
+            # unique tail) — url_dedup must collapse it before the
+            # text stages ever see it
+            if did % 5 == 4:
+                urls.append(
+                    f"HTTPS://{host}:443/p/{did - 1}?utm_source=feed&gclid=g{did}#top")
+            else:
+                urls.append(f"https://{host}/p/{did}")
         tbl = pa.table({
             "doc_id": pa.array(ids),
             "text": pa.array(texts, pa.string()),
@@ -101,7 +114,7 @@ def run_leg(corpus_dir: str, rows_in: int, num_cpus: int, mult: int) -> dict:
     t0 = time.perf_counter()
     res = curate(
         ds, lang_col="lang", url_col="url",
-        config=CurationConfig(domain_cap=100),
+        config=CurationConfig(domain_cap=100, url_dedup=True),
     )
     rows_out = res.dataset.count()
     secs = time.perf_counter() - t0
