@@ -37,3 +37,4 @@ from changesetmd_ray.text.semdedup import semdedup, semdedup_decisions  # noqa: 
 from changesetmd_ray.text.linedup import line_dedup  # noqa: F401
 from changesetmd_ray.text.spandup import span_dedup  # noqa: F401
 from changesetmd_ray.text.normalize import normalize_text  # noqa: F401
+from changesetmd_ray.text.embed import embed_documents  # noqa: F401
