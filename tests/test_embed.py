@@ -85,3 +85,31 @@ def test_embed_documents_dataset_and_ann(ray_session):
     top = ann_cosine_topk(corpus, queries, 2).take_all()
     ids = [r["neighbor_id"] for r in sorted(top, key=lambda r: -r["cosine"])]
     assert ids[0] == 0 and ids[1] == 1
+
+
+def test_embed_to_semdedup_composition(ray_session):
+    """Self-contained semantic dedup from RAW TEXT: documents →
+    HashedEmbedder → semdedup. The planted near-paraphrase must drop
+    at a threshold the unrelated docs clear."""
+    from changesetmd_ray.text.semdedup import semdedup
+
+    base = [
+        DOC_A,
+        DOC_B,
+        "volcanic soil samples show elevated mineral content after eruptions",
+        "the municipal library extended weekend opening hours this spring",
+    ]
+    texts = base + [DOC_A_NEAR]  # near-dup of doc 0
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    emb = embed_documents(ray.data.from_arrow(t).repartition(2), dim=64)
+    # one cluster: 5 docs give k-means no stable 2-way split, and the
+    # within-cluster sweep is what this composition test pins
+    kept = semdedup(emb, threshold=0.85, n_clusters=1, train_size=16)
+    ids = sorted(r["vec_id"] for r in kept.take_all())
+    assert 4 not in ids            # the paraphrase died
+    assert set(ids) >= {1, 2, 3}   # unrelated docs survive
