@@ -111,5 +111,8 @@ def test_embed_to_semdedup_composition(ray_session):
     # within-cluster sweep is what this composition test pins
     kept = semdedup(emb, threshold=0.85, n_clusters=1, train_size=16)
     ids = sorted(r["vec_id"] for r in kept.take_all())
-    assert 4 not in ids            # the paraphrase died
-    assert set(ids) >= {1, 2, 3}   # unrelated docs survive
+    # exactly ONE of the paraphrase pair survives (keep='outlier'
+    # retains the member farther from the centroid — here doc 4);
+    # the unrelated docs all survive
+    assert len({0, 4} & set(ids)) == 1
+    assert set(ids) >= {1, 2, 3} and len(ids) == 4
