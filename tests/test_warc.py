@@ -113,8 +113,8 @@ def test_warc_feeds_extract_stage(tmp_path, ray_session):
     text passthrough is its own pinned invariant)."""
     from changesetmd_ray.stages.extract import GeoExtractor
 
-    html = (b"<html><head><meta name='geo.position' "
-            b"content='52.5163;13.3777'></head>"
+    html = (b"<html><head><meta name=\"geo.position\" "
+            b"content=\"52.5163;13.3777\"></head>"
             b"<body>Brandenburger Tor</body></html>")
     recs = [warc_record("response", "http://ex.com/geo", DATE,
                         http_response(html))]
