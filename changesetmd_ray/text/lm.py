@@ -183,3 +183,49 @@ def lm_filter(ds, model: ByteLmModel, max_log2_ppl: float, *,
         return batch.filter(pa.array(s <= max_log2_ppl))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def ppl_partition(ds, model: ByteLmModel, *, text_col: str = "text",
+                  out_col: str = "ppl_bucket", keep: tuple | None = None,
+                  fractions: tuple = (1.0 / 3.0, 2.0 / 3.0),
+                  batch_size: int = 1024):
+    """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): score
+    every doc, find the corpus ``fractions`` quantiles of the score
+    EXACTLY (stages/stats.py::exact_quantiles — combiner-first
+    histogram refinement, no driver materialization of scores), then
+    tag each doc ``head`` (most fluent, score ≤ q1) / ``middle`` /
+    ``tail``. With ``keep`` (e.g. ``("head", "middle")`` — the usual
+    training cut) the non-kept buckets are dropped and ``out_col``
+    still records the bucket.
+
+    Two passes over the corpus by construction (the thresholds are
+    corpus statistics); both passes are map-only with the model
+    broadcast once, so the wall cost is ~2× ``lm_score``. Docs scoring
+    +inf (shorter than the model's n) land in ``tail``."""
+    if not (len(fractions) == 2 and 0.0 < fractions[0] < fractions[1] < 1.0):
+        raise ValueError(f"fractions must be ascending in (0,1): {fractions}")
+    from changesetmd_ray.stages.stats import exact_quantiles
+
+    scored = lm_score(ds, model, text_col=text_col, out_col="__log2_ppl",
+                      batch_size=batch_size)
+    qt = exact_quantiles(scored, col="__log2_ppl", qs=list(fractions))
+    q1, q2 = (qt["value"][0].as_py(), qt["value"][1].as_py())
+    if q1 is None:  # empty corpus
+        q1 = q2 = float("inf")
+    keep_set = set(keep) if keep is not None else None
+    if keep_set is not None and not keep_set <= {"head", "middle", "tail"}:
+        raise ValueError(f"keep must name head/middle/tail buckets, got {keep}")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch["__log2_ppl"].to_numpy(zero_copy_only=False)
+        bucket = np.where(s <= q1, "head", np.where(s <= q2, "middle", "tail"))
+        out = batch.drop_columns(["__log2_ppl"]).append_column(
+            out_col, pa.array(bucket.tolist(), pa.string()))
+        if keep_set is None:
+            return out
+        import pyarrow.compute as pc
+
+        return out.filter(pc.is_in(out[out_col],
+                                   value_set=pa.array(sorted(keep_set))))
+
+    return scored.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)

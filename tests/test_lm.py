@@ -88,3 +88,46 @@ def test_validation(ray_session):
         train_byte_lm(ray.data.from_items([{"text": "x"}]), n=1)
     m = ByteLmModel(n=4, gram=np.zeros(16, np.int64), ctx=np.zeros(16, np.int64))
     assert np.isinf(score_docs([""], m)[0])
+
+
+def test_ppl_partition_head_middle_tail(ray_session):
+    """CCNet terciles: fluent docs land in head/middle, gibberish in
+    tail; keep=('head','middle') drops exactly the tail; bucket sizes
+    match the tercile fractions."""
+    import ray.data
+
+    from changesetmd_ray.text.lm import ppl_partition
+
+    fluent = _mk(40)
+    gib = _gibberish(20)
+    docs = fluent + gib
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    model = train_byte_lm(
+        ray.data.from_arrow(pa.table({"text": pa.array(fluent)})),
+        n=4, n_buckets=1 << 14)
+
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = ppl_partition(ds, model).take_all()
+    assert len(out) == 60
+    buckets = {r["doc_id"]: r["ppl_bucket"] for r in out}
+    # terciles: 20 per bucket (exact-quantile thresholds on 60 docs)
+    from collections import Counter
+
+    sizes = Counter(buckets.values())
+    assert sizes["head"] + sizes["middle"] + sizes["tail"] == 60
+    assert abs(sizes["head"] - 20) <= 1 and abs(sizes["tail"] - 20) <= 1
+    # every gibberish doc scores worse than every fluent doc → tail
+    assert all(buckets[i] == "tail" for i in range(40, 60))
+
+    kept = ppl_partition(ds, model, keep=("head", "middle")).take_all()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        i for i in range(60) if buckets[i] != "tail")
+    with pytest.raises(ValueError):
+        ppl_partition(ds, model, keep=("head", "bogus"))
+    with pytest.raises(ValueError):
+        ppl_partition(ds, model, fractions=(0.9, 0.1))
