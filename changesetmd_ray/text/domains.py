@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import ray
 
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
-_USERINFO_RE = r"^[^/@]*@"
+_USERINFO_RE = r"^[^/]*@"  # greedy: userinfo ends at the LAST @ before the path
 
 
 def host_array(urls, *, strip_www: bool = True) -> pa.Array:
@@ -240,7 +240,7 @@ def url_normalize_array(urls, *, drop_params=TRACKING_PARAMS) -> pa.Array:
     )
     pre = pc.struct_field(ex, "pre")
     rest = pc.struct_field(ex, "rest")
-    pre = pc.replace_substring_regex(pre, pattern=r"://[^/@]*@", replacement="://")
+    pre = pc.replace_substring_regex(pre, pattern=r"://[^/]*@", replacement="://")
     pre = pc.utf8_lower(pre)
     pre = pc.replace_substring_regex(pre, pattern=r"^(http://[^/:]*):80$",
                                      replacement=r"\1")

@@ -225,7 +225,7 @@ def test_url_normalize_matches_duckdb():
         from s
       ), n as (
         select regexp_replace(regexp_replace(
-                 lower(regexp_replace(pre0, '://[^/@]*@', '://')),
+                 lower(regexp_replace(pre0, '://[^/]*@', '://')),
                  '^(http://[^/:]*):80$', '\\1'), '^(https://[^/:]*):443$', '\\1') as pre,
                regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '^/$', '') as path,
                case when rest like '%?%' then regexp_extract(rest, '^[^?]*\\?(.*)$', 1) end as q
