@@ -1210,3 +1210,57 @@ def duplicate_clusters(pairs: pa.Table, *, id_a: str = "id_a", id_b: str = "id_b
     ids = sorted(parent)
     reps = [find(i) for i in ids]
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "rep_id": pa.array(reps, pa.int64())})
+
+
+def content_keys(ds, *, key_col: str = "text", out_col: str = "key_hash"):
+    """Thin (``out_col``: int64) Dataset of 64-bit blake2b content
+    digests — a snapshot's PERSISTABLE key set (write it as parquet at
+    crawl N, :func:`exact_dedup_against` the next crawl with it). Same
+    digest convention as the line/span dedup units (``hash_bytes64``);
+    the 64-bit false-collision bound is n_new·n_prior/2⁶⁴ — a handful
+    of rows even at 10⁹×10⁹ keys, the documented trade for a key set
+    4× thinner than the 128-bit exact_dedup key."""
+    from changesetmd_ray.text.hashing import hash_bytes64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_pylist()
+        h = np.fromiter(
+            (hash_bytes64(
+                v.encode("utf-8") if isinstance(v, str) else (v or b""))
+             for v in vals),
+            np.uint64, len(vals))
+        return pa.table({out_col: pa.array(h.astype(np.int64), pa.int64())})
+
+    return ds.select_columns([key_col]).map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup_against(ds, prior_keys, *, key_col: str = "text",
+                        prior_col: str = "key_hash",
+                        broadcast_limit: int = 16_000_000,
+                        num_buckets: int = 128):
+    """Cross-snapshot dedup (the monthly-recrawl operation): drop rows
+    whose content key already exists in a PRIOR snapshot's key set
+    (:func:`content_keys` output, typically re-read from parquet).
+
+    Scale shape: the new corpus maps to a thin digest column in-flight
+    (payload never shuffles); the prior key set goes through the
+    size-gated membership join — ``ray.put`` broadcast below
+    ``broadcast_limit`` distinct keys, bucketed shuffle anti-join
+    above. Within-snapshot duplicates are :func:`exact_dedup`'s job —
+    compose both for full dedup."""
+    from changesetmd_ray.joins.broadcast import anti_join
+    from changesetmd_ray.text.hashing import hash_bytes64
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_pylist()
+        h = np.fromiter(
+            (hash_bytes64(
+                v.encode("utf-8") if isinstance(v, str) else (v or b""))
+             for v in vals),
+            np.uint64, len(vals))
+        return batch.append_column("__kh", pa.array(h.astype(np.int64), pa.int64()))
+
+    tagged = ds.map_batches(attach, batch_format="pyarrow")
+    out = anti_join(tagged, prior_keys, big_on="__kh", small_on=prior_col,
+                    broadcast_limit=broadcast_limit, num_buckets=num_buckets)
+    return out.drop_columns(["__kh"])

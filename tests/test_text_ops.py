@@ -891,3 +891,35 @@ def test_fingerprint_batch_matches_per_doc():
             mins = grams
         want.append(np.int64(np.bitwise_xor.reduce(np.unique(mins))).item())
     assert got == want
+
+
+def test_cross_snapshot_dedup(ray_session, tmp_path):
+    """Monthly-recrawl dedup: crawl N's key set persists as parquet;
+    crawl N+1 drops every key it already saw, keeps the rest — in both
+    the broadcast and the bucketed anti-join regimes."""
+    import os
+
+    import ray.data
+
+    from changesetmd_ray.text.dedup import content_keys, exact_dedup_against
+
+    prior_texts = [f"snapshot one doc {i}" for i in range(30)]
+    prior = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(30), pa.int64()),
+         "text": pa.array(prior_texts, pa.string())}))
+    keys_dir = os.path.join(tmp_path, "keys_n")
+    content_keys(prior, key_col="text").write_parquet(keys_dir)
+
+    new_texts = ([f"snapshot one doc {i}" for i in range(0, 30, 2)]  # recrawled
+                 + [f"snapshot two doc {i}" for i in range(10)])     # fresh
+    new = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(100, 100 + len(new_texts)), pa.int64()),
+         "text": pa.array(new_texts, pa.string())})).repartition(3)
+
+    for limit in (16_000_000, 0):  # broadcast vs bucketed shuffle
+        kept = exact_dedup_against(
+            new, ray.data.read_parquet(keys_dir),
+            key_col="text", broadcast_limit=limit).take_all()
+        assert sorted(r["text"] for r in kept) == sorted(
+            f"snapshot two doc {i}" for i in range(10)), f"limit={limit}"
+        assert all(set(r) == {"doc_id", "text"} for r in kept)
