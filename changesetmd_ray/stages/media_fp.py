@@ -269,3 +269,83 @@ def audio_features(ds, *, payload_col: str = "payload",
     return ds.map_batches(AudioFeatures, fn_constructor_kwargs=kwargs,
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+def image_quality_stats(img: np.ndarray) -> tuple[float, float, float, float]:
+    """(sharpness, brightness, contrast, entropy) of an RGB image —
+    the standard curation signals for dropping blurry / blank / low-
+    information images:
+
+    - ``sharpness``: variance of the 3×3 Laplacian of the luma (the
+      classic blur detector — box-blurred copies score far lower);
+    - ``brightness``: mean luma / 255 in [0, 1];
+    - ``contrast``: luma standard deviation / 255;
+    - ``entropy``: Shannon entropy of the 256-bin luma histogram in
+      bits (blank/synthetic fills score near 0, photos 6-8).
+
+    All vectorized numpy; one pass over the pixels."""
+    g = luma_f64(img)
+    lap = (-4.0 * g[1:-1, 1:-1] + g[:-2, 1:-1] + g[2:, 1:-1]
+           + g[1:-1, :-2] + g[1:-1, 2:]) if min(g.shape) >= 3 else np.zeros((1, 1))
+    hist = np.bincount(
+        np.clip(g, 0, 255).astype(np.uint8).reshape(-1), minlength=256)
+    p = hist[hist > 0] / hist.sum()
+    return (float(lap.var()), float(g.mean() / 255.0),
+            float(g.std() / 255.0), float(-(p * np.log2(p)).sum()))
+
+
+class ImageQuality:
+    """``map_batches`` stage: image payload → quality columns
+    (``sharpness, brightness, contrast, entropy``; nulls for non-image
+    rows). Same decode/strict conventions as :class:`MediaPHash`."""
+
+    def __init__(self, *, payload_col: str = "payload",
+                 type_col: str = "media_type", strict: bool = True):
+        self.payload_col = payload_col
+        self.type_col = type_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from changesetmd_ray.stages.multimodal import _decode_image
+
+        types = (batch[self.type_col].to_pylist()
+                 if self.type_col in batch.column_names else ["image"] * len(batch))
+        payloads = batch[self.payload_col].to_pylist()
+        cols: dict[str, list] = {"sharpness": [], "brightness": [],
+                                 "contrast": [], "entropy": []}
+        for t, p in zip(types, payloads):
+            if t != "image" or p is None:
+                for v in cols.values():
+                    v.append(None)
+                continue
+            try:
+                s, b, c, e = image_quality_stats(_decode_image(p))
+            except Exception:
+                if self.strict:
+                    raise
+                for v in cols.values():
+                    v.append(None)
+                continue
+            cols["sharpness"].append(s)
+            cols["brightness"].append(b)
+            cols["contrast"].append(c)
+            cols["entropy"].append(e)
+        for name, vals in cols.items():
+            batch = batch.append_column(name, pa.array(vals, pa.float64()))
+        return batch
+
+
+def image_quality(ds, *, payload_col: str = "payload",
+                  type_col: str = "media_type", strict: bool = True,
+                  batch_size: int = 64, concurrency=None):
+    """Media Dataset → + image-quality columns (see
+    :class:`ImageQuality`); filter downstream with plain expressions
+    (e.g. ``sharpness > 30 and 0.05 < brightness < 0.95``)."""
+    kwargs = dict(payload_col=payload_col, type_col=type_col, strict=strict)
+    if concurrency is None:
+        stage = ImageQuality(**kwargs)
+        return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                              batch_size=batch_size)
+    return ds.map_batches(ImageQuality, fn_constructor_kwargs=kwargs,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

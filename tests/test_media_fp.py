@@ -255,3 +255,37 @@ def test_hamming_hot_group_reduction_preserves_components(ray_session):
     # the mega-class star: every member connects to the class min id
     red_set = {(p["id_a"], p["id_b"]) for p in red}
     assert all((0, i) in red_set for i in range(1, n_clique))
+
+
+def test_image_quality_signals():
+    from changesetmd_ray.stages.media_fp import image_quality_stats
+
+    # sharp = photo with fine-grained detail; blurred = same content
+    # through a 3×3 box filter (the smoothing that kills the Laplacian)
+    rng = np.random.default_rng(21)
+    sharp = np.clip(
+        _photo(21).astype(np.float64) + rng.normal(0, 25, (96, 128, 3)),
+        0, 255).astype(np.uint8)
+    f = sharp.astype(np.float64)
+    acc = np.zeros_like(f)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            acc += np.roll(np.roll(f, dy, axis=0), dx, axis=1)
+    blurred = np.clip(acc / 9.0, 0, 255).astype(np.uint8)
+    s_sharp = image_quality_stats(sharp)
+    s_blur = image_quality_stats(blurred)
+    assert s_sharp[0] > 4 * s_blur[0]          # blur kills Laplacian var
+    black = np.zeros((32, 32, 3), np.uint8)
+    s_black = image_quality_stats(black)
+    assert s_black[1] == 0.0 and s_black[2] == 0.0 and s_black[3] == 0.0
+    assert 0.3 < s_sharp[1] < 0.8 and s_sharp[3] > 4.0
+
+
+def test_image_quality_stage(ray_session):
+    from changesetmd_ray.stages.media_fp import image_quality
+
+    out = image_quality(ray.data.from_arrow(_media_table())).take_all()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[4]["sharpness"] is None       # audio row → nulls
+    assert by_id[1]["entropy"] > 3.0           # photo-like
+    assert by_id[1]["sharpness"] > 0.0
