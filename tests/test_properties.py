@@ -384,3 +384,26 @@ def test_url_normalize_idempotent_property(urls):
     twice = url_normalize_array(once)
     assert twice.to_pylist() == once.to_pylist()
     assert not any(v is None for v in once.to_pylist())
+
+
+@given(
+    st.lists(
+        st.text(alphabet="<>/abp div scr&#;=\"'\n\t\x01\x02!-", min_size=0,
+                max_size=80),
+        min_size=1, max_size=16,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_html_to_text_robustness_property(docs):
+    """The extractor must never raise, never emit a tag or an internal
+    break sentinel, and always strip outer whitespace — for arbitrary
+    malformed tag soup including raw \\x01/\\x02 bytes in the input."""
+    import pyarrow as pa
+
+    from changesetmd_ray.stages.html_text import html_to_text_array
+
+    out = html_to_text_array(pa.array(docs, pa.string())).to_pylist()
+    for v in out:
+        assert v is not None
+        assert "\x01" not in v and "\x02" not in v
+        assert v == v.strip()
