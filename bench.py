@@ -282,6 +282,9 @@ def curation_bench(sf_dir: str, num_cpus: int) -> dict:
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    load_start = os.getloadavg()[0]  # window-noise diagnostic (see
+    # BASELINE.md: co-tenant load inflates entries that run during a
+    # spike; calm figures need load-avg < ~1.5)
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     import ray.data
@@ -315,6 +318,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "flagship_pages_per_sec": round(fl["pages_per_sec"], 1),
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(os.getloadavg()[0], 2),
     }
 
 
