@@ -18,7 +18,14 @@ Matching is ALIGNMENT-VERIFIED, the property that makes the scheme
 robust to time shifts: two clips count as near-dups when ≥
 ``min_matches`` hashes agree at ONE CONSISTENT time offset
 (``dt_anchor = t_a − t_b``) — random hash collisions scatter across
-offsets and never concentrate.
+offsets and never concentrate. Calibrate ``min_matches`` to the
+corpus: rich real-audio spectra give specific landmarks (literature
+uses ~10-20 matches), while tone-like/synthetic audio is degenerate —
+a sustained pure tone repeats the same skirt-bin landmarks every
+frame, so unrelated tone clips accumulate coincidences (measured at
+1 k two-second tone-sequence clips: planted-copy matches ≥ 838,
+spurious ≤ 90 — threshold 200 splits with ~4× margin either way,
+tools/stress_audio.py).
 
 Scale shape (same two-phase discipline as the other near-dup ops):
 the corpus maps to thin ``(hash, id, t)`` rows in-flight (payload
