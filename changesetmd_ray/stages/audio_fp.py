@@ -57,9 +57,23 @@ def _frames(x: np.ndarray) -> np.ndarray:
         x, shape=(n, N_FFT), strides=(x.strides[0] * HOP, x.strides[0]))
 
 
-def audio_fingerprints(pcm: np.ndarray, *, n_peaks: int = 5) -> tuple[np.ndarray, np.ndarray]:
+def audio_fingerprints(pcm: np.ndarray, *, n_peaks: int = 5,
+                       landmark_arity: int = 2) -> tuple[np.ndarray, np.ndarray]:
     """Clip → (uint64 landmark hashes, int64 anchor frame indices).
-    Deterministic; amplitude-invariant (peaks are per-frame ranks)."""
+    Deterministic; amplitude-invariant (peaks are per-frame ranks).
+
+    ``landmark_arity`` picks the hash specificity — the corpus-dedup
+    SCALE knob: shared-hash pair enumeration is inherently quadratic in
+    mean hash occupancy, and occupancy = landmark instances / hash
+    space. Arity 2 (Shazam's query shape, (f1, f2, dt), ~2 M effective
+    combos) is right for lookup against an index; for ALL-PAIRS corpus
+    dedup use arity 3 — (f1, f2, f3) across frames (i, i+dt, i+2dt)
+    packed as 27+5 bits — whose cubed space keeps occupancy ~1, making
+    the pair stage linear in corpus size (measured: tools/stress_audio).
+    Higher arity trades per-landmark noise robustness (all three peaks
+    must survive), covered by the match-count margin."""
+    if landmark_arity not in (2, 3):
+        raise ValueError(f"landmark_arity must be 2 or 3, got {landmark_arity}")
     x = pcm.astype(np.float64).reshape(pcm.shape[0], -1).mean(axis=1)
     fr = _frames(x)
     if len(fr) < 2:
@@ -86,14 +100,28 @@ def audio_fingerprints(pcm: np.ndarray, *, n_peaks: int = 5) -> tuple[np.ndarray
         dt = k * 3  # spread targets forward: 3, 6, ... 24 frames
         if dt > _MAX_DT or n - dt <= 0:
             break
-        f1 = idx[: n - dt]          # (m, p) anchor peak bins
-        f2 = idx[dt:]               # (m, p) target peak bins
-        valid = ok[: n - dt] & ok[dt:]
-        h = ((f1.astype(np.uint64) << np.uint64(18))
-             | (f2.astype(np.uint64) << np.uint64(7))
-             | np.uint64(dt))
-        t = np.broadcast_to(
-            np.arange(n - dt, dtype=np.int64)[:, None], f1.shape)
+        if landmark_arity == 2:
+            f1 = idx[: n - dt]          # (m, p) anchor peak bins
+            f2 = idx[dt:]               # (m, p) target peak bins
+            valid = ok[: n - dt] & ok[dt:]
+            h = ((f1.astype(np.uint64) << np.uint64(18))
+                 | (f2.astype(np.uint64) << np.uint64(7))
+                 | np.uint64(dt))
+            t = np.broadcast_to(
+                np.arange(n - dt, dtype=np.int64)[:, None], f1.shape)
+        else:
+            if n - 2 * dt <= 0:
+                break
+            f1 = idx[: n - 2 * dt]
+            f2 = idx[dt: n - dt]
+            f3 = idx[2 * dt:]
+            valid = ok[: n - 2 * dt] & ok[dt: n - dt] & ok[2 * dt:]
+            h = ((f1.astype(np.uint64) << np.uint64(23))
+                 | (f2.astype(np.uint64) << np.uint64(14))
+                 | (f3.astype(np.uint64) << np.uint64(5))
+                 | np.uint64(dt))
+            t = np.broadcast_to(
+                np.arange(n - 2 * dt, dtype=np.int64)[:, None], f1.shape)
         hashes.append(h[valid])
         anchors.append(t[valid])
     if not hashes:
@@ -105,6 +133,7 @@ def audio_neardup_candidates(ds, *, id_col: str = "media_id",
                              payload_col: str = "payload",
                              type_col: str = "media_type",
                              n_peaks: int = 5, min_matches: int = 12,
+                             landmark_arity: int = 2,
                              max_ids_per_hash: int = 64,
                              num_fold_buckets: int = 256):
     """Near-duplicate audio pairs ``(id_a, id_b, matches, offset)``:
@@ -128,7 +157,8 @@ def audio_neardup_candidates(ds, *, id_col: str = "media_id",
             if ty != "audio" or p is None:
                 continue
             pcm, _ = wav_decode(p)
-            h, t = audio_fingerprints(pcm, n_peaks=n_peaks)
+            h, t = audio_fingerprints(pcm, n_peaks=n_peaks,
+                                       landmark_arity=landmark_arity)
             out_h.append(h)
             out_t.append(t)
             out_id.append(np.full(len(h), ids[i], np.int64))

@@ -86,3 +86,28 @@ def test_neardup_finds_shifted_noisy_copy_only(ray_session):
 def test_neardup_empty_and_single(ray_session):
     rows = [(1, "audio", wav_encode(_chirp_clip(5), RATE))]
     assert audio_neardup_candidates(_media(rows)).take_all() == []
+
+
+def test_neardup_arity3_scale_path(ray_session):
+    """The corpus-dedup scale knob: peak-TRIPLE landmarks must find the
+    same planted pair (measured margins: planted >= 738 vs spurious
+    <= 16 matches at 1k clips — see tools/stress_audio.py)."""
+    rng = np.random.default_rng(7)
+    base = _chirp_clip(42)
+    shifted = np.concatenate(
+        [np.zeros(RATE // 4, np.int16),
+         (0.7 * base + rng.normal(0, 120, len(base))).astype(np.int16)])
+    rows = [
+        (1, "audio", wav_encode(base, RATE)),
+        (2, "audio", wav_encode(shifted, RATE)),
+        (3, "audio", wav_encode(_chirp_clip(99), RATE)),
+    ]
+    pairs = audio_neardup_candidates(
+        _media(rows), landmark_arity=3, min_matches=100).take_all()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    import pytest
+
+    from changesetmd_ray.stages.audio_fp import audio_fingerprints
+
+    with pytest.raises(ValueError):
+        audio_fingerprints(base, landmark_arity=4)
