@@ -48,7 +48,11 @@ class MediaCurationConfig:
     image_neardup: bool = True
     phash_max_hamming: int = 6
     audio_neardup: bool = True
-    audio_min_matches: int = 12
+    # all-pairs corpus dedup wants the arity-3 landmark space (hash
+    # occupancy ~1 → linear pair stage; see stages/audio_fp.py and the
+    # BASELINE scale-law measurement); arity 2 is the query/index shape
+    audio_landmark_arity: int = 3
+    audio_min_matches: int = 100
     strict_decode: bool = True
     cluster_dataset_limit: int = 2_000_000  # pairs; above → distributed CC
 
@@ -155,7 +159,8 @@ def curate_media(ds, *, id_col: str = "media_id",
         from changesetmd_ray.stages.audio_fp import audio_neardup_candidates
 
         pairs = audio_neardup_candidates(
-            ds, id_col=id_col, min_matches=cfg.audio_min_matches)
+            ds, id_col=id_col, min_matches=cfg.audio_min_matches,
+            landmark_arity=cfg.audio_landmark_arity)
         losers = _cluster_losers(pairs, limit=cfg.cluster_dataset_limit)
         ds = checkpoint("audio_neardup", _drop_ids(ds, losers, id_col=id_col))
 
