@@ -122,23 +122,28 @@ def curate_media(ds, *, id_col: str = "media_id",
         ds = checkpoint("exact_dedup", deduped.drop_columns(
             ["payload_bytes", "payload_hash"]))
 
-    if cfg.quality_filter:
-        from changesetmd_ray.stages.media_fp import ImageQuality
+    # quality + pHash share ONE decode pass (MediaStats — decode is the
+    # recipe's dominant cost); the fused columns drive both the quality
+    # filter and the near-dup exchange, then drop before output
+    if cfg.quality_filter or cfg.image_neardup:
+        from changesetmd_ray.stages.media_fp import MediaStats
 
-        stage = ImageQuality(strict=cfg.strict_decode)
+        stats = MediaStats(strict=cfg.strict_decode)
+        ds = ds.map_batches(lambda b: stats(b), batch_format="pyarrow")
+
+    if cfg.quality_filter:
         lo, hi = cfg.brightness_range
         min_sharp, min_ent = cfg.min_sharpness, cfg.min_entropy
 
         def quality_keep(batch: pa.Table) -> pa.Table:
-            scored = stage(batch)
-            sharp = scored["sharpness"]
+            sharp = batch["sharpness"]
             ok = pc.and_(
                 pc.and_(
                     pc.greater_equal(sharp, min_sharp),
-                    pc.greater_equal(scored["entropy"], min_ent)),
+                    pc.greater_equal(batch["entropy"], min_ent)),
                 pc.and_(
-                    pc.greater_equal(scored["brightness"], lo),
-                    pc.less_equal(scored["brightness"], hi)))
+                    pc.greater_equal(batch["brightness"], lo),
+                    pc.less_equal(batch["brightness"], hi)))
             # non-image rows (null stats) pass through untouched
             keep = pc.fill_null(pc.or_(pc.is_null(sharp), ok), True)
             return batch.filter(keep)
@@ -147,13 +152,22 @@ def curate_media(ds, *, id_col: str = "media_id",
             quality_keep, batch_format="pyarrow"))
 
     if cfg.image_neardup:
-        from changesetmd_ray.stages.media_fp import media_neardup_candidates
+        from changesetmd_ray.text.dedup import hamming_candidates
 
-        pairs = media_neardup_candidates(
-            ds, id_col=id_col, max_hamming=cfg.phash_max_hamming,
-            strict=cfg.strict_decode)
+        def image_fps(batch: pa.Table) -> pa.Table:
+            t = batch.select([id_col, "phash"])
+            return t.filter(pc.is_valid(t["phash"]))
+
+        pairs = hamming_candidates(
+            ds.map_batches(image_fps, batch_format="pyarrow"),
+            fp_col="phash", id_col=id_col,
+            max_hamming=cfg.phash_max_hamming)
         losers = _cluster_losers(pairs, limit=cfg.cluster_dataset_limit)
         ds = checkpoint("image_neardup", _drop_ids(ds, losers, id_col=id_col))
+
+    if cfg.quality_filter or cfg.image_neardup:
+        ds = ds.drop_columns(
+            ["phash", "sharpness", "brightness", "contrast", "entropy"])
 
     if cfg.audio_neardup:
         from changesetmd_ray.stages.audio_fp import audio_neardup_candidates

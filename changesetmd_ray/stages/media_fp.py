@@ -349,3 +349,59 @@ def image_quality(ds, *, payload_col: str = "payload",
     return ds.map_batches(ImageQuality, fn_constructor_kwargs=kwargs,
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class MediaStats:
+    """Fused decode stage: ONE decode per image emits BOTH the
+    perceptual hash and the quality columns — the media-curation
+    recipe's hot path is decode-bound, so separate quality and pHash
+    stages pay the dominant cost twice. Appends ``phash, sharpness,
+    brightness, contrast, entropy`` (nulls for non-image rows), keeps
+    the payload (the recipe filters/anti-joins on the appended
+    columns and emits original rows)."""
+
+    def __init__(self, *, payload_col: str = "payload",
+                 type_col: str = "media_type", method: str = "phash",
+                 strict: bool = True):
+        if method not in ("phash", "dhash"):
+            raise ValueError(f"unknown perceptual-hash method {method!r}")
+        self.payload_col = payload_col
+        self.type_col = type_col
+        self.hash_fn = phash64 if method == "phash" else dhash64
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from changesetmd_ray.stages.multimodal import _decode_image
+
+        types = (batch[self.type_col].to_pylist()
+                 if self.type_col in batch.column_names else ["image"] * len(batch))
+        payloads = batch[self.payload_col].to_pylist()
+        fps: list[int | None] = []
+        cols: dict[str, list] = {"sharpness": [], "brightness": [],
+                                 "contrast": [], "entropy": []}
+        for t, p in zip(types, payloads):
+            if t != "image" or p is None:
+                fps.append(None)
+                for v in cols.values():
+                    v.append(None)
+                continue
+            try:
+                img = _decode_image(p)
+                fp = int(self.hash_fn(img).view(np.int64))
+                s, b, c, e = image_quality_stats(img)
+            except Exception:
+                if self.strict:
+                    raise
+                fps.append(None)
+                for v in cols.values():
+                    v.append(None)
+                continue
+            fps.append(fp)
+            cols["sharpness"].append(s)
+            cols["brightness"].append(b)
+            cols["contrast"].append(c)
+            cols["entropy"].append(e)
+        batch = batch.append_column("phash", pa.array(fps, pa.int64()))
+        for name, vals in cols.items():
+            batch = batch.append_column(name, pa.array(vals, pa.float64()))
+        return batch
