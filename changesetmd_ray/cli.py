@@ -4,7 +4,7 @@ reference user can switch flag-for-flag:
 
 | reference flag | here |
 |---|---|
-| ``-f/--file`` (bulk load)            | ``--input`` shard dir (or explicit ``--files``); ``.osm``/``.osm.bz2`` inputs load through the XML source exactly like the reference |
+| ``-f/--file`` (bulk load)            | ``--input`` shard dir (or explicit ``--files``); ``.osm``/``.osm.bz2`` inputs load through the XML source exactly like the reference; ``.warc``/``.warc.gz`` inputs stage through the real-crawl ingest (sources/warc.py + HTML→text + LangId) then run the flagship |
 | ``-c/--create`` + ``-t/--truncate``  | ``--fresh`` (clear output data + manifest first) |
 | ``-r/--replicate`` (incremental)     | the DEFAULT: resume via the manifest diff |
 | ``-F --fromseq --toseq`` (partial)   | ``--from-part/--to-part`` (explicit range, manifest still written) |
@@ -133,6 +133,39 @@ def main(argv: list[str] | None = None) -> int:
             }
         ))
         return 0
+
+    if files and all(f.endswith((".warc", ".warc.gz")) for f in files):
+        # real-crawl ingest: WARC → pages staging (url/warc_ts/html +
+        # derived text/lang) → fall through to the resumable flagship
+        # over the staged shards. Staging is idempotent: an existing
+        # staged/ dir is reused unless --fresh.
+        if args.from_part is not None or args.to_part is not None:
+            print("error: --from-part/--to-part select parquet part ids; "
+                  "pass --files to pick specific .warc inputs",
+                  file=sys.stderr)
+            return 2
+        import glob as _glob
+        import os as _os
+
+        from changesetmd_ray.malloc_tuning import tune_malloc
+
+        tune_malloc()
+        import ray
+
+        if not ray.is_initialized():
+            kwargs = {"include_dashboard": False}
+            if args.num_cpus:
+                kwargs["num_cpus"] = args.num_cpus
+            ray.init(address="local", **kwargs)
+        if args.fresh:
+            shutil.rmtree(args.out, ignore_errors=True)
+        staged = _os.path.join(args.out, "staged")
+        if not _os.path.isdir(staged):
+            from changesetmd_ray.stages.html_text import warc_to_pages
+
+            warc_to_pages(files).write_parquet(staged)
+        files = sorted(_glob.glob(_os.path.join(staged, "*.parquet")))
+        args.fresh = False  # output already cleared above
 
     if args.from_part is not None or args.to_part is not None:
         # partial range (reference -F --fromseq --toseq): selected by the

@@ -108,3 +108,40 @@ def test_warc_to_flagship_end_to_end(tmp_path, ray_session):
     # the geo.position meta tag became the page's point/bbox
     assert abs(got["http://ex0.com/page"]["min_lat"] - 50.5) < 1e-9
     assert abs(got["http://ex7.com/page"]["min_lon"] - 15.25) < 1e-9
+
+
+def test_cli_warc_input(tmp_path, ray_session):
+    """python -m changesetmd_ray --files crawl.warc.gz --out ...:
+    WARC staging + the resumable flagship, flag-for-flag."""
+    import json
+
+    from changesetmd_ray.cli import main
+    from changesetmd_ray.sources.warc import (
+        http_response,
+        warc_record,
+        write_warc,
+    )
+
+    recs = []
+    for i in range(4):
+        body = (f"<html><head><meta name=\"geo.position\" "
+                f"content=\"4{i}.5;7.25\"></head>"
+                f"<body><p>harbor records {i}</p></body></html>").encode()
+        recs.append(warc_record(
+            "response", f"http://w{i}.com/p", "2024-03-01T12:00:00Z",
+            http_response(body)))
+    p = os.path.join(tmp_path, "crawl.warc.gz")
+    write_warc(str(p), recs)
+
+    out = os.path.join(tmp_path, "out")
+    assert main(["--files", str(p), "--out", out]) == 0
+    from changesetmd_ray.pipelines.flagship import read_output
+
+    rows = read_output(out).take_all()
+    assert len(rows) == 4
+    assert {r["url"] for r in rows} == {f"http://w{i}.com/p" for i in range(4)}
+    # rerun resumes (staging + manifest both idempotent)
+    assert main(["--files", str(p), "--out", out]) == 0
+    assert read_output(out).count() == 4
+    # range flags are parquet-part concepts
+    assert main(["--files", str(p), "--out", out, "--from-part", "1"]) == 2
