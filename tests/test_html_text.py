@@ -145,3 +145,18 @@ def test_cli_warc_input(tmp_path, ray_session):
     assert read_output(out).count() == 4
     # range flags are parquet-part concepts
     assert main(["--files", str(p), "--out", out, "--from-part", "1"]) == 2
+
+
+def test_warc_to_pages_default_lang(tmp_path, ray_session):
+    from changesetmd_ray.sources.warc import (
+        http_response,
+        warc_record,
+        write_warc,
+    )
+
+    p = os.path.join(tmp_path, "one.warc")
+    write_warc(str(p), [warc_record(
+        "response", "http://x.com/", "2024-01-01T00:00:00Z",
+        http_response(b"<p>hola mundo</p>"))])
+    rows = warc_to_pages([str(p)], default_lang="es").take_all()
+    assert rows[0]["lang"] == "es" and rows[0]["text"] == "hola mundo"
