@@ -62,6 +62,9 @@ class CurationConfig:
     minhash: bool = True
     minhash_threshold: float = 0.8
     minhash_kwargs: dict = field(default_factory=dict)
+    semdedup_threshold: float | None = None  # BoW-cosine semantic dedup
+    semdedup_kwargs: dict = field(default_factory=dict)
+    semdedup_embed_kwargs: dict = field(default_factory=dict)
     benchmark_texts: object | None = None  # Dataset with text_col → decontaminate
     contam_ngram: int = 13
     domain_cap: int | None = None          # needs url_col
@@ -333,6 +336,35 @@ def curate(
         losers = clusters.map_batches(losers_only, batch_format="pyarrow")
         ds = checkpoint("minhash_dedup", anti_join(
             ds, losers, big_on=id_col, small_on=id_col))
+
+    if cfg.semdedup_threshold is not None:
+        # semantic (BoW-cosine) dedup catches what shingle MinHash
+        # can't: SENTENCE-REORDERED near-dups share tokens but few
+        # shingles. Embeds in-flight with the hashed-JL encoder (swap a
+        # neural encoder at the same stage boundary), then the
+        # cluster-bucketed SemDeDup sweep; only (id, embedding) rides
+        # the exchange.
+        from changesetmd_ray.text.embed import embed_documents
+        from changesetmd_ray.text.semdedup import semdedup_decisions
+
+        emb = embed_documents(
+            ds.select_columns([id_col, text_col]),
+            **cfg.semdedup_embed_kwargs)
+        decisions = semdedup_decisions(
+            emb, threshold=cfg.semdedup_threshold, id_col=id_col,
+            **cfg.semdedup_kwargs)
+
+        def sem_losers(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            dropped = batch.filter(pc.equal(batch["keep"], False))
+            return pa.table({id_col: dropped[id_col]})
+
+        from changesetmd_ray.joins.broadcast import anti_join as _aj
+
+        ds = checkpoint("semdedup", _aj(
+            ds, decisions.map_batches(sem_losers, batch_format="pyarrow"),
+            big_on=id_col, small_on=id_col))
 
     if cfg.benchmark_texts is not None:
         import ray

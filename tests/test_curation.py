@@ -338,3 +338,44 @@ def test_curate_url_dedup_stage(ray_session):
     assert res.report["url_dedup"] == 4
     with pytest.raises(ValueError):
         curate(ray.data.from_arrow(t), config=CurationConfig(url_dedup=True))
+
+
+def test_curate_semdedup_catches_reordered_neardup(ray_session):
+    """The MinHash-blind spot: a SENTENCE-REORDERED copy shares almost
+    no 3-gram shingles (order-sensitive) but nearly all tokens — the
+    opt-in SemDeDup stage must drop it where MinHash alone keeps it."""
+    import ray.data
+
+    sents = [
+        "the harbor council funds small research stations along the coast",
+        "volunteers maintain the older lighthouses through every winter",
+        "trade records from the archive describe cargo manifests in detail",
+        "modern ferries follow the same channels past the shoals at night",
+        "fishing crews report seasonal changes in water temperature daily",
+    ]
+    original = " ".join(sents)
+    reordered = " ".join(sents[::-1])
+    unrelated = ("quarterly revenue grew while the finance committee "
+                 "debated currency hedging strategies and capital limits "
+                 "for the upcoming fiscal review cycle this autumn")
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([original, reordered, unrelated], pa.string()),
+        }
+    )
+    base_cfg = dict(langs=None, quality_rule=False, repetition=False,
+                    pii_scrub=False, exact_dedup=False)
+    ds = ray.data.from_arrow(t).repartition(2)
+
+    # MinHash alone keeps all three (shingle overlap is tiny)
+    res_mh = curate(ds, config=CurationConfig(**base_cfg), report=True)
+    assert sorted(r["doc_id"] for r in res_mh.dataset.take_all()) == [1, 2, 3]
+
+    # SemDeDup drops exactly one of the reordered pair
+    res_sd = curate(ds, config=CurationConfig(
+        **base_cfg, semdedup_threshold=0.9,
+        semdedup_kwargs={"n_clusters": 1, "train_size": 8}), report=True)
+    ids = sorted(r["doc_id"] for r in res_sd.dataset.take_all())
+    assert 3 in ids and len({1, 2} & set(ids)) == 1
+    assert res_sd.report["semdedup"] == 2
