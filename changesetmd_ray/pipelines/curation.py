@@ -3,12 +3,15 @@ composition of the engine's hygiene operators into ONE configurable
 flow (north_rule capstone; every stage is an existing, individually
 tested operator):
 
-    unicode normalize (optional) → blocklist → language → Gopher
-    quality rule → Gopher repetition
+    unicode normalize (optional) → blocklist → canonical-URL recrawl
+    dedup (optional) → language → Gopher quality rule → Gopher
+    repetition
     → classifier score/threshold → LM perplexity score/cut (optional)
     → corpus-wide line dedup (optional) → exact-substring span
     dedup (optional)
-    → exact dedup → MinHash cluster dedup → benchmark decontamination
+    → exact dedup → MinHash cluster dedup → SemDeDup (optional —
+    BoW-cosine semantic dedup; catches sentence-REORDERED near-dups
+    shingle MinHash is blind to) → benchmark decontamination
     → per-domain cap → PII scrub → (optional) score-weighted
     resampling
 
