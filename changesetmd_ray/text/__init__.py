@@ -38,3 +38,4 @@ from changesetmd_ray.text.linedup import line_dedup  # noqa: F401
 from changesetmd_ray.text.spandup import span_dedup  # noqa: F401
 from changesetmd_ray.text.normalize import normalize_text  # noqa: F401
 from changesetmd_ray.text.embed import embed_documents  # noqa: F401
+from changesetmd_ray.text.domains import url_dedup, url_normalize  # noqa: F401
