@@ -101,7 +101,8 @@ def synth_corpus(out_dir: str, mult: int) -> int:
     return n * mult
 
 
-def run_leg(corpus_dir: str, rows_in: int, num_cpus: int, mult: int) -> dict:
+def run_leg(corpus_dir: str, rows_in: int, num_cpus: int, mult: int,
+            semdedup: bool = False) -> dict:
     import ray
     import ray.data
 
@@ -112,14 +113,18 @@ def run_leg(corpus_dir: str, rows_in: int, num_cpus: int, mult: int) -> dict:
                  include_dashboard=False)
     ds = ray.data.read_parquet(corpus_dir)
     t0 = time.perf_counter()
+    cfg_kwargs = dict(domain_cap=100, url_dedup=True)
+    if semdedup:
+        cfg_kwargs.update(semdedup_threshold=0.95,
+                          semdedup_kwargs={"n_clusters": 64})
     res = curate(
         ds, lang_col="lang", url_col="url",
-        config=CurationConfig(domain_cap=100, url_dedup=True),
+        config=CurationConfig(**cfg_kwargs),
     )
     rows_out = res.dataset.count()
     secs = time.perf_counter() - t0
     return {
-        "stress": "curation_skew", "mult": mult, "num_cpus": num_cpus,
+        "stress": "curation_skew", "mult": mult, "semdedup": semdedup, "num_cpus": num_cpus,
         "rows_in": rows_in, "rows_out": rows_out,
         "secs": round(secs, 2),
         "rows_per_sec": round(rows_in / secs, 1),
@@ -133,6 +138,9 @@ def main() -> None:
                     help="optional second leg (e.g. 8) for sublinearity")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--semdedup", action="store_true",
+                    help="enable the opt-in SemDeDup stage (hashed-JL "
+                         "embed + cluster-bucketed sweep) in the recipe")
     args = ap.parse_args()
 
     import ray
@@ -142,7 +150,7 @@ def main() -> None:
         corpus = f"/tmp/stress_curation_x{mult}"
         rows_in = synth_corpus(corpus, mult)
         try:
-            out = run_leg(corpus, rows_in, args.cpus, mult)
+            out = run_leg(corpus, rows_in, args.cpus, mult, args.semdedup)
             print(json.dumps(out))
         finally:
             shutil.rmtree(corpus, ignore_errors=True)
