@@ -111,3 +111,10 @@ def test_neardup_arity3_scale_path(ray_session):
 
     with pytest.raises(ValueError):
         audio_fingerprints(base, landmark_arity=4)
+
+
+def test_fingerprints_short_clip_arity3():
+    # shorter than one triple span at the smallest dt → empty, no crash
+    short = (1000 * np.sin(np.arange(900) / 5.0)).astype(np.int16)
+    h, t = audio_fingerprints(short, landmark_arity=3)
+    assert h.shape == (0,) and t.shape == (0,)

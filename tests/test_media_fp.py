@@ -289,3 +289,14 @@ def test_image_quality_stage(ray_session):
     assert by_id[4]["sharpness"] is None       # audio row → nulls
     assert by_id[1]["entropy"] > 3.0           # photo-like
     assert by_id[1]["sharpness"] > 0.0
+
+
+def test_hamming_candidates_empty_and_single(ray_session):
+    from changesetmd_ray.text.dedup import hamming_candidates
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "fp": pa.array([], pa.int64())})
+    assert hamming_candidates(ray.data.from_arrow(empty)).take_all() == []
+    one = pa.table({"doc_id": pa.array([7], pa.int64()),
+                    "fp": pa.array([123], pa.int64())})
+    assert hamming_candidates(ray.data.from_arrow(one)).take_all() == []
