@@ -40,7 +40,11 @@ _BLOCK_TAGS = ("p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4",
                "ul", "ol", "header", "footer", "pre")
 
 _NAMED_ENTITIES = (
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    # &amp; decodes to the \x03 SENTINEL, restored to "&" only after
+    # the html.unescape fallback — single-decode semantics: a
+    # double-encoded "&amp;lt;" must yield the literal text "&lt;",
+    # never "<" (the ampersand an &amp; produces is DATA, not markup)
+    ("&nbsp;", " "), ("&amp;", "\x03"), ("&lt;", "<"), ("&gt;", ">"),
     ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&mdash;", "—"),
     ("&ndash;", "–"), ("&hellip;", "…"), ("&copy;", "©"),
 )
@@ -53,6 +57,9 @@ def html_to_text_array(html, *, paragraphs: bool = True) -> pa.Array:
     s = html.combine_chunks() if isinstance(html, pa.ChunkedArray) else html
     if pa.types.is_binary(s.type) or pa.types.is_large_binary(s.type):
         s = pc.cast(s, pa.string())
+    # raw control bytes that collide with the internal sentinels are
+    # crawl noise — drop them so they can't inject breaks or ampersands
+    s = pc.replace_substring_regex(s, pattern="[\x01\x02\x03]+", replacement=" ")
     for el in _CONTENT_ELEMENTS:
         s = pc.replace_substring_regex(
             s, pattern=rf"(?is)<{el}\b[^>]*>.*?</{el}\s*>", replacement=" ")
@@ -88,6 +95,7 @@ def html_to_text_array(html, *, paragraphs: bool = True) -> pa.Array:
             if vals[i] is not None:
                 vals[i] = _html.unescape(vals[i])
         s = pa.array(vals, pa.string())
+    s = pc.replace_substring(s, pattern="\x03", replacement="&")
     # whitespace normalization: all source whitespace (incl. newlines)
     # is a single space; sentinel runs collapse, \x02 dominates
     s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")

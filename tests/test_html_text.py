@@ -160,3 +160,12 @@ def test_warc_to_pages_default_lang(tmp_path, ray_session):
         http_response(b"<p>hola mundo</p>"))])
     rows = warc_to_pages([str(p)], default_lang="es").take_all()
     assert rows[0]["lang"] == "es" and rows[0]["text"] == "hola mundo"
+
+
+def test_entities_single_decode_semantics():
+    """Double-encoded entities decode exactly once: the '&' an &amp;
+    produces is data, not markup (the double-decode trap)."""
+    assert _x("a &amp;lt; b") == "a &lt; b"
+    assert _x("a &amp;amp; b") == "a &amp; b"
+    assert _x("mixed &amp;lt; and real &eacute; here") == "mixed &lt; and real é here"
+    assert _x("&amp;#65;") == "&#65;"

@@ -388,7 +388,7 @@ def test_url_normalize_idempotent_property(urls):
 
 @given(
     st.lists(
-        st.text(alphabet="<>/abp div scr&#;=\"'\n\t\x01\x02!-", min_size=0,
+        st.text(alphabet="<>/abp div scr&#;=\"'\n\t\x01\x02\x03!-", min_size=0,
                 max_size=80),
         min_size=1, max_size=16,
     )
